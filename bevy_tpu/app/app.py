@@ -1,0 +1,298 @@
+"""App (reference twin: bevy_app app.rs:85 — App = SubApps + runner;
+Main schedule order main_schedule.rs:57-200; headless ScheduleRunnerPlugin
+loop schedule_runner.rs:50).
+
+Execution model: the ordered system list of every schedule in Main order is
+flattened into *run items*; maximal runs of device systems compile into one
+jitted segment (state-donating). Host systems (asset IO, Python structural
+edits) split segments, exactly where the reference pins exclusive systems to
+the main thread. In the common case (no host systems after startup) the
+whole frame — sim, fixed loop, extract, render — is ONE XLA program.
+"""
+
+from __future__ import annotations
+
+import time as _pytime
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from bevy_tpu.app.main_schedule import (
+    FIXED_MAIN_ORDER, MAIN_ORDER, STARTUP_ORDER, RunFixedMainLoop,
+    ExtractSchedule, Render,
+)
+from bevy_tpu.app.plugin import Plugin, PluginGroup
+from bevy_tpu.ecs._state import set_in
+from bevy_tpu.ecs.component import ComponentInstance, get_spec
+from bevy_tpu.ecs.message import message, swap_message_buffers
+from bevy_tpu.ecs.component import field
+from bevy_tpu.ecs.schedule import Schedule, _run_entry, run_host_entry
+from bevy_tpu.ecs.world import World
+
+
+@message
+class AppExit:
+    """Exit request (ref: AppExit message, bevy_app/src/app.rs)."""
+    code = field((), jnp.int32)
+
+
+class App:
+    def __init__(self, capacity: int = World.DEFAULT_CAPACITY):
+        self.world = World(capacity)
+        self.schedules: Dict[str, Schedule] = {}
+        self.main_order = list(MAIN_ORDER)
+        self.startup_order = list(STARTUP_ORDER)
+        self.fixed_order = list(FIXED_MAIN_ORDER)
+        self._plugins: List[Plugin] = []
+        self._plugin_names = set()
+        self._started = False
+        self._plan_cache: Dict[int, list] = {}
+        self.max_fixed_steps_per_frame = 8  # safety clamp alongside max_delta
+        self.time_strategy: Optional[float] = None  # None=wall clock, float=manual dt
+        self._last_wall: Optional[float] = None
+        self.world.add_message(AppExit, capacity=4)
+
+    # ------------------------------------------------------------------
+    # building
+
+    def schedule(self, label) -> Schedule:
+        if label not in self.schedules:
+            self.schedules[label] = Schedule(label)
+        return self.schedules[label]
+
+    def add_systems(self, label, systems, **cfg):
+        self.schedule(label).add_systems(systems, **cfg)
+        self._plan_cache.clear()
+        return self
+
+    def configure_set(self, label, name, **cfg):
+        self.schedule(label).configure_set(name, **cfg)
+        return self
+
+    def add_plugins(self, *plugins):
+        for p in plugins:
+            if isinstance(p, (list, tuple)):
+                self.add_plugins(*p)
+                continue
+            if isinstance(p, type):
+                p = p()
+            if isinstance(p, PluginGroup):
+                p.build(self)
+                continue
+            if isinstance(p, Plugin):
+                if p.name in self._plugin_names:
+                    continue
+                self._plugin_names.add(p.name)
+                self._plugins.append(p)
+                p.build(self)
+            elif callable(p):
+                p(self)
+            else:
+                raise TypeError(f"not a plugin: {p!r}")
+        return self
+
+    def is_plugin_added(self, name: str) -> bool:
+        return name in self._plugin_names
+
+    def insert_resource(self, res, value=None):
+        """Insert/overwrite a resource (ref: App::insert_resource)."""
+        self.world.insert_resource(res, value)
+        self._plan_cache.clear()
+        return self
+
+    def init_resource(self, res_or_instance):
+        """Insert only if absent (ref: App::init_resource) — what plugins
+        use so user-provided settings win."""
+        if isinstance(res_or_instance, ComponentInstance):
+            spec = res_or_instance.spec
+            if spec.name not in self.world.state["res"]:
+                self.world.insert_resource(res_or_instance)
+        else:
+            spec = get_spec(res_or_instance)
+            if spec.name not in self.world.state["res"]:
+                self.world.insert_resource(res_or_instance())
+        return self
+
+    def add_message(self, msg, capacity: int = 1024):
+        self.world.add_message(msg, capacity)
+        self._plan_cache.clear()
+        return self
+
+    # ------------------------------------------------------------------
+    # plan building: flatten schedules into host/jit segments
+
+    def _items(self, labels, include_frame_end):
+        items = []
+        for label in labels:
+            sched = self.schedules.get(label)
+            if sched is not None:
+                sched.init_systems(self.world)
+                items += [("sys", e) for e in sched.items()]
+            if label == RunFixedMainLoop:
+                for fl in self.fixed_order:
+                    if fl in self.schedules:
+                        self.schedules[fl].init_systems(self.world)
+                items.append(("fixed",))
+        if include_frame_end:
+            items.append(("frame_end",))
+        return items
+
+    def _thunk(self, item):
+        world = self.world
+        if item[0] == "sys":
+            entry = item[1]
+            return lambda state: _run_entry(entry, state, world)
+        if item[0] == "fixed":
+            return self._fixed_loop
+        if item[0] == "frame_end":
+            def frame_end(state):
+                state = swap_message_buffers(state)
+                return set_in(state, ("frame",), state["frame"] + 1)
+            return frame_end
+        raise ValueError(item)
+
+    def _segment(self, key, items):
+        """Compile (and cache) one maximal run of device items as a jitted,
+        state-donating function."""
+        seg = self._plan_cache.get(key)
+        if seg is None:
+            thunks = [self._thunk(it) for it in items]
+
+            def run_seg(state):
+                for t in thunks:
+                    state = t(state)
+                return state
+
+            seg = jax.jit(run_seg, donate_argnums=0)
+            self._plan_cache[key] = seg
+        return seg
+
+    def _run_labels(self, labels, include_frame_end=False):
+        """Run a label sequence. Maximal runs of device systems execute as
+        one jitted segment; host systems run eagerly in between and may
+        change world structure (we rebuild the item list when they do)."""
+        items = self._items(labels, include_frame_end)
+        version = self.world.structure_version
+        i = 0
+        while i < len(items):
+            it = items[i]
+            if it[0] == "sys" and it[1].system.host:
+                run_host_entry(it[1], self.world)
+                i += 1
+                if self.world.structure_version != version:
+                    version = self.world.structure_version
+                    items = self._items(labels, include_frame_end)
+            else:
+                j = i
+                while j < len(items) and not (
+                        items[j][0] == "sys" and items[j][1].system.host):
+                    j += 1
+                key = (tuple(labels), include_frame_end, i, j, version)
+                seg = self._segment(key, items[i:j])
+                self.world.state = seg(self.world.state)
+                i = j
+
+    # ------------------------------------------------------------------
+    # fixed main loop (ref: run_fixed_main_schedule, bevy_time fixed.rs:243)
+
+    def _fixed_loop(self, state):
+        if "time_fixed" not in state["res"]:
+            return state
+        world = self.world
+        fixed_scheds = [self.schedules[l] for l in self.fixed_order
+                        if l in self.schedules]
+        max_steps = self.max_fixed_steps_per_frame
+
+        def cond(carry):
+            state, steps = carry
+            tf = state["res"]["time_fixed"]
+            return (tf["overstep"] >= tf["timestep"]) & (steps < max_steps)
+
+        def body(carry):
+            state, steps = carry
+            tf = state["res"]["time_fixed"]
+            ts = tf["timestep"]
+            state = set_in(state, ("res", "time_fixed"), {
+                "timestep": ts,
+                "overstep": tf["overstep"] - ts,
+                "elapsed": tf["elapsed"] + ts,
+            })
+            # generic Time becomes the fixed clock inside FixedMain
+            if "time" in state["res"]:
+                t = dict(state["res"]["time"])
+                t["delta"] = ts
+                t["elapsed"] = state["res"]["time_fixed"]["elapsed"]
+                state = set_in(state, ("res", "time"), t)
+            for sched in fixed_scheds:
+                state = sched.run_traced(state, world)
+            return (state, steps + 1)
+
+        state, _ = jax.lax.while_loop(cond, body, (state, jnp.asarray(0, jnp.int32)))
+        # restore the generic clock to virtual time
+        if "time" in state["res"] and "time_virtual" in state["res"]:
+            tv = state["res"]["time_virtual"]
+            t = dict(state["res"]["time"])
+            t["delta"] = tv["delta"]
+            t["elapsed"] = tv["elapsed"]
+            state = set_in(state, ("res", "time"), t)
+        return state
+
+    # ------------------------------------------------------------------
+    # running
+
+    def startup(self):
+        if self._started:
+            return
+        self._started = True
+        for p in self._plugins:
+            p.finish(self)
+        for label in self.startup_order:
+            if label in self.schedules:
+                self.schedules[label].init_systems(self.world)
+        self._run_labels(self.startup_order, include_frame_end=False)
+
+    def _frame_dt(self) -> float:
+        if self.time_strategy is not None:
+            return float(self.time_strategy)
+        now = _pytime.perf_counter()
+        if self._last_wall is None:
+            self._last_wall = now
+            return 1.0 / 60.0
+        dt = now - self._last_wall
+        self._last_wall = now
+        return dt
+
+    def update(self, dt: Optional[float] = None):
+        """One frame (ref: SubApps::update, sub_app.rs:575)."""
+        self.startup()
+        dt = self._frame_dt() if dt is None else float(dt)
+        if "frame_input" in self.world.state["res"]:
+            self.world.set_resource_field("frame_input", "dt", dt)
+        order = list(self.main_order)
+        for label in (ExtractSchedule, Render):
+            if label in self.schedules and label not in order:
+                order.append(label)
+        self._run_labels(order, include_frame_end=True)
+
+    def should_exit(self) -> bool:
+        store = self.world.state["msg"].get("app_exit")
+        if store is None:
+            return False
+        return int(jax.device_get(jnp.sum(store["count"]))) > 0
+
+    def run(self, max_frames: Optional[int] = None, dt: Optional[float] = None):
+        """Headless loop (ref: ScheduleRunnerPlugin::run_loop)."""
+        frames = 0
+        while True:
+            self.update(dt)
+            frames += 1
+            if max_frames is not None and frames >= max_frames:
+                break
+            if self.should_exit():
+                break
+        return self
+
+    @property
+    def frame(self) -> int:
+        return int(jax.device_get(self.world.state["frame"]))

@@ -1,0 +1,135 @@
+"""Component definition & registry (reference twin: bevy_ecs component/
+— ComponentInfo `component/info.rs:31`, registration `component/register.rs`).
+
+A component is a named struct of fixed-shape fields. Storage is
+structure-of-arrays: each field is one `(capacity, *shape)` device array in
+the world state pytree (ref's Table columns, `storage/table/mod.rs:202` —
+but global dense pools indexed by entity id instead of per-archetype tables;
+see ARCHITECTURE.md for why that is the TPU-native layout).
+
+Usage::
+
+    @component
+    class Velocity:
+        value = field(2)                 # (2,) f32, zeros default
+
+    @component
+    class Player:                        # marker component (no fields)
+        pass
+
+    world.spawn(Velocity(value=(1.0, 0.0)), Player())
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _snake(name: str) -> str:
+    return re.sub(r"(?<!^)(?=[A-Z])", "_", name).lower()
+
+
+@dataclass(frozen=True)
+class Field:
+    shape: Tuple[int, ...]
+    dtype: Any
+    default: Any
+
+
+def field(shape=(), dtype=jnp.float32, default=None):
+    """Declare a component field. `shape` is the per-entity trailing shape
+    (scalar = ()). `default` fills unspecified values at spawn."""
+    if isinstance(shape, int):
+        shape = (shape,)
+    shape = tuple(int(s) for s in shape)
+    if default is None:
+        default = np.zeros(shape, dtype=np.dtype(dtype) if dtype != jnp.bfloat16 else np.float32)
+        if dtype == jnp.bfloat16:
+            default = default.astype(jnp.bfloat16)
+    return Field(shape=shape, dtype=dtype, default=default)
+
+
+class ComponentSpec:
+    """Registered metadata for one component type (ref: ComponentInfo)."""
+
+    def __init__(self, cls, name: str, fields: Dict[str, Field], sparse_capacity=None):
+        self.cls = cls
+        self.name = name
+        self.fields = fields
+        # Reserved: per-component pool capacity for rare components.
+        self.sparse_capacity = sparse_capacity
+
+    def __repr__(self):
+        return f"ComponentSpec({self.name}, fields={list(self.fields)})"
+
+
+# Global spec registry: class -> ComponentSpec. Worlds allocate storage
+# lazily on first use (ref: World::register_component).
+_REGISTRY: Dict[type, ComponentSpec] = {}
+
+
+def get_spec(comp) -> ComponentSpec:
+    if isinstance(comp, ComponentSpec):
+        return comp
+    if isinstance(comp, ComponentInstance):
+        return comp.spec
+    spec = _REGISTRY.get(comp)
+    if spec is None:
+        raise TypeError(f"{comp!r} is not a registered component (use @component)")
+    return spec
+
+
+class ComponentInstance:
+    """A spawnable value: spec + per-field values (host-side)."""
+
+    __slots__ = ("spec", "values")
+
+    def __init__(self, spec: ComponentSpec, values: Dict[str, Any]):
+        self.spec = spec
+        self.values = values
+
+    def __repr__(self):
+        return f"{self.spec.name}({self.values})"
+
+
+def component(cls=None, *, name: Optional[str] = None):
+    """Class decorator registering a component type.
+
+    The decorated class becomes a factory: calling it returns a
+    `ComponentInstance` holding field values (defaults applied at spawn).
+    The class object itself is the handle used in queries.
+    """
+
+    def wrap(cls):
+        fields: Dict[str, Field] = {}
+        for key, val in list(vars(cls).items()):
+            if isinstance(val, Field):
+                fields[key] = val
+        spec = ComponentSpec(cls, name or _snake(cls.__name__), fields)
+        _REGISTRY[cls] = spec
+
+        def __new__(klass, **kwargs):
+            unknown = set(kwargs) - set(fields)
+            if unknown:
+                raise TypeError(f"{spec.name}: unknown fields {unknown}")
+            return ComponentInstance(spec, kwargs)
+
+        cls.__new__ = staticmethod(__new__)
+        cls.__component_spec__ = spec
+        return cls
+
+    if cls is not None:
+        return wrap(cls)
+    return wrap
+
+
+def resource(cls=None, *, name: Optional[str] = None):
+    """Like @component but for singleton resources (ref: Resource; the
+    reference backs resources with entities, `bevy_ecs/src/resource.rs:91` —
+    here they are named pytrees in `state['res']`)."""
+    return component(cls, name=name) if cls is not None else component(name=name)

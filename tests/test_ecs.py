@@ -1,0 +1,295 @@
+"""ECS core tests (ref twin: bevy_ecs in-crate tests + the canonical
+how_to_test_systems.rs pattern: build world, add systems, update, assert)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bevy_tpu.ecs import (
+    component, field, resource, World, system, Query, Read, Res, ResMut,
+    Commands, Local, message, MessageReader, MessageWriter,
+)
+from bevy_tpu.ecs.schedule import Schedule
+
+
+@component
+class Pos:
+    value = field(2)
+
+
+@component
+class Vel:
+    value = field(2)
+
+
+@component
+class Marker:
+    pass
+
+
+@resource
+class Gravity:
+    accel = field(2, default=(0.0, -9.8))
+
+
+def test_spawn_and_get():
+    w = World(capacity=16)
+    e = w.spawn(Pos(value=(1.0, 2.0)), Vel(value=(0.5, 0.0)))
+    assert w.is_alive(e)
+    assert w.has(e, Pos)
+    np.testing.assert_allclose(w.get(e, Pos).value, [1.0, 2.0])
+    assert w.entity_count(Pos, Vel) == 1
+
+
+def test_spawn_batch_and_mask():
+    w = World(capacity=64)
+    rows = w.spawn_batch([Pos(value=np.zeros((10, 2), np.float32)), Vel()], 10)
+    assert len(rows) == 10
+    assert w.entity_count(Pos) == 10
+    w.spawn(Pos(value=(5.0, 5.0)))
+    assert w.entity_count(Pos) == 11
+    assert w.entity_count(Vel) == 10
+
+
+def test_despawn_reuses_rows_with_generation_bump():
+    w = World(capacity=16)
+    e = w.spawn(Pos())
+    gen0 = e.generation
+    w.despawn(e)
+    assert not w.is_alive(e)
+    e2 = w.spawn(Pos())
+    assert e2.index == e.index
+    assert e2.generation == gen0 + 1
+
+
+def test_capacity_growth():
+    w = World(capacity=4)
+    w.spawn_batch([Pos()], 20)
+    assert w.capacity >= 20
+    assert w.entity_count(Pos) == 20
+
+
+def test_system_moves_entities():
+    w = World(capacity=16)
+    w.spawn(Pos(value=(0.0, 0.0)), Vel(value=(1.0, 0.0)))
+    w.spawn(Pos(value=(10.0, 10.0)), Vel(value=(0.0, 2.0)))
+    w.spawn(Pos(value=(-5.0, 0.0)))  # no Vel: must not move
+
+    @system
+    def integrate(q=Query(Pos, Read(Vel))):
+        q.pos.value = q.pos.value + q.vel.value
+
+    sched = Schedule("test")
+    sched.add_systems(integrate)
+    sched.init_systems(w)
+    w.state = jax.jit(lambda s: sched.run_traced(s, w))(w.state)
+
+    np.testing.assert_allclose(w.get(0, Pos).value, [1.0, 0.0])
+    np.testing.assert_allclose(w.get(1, Pos).value, [10.0, 12.0])
+    np.testing.assert_allclose(w.get(2, Pos).value, [-5.0, 0.0])
+
+
+def test_resource_access():
+    w = World(capacity=16)
+    w.insert_resource(Gravity())
+    w.spawn(Vel(value=(0.0, 0.0)))
+
+    @system
+    def apply_gravity(q=Query(Vel), g=Res(Gravity)):
+        q.vel.value = q.vel.value + g.accel * 0.1
+
+    sched = Schedule("test")
+    sched.add_systems(apply_gravity)
+    sched.init_systems(w)
+    w.state = sched.run_traced(w.state, w)
+    np.testing.assert_allclose(w.get(0, Vel).value, [0.0, -0.98], atol=1e-6)
+
+
+def test_resmut_staging():
+    w = World(capacity=4)
+    w.insert_resource(Gravity())
+
+    @system
+    def flip(g=ResMut(Gravity)):
+        g.accel = -g.accel
+
+    sched = Schedule("t")
+    sched.add_systems(flip)
+    sched.init_systems(w)
+    w.state = sched.run_traced(w.state, w)
+    np.testing.assert_allclose(w.resource(Gravity).accel, [0.0, 9.8])
+
+
+def test_changed_filter():
+    w = World(capacity=16)
+    w.spawn(Pos(value=(1.0, 1.0)), Vel(value=(1.0, 1.0)))
+    w.spawn(Pos(value=(2.0, 2.0)))
+
+    hits = []
+
+    @resource
+    class Counter:
+        n = field((), jnp.int32)
+
+    @system
+    def move_some(q=Query(Pos, with_=[Vel])):
+        q.pos.value = q.pos.value + 1.0
+
+    @system
+    def count_changed(q=Query(Read(Pos), changed=[Pos]), c=ResMut(Counter)):
+        c.n = c.n + q.count()
+
+    w.insert_resource(Counter())
+    sched = Schedule("t")
+    sched.add_systems(move_some)
+    sched.add_systems(count_changed, after=move_some)
+    sched.init_systems(w)
+    # first run: both spawned this tick → spawn counts as changed for both,
+    # but count_changed's last_run starts at 0 so sees both spawn-changed rows
+    w.state = sched.run_traced(w.state, w)
+    first = int(w.resource(Counter).n)
+    assert first == 2
+    # second run: only the moved entity is changed since count's last run
+    w.state = sched.run_traced(w.state, w)
+    assert int(w.resource(Counter).n) == first + 1
+
+
+def test_commands_despawn_in_jit():
+    w = World(capacity=16)
+    w.spawn(Pos(value=(0.0, 0.0)))
+    w.spawn(Pos(value=(100.0, 0.0)))
+
+    @system
+    def cull_far(q=Query(Read(Pos)), cmd=Commands()):
+        far = jnp.abs(q.pos.value[:, 0]) > 50.0
+        cmd.despawn(q.mask & far)
+
+    sched = Schedule("t")
+    sched.add_systems(cull_far)
+    sched.init_systems(w)
+    w.state = jax.jit(lambda s: sched.run_traced(s, w))(w.state)
+    assert w.entity_count(Pos) == 1
+
+
+def test_commands_spawn_in_jit():
+    w = World(capacity=32)
+    w.spawn(Pos(value=(1.0, 1.0)))
+
+    @system
+    def spawner(cmd=Commands(spawn_comps=[Pos, Vel], budget=4)):
+        cmd.spawn(Pos(value=jnp.ones((4, 2)) * 7.0), Vel(), count=3, budget=4)
+
+    sched = Schedule("t")
+    sched.add_systems(spawner)
+    sched.init_systems(w)
+    w.state = jax.jit(lambda s: sched.run_traced(s, w))(w.state)
+    assert w.entity_count(Pos) == 4
+    assert w.entity_count(Vel) == 3
+
+
+def test_messages_roundtrip():
+    @message
+    class Ping:
+        data = field((), jnp.float32)
+
+    w = World(capacity=8)
+    w.add_message(Ping, capacity=8)
+
+    @system
+    def sender(wr=MessageWriter(Ping, budget=2)):
+        wr.send(count=2, data=jnp.array([1.5, 2.5]))
+
+    @resource
+    class Sum:
+        total = field((), jnp.float32)
+
+    w.insert_resource(Sum())
+
+    @system
+    def receiver(rd=MessageReader(Ping), s=ResMut(Sum)):
+        fields, mask = rd.read()
+        s.total = s.total + jnp.sum(jnp.where(mask, fields["data"], 0.0))
+
+    sched = Schedule("t")
+    sched.add_systems(sender)
+    sched.add_systems(receiver, after=sender)
+    sched.init_systems(w)
+    w.state = sched.run_traced(w.state, w)
+    assert float(w.resource(Sum).total) == pytest.approx(4.0)
+
+
+def test_local_state():
+    w = World(capacity=4)
+
+    @system
+    def counting(local=Local(jnp.asarray(0, jnp.int32))):
+        local.value = local.value + 1
+
+    sched = Schedule("t")
+    sched.add_systems(counting)
+    sched.init_systems(w)
+    for _ in range(3):
+        w.state = sched.run_traced(w.state, w)
+    assert int(w.state["sys"][counting.id]["local"]["local"]) == 3
+
+
+def test_schedule_ordering_and_ambiguity():
+    w = World(capacity=4)
+    w.spawn(Pos())
+    log = []
+
+    @system
+    def a(q=Query(Pos)):
+        log.append("a")
+        q.pos.value = q.pos.value + 1.0
+
+    @system
+    def b(q=Query(Pos)):
+        log.append("b")
+        q.pos.value = q.pos.value * 2.0
+
+    sched = Schedule("t")
+    sched.add_systems(b)           # inserted first
+    sched.add_systems(a, before=b)  # but must run before b
+    order = [e.system.name for e in sched.build_order()]
+    assert order == ["a", "b"]
+    # no explicit order → conflicting writes to Pos are ambiguous
+    sched2 = Schedule("t2")
+    sched2.add_systems(a)
+    sched2.add_systems(b)
+    sched2.build_order()
+    assert len(sched2.ambiguities) == 1
+
+
+def test_cycle_detection():
+    @system
+    def s1(q=Query(Pos)):
+        pass
+
+    @system
+    def s2(q=Query(Pos)):
+        pass
+
+    sched = Schedule("t")
+    sched.add_systems(s1, after=s2)
+    sched.add_systems(s2, after=s1)
+    with pytest.raises(RuntimeError, match="cycle"):
+        sched.build_order()
+
+
+def test_marker_component_filtering():
+    w = World(capacity=16)
+    w.spawn(Pos(value=(1.0, 0.0)), Marker())
+    w.spawn(Pos(value=(2.0, 0.0)))
+
+    @system
+    def boost(q=Query(Pos, with_=[Marker])):
+        q.pos.value = q.pos.value * 10.0
+
+    sched = Schedule("t")
+    sched.add_systems(boost)
+    sched.init_systems(w)
+    w.state = sched.run_traced(w.state, w)
+    np.testing.assert_allclose(w.get(0, Pos).value, [10.0, 0.0])
+    np.testing.assert_allclose(w.get(1, Pos).value, [2.0, 0.0])
