@@ -124,6 +124,8 @@ class App:
 
     def _items(self, labels, include_frame_end):
         items = []
+        if include_frame_end:
+            items.append(("frame_begin",))
         for label in labels:
             sched = self.schedules.get(label)
             if sched is not None:
@@ -139,14 +141,24 @@ class App:
         return items
 
     def _thunk(self, item):
+        """Thunks are (state, dt) -> state; dt is a traced per-frame input
+        so the steady-state loop contains ZERO eager device ops (eager
+        dispatches can cost seconds over tunneled TPU backends)."""
         world = self.world
         if item[0] == "sys":
             entry = item[1]
-            return lambda state: _run_entry(entry, state, world)
+            return lambda state, dt: _run_entry(entry, state, world)
         if item[0] == "fixed":
-            return self._fixed_loop
+            return lambda state, dt: self._fixed_loop(state)
+        if item[0] == "frame_begin":
+            def frame_begin(state, dt):
+                if "frame_input" in state["res"]:
+                    return set_in(state, ("res", "frame_input", "dt"),
+                                  jnp.asarray(dt, jnp.float32))
+                return state
+            return frame_begin
         if item[0] == "frame_end":
-            def frame_end(state):
+            def frame_end(state, dt):
                 state = swap_message_buffers(state)
                 return set_in(state, ("frame",), state["frame"] + 1)
             return frame_end
@@ -159,19 +171,22 @@ class App:
         if seg is None:
             thunks = [self._thunk(it) for it in items]
 
-            def run_seg(state):
+            def run_seg(state, dt):
                 for t in thunks:
-                    state = t(state)
+                    state = t(state, dt)
                 return state
 
             seg = jax.jit(run_seg, donate_argnums=0)
             self._plan_cache[key] = seg
         return seg
 
-    def _run_labels(self, labels, include_frame_end=False):
+    def _run_labels(self, labels, include_frame_end=False, dt=0.0):
         """Run a label sequence. Maximal runs of device systems execute as
         one jitted segment; host systems run eagerly in between and may
         change world structure (we rebuild the item list when they do)."""
+        import numpy as _np
+
+        dt = _np.float32(dt)
         items = self._items(labels, include_frame_end)
         version = self.world.structure_version
         i = 0
@@ -190,7 +205,7 @@ class App:
                     j += 1
                 key = (tuple(labels), include_frame_end, i, j, version)
                 seg = self._segment(key, items[i:j])
-                self.world.state = seg(self.world.state)
+                self.world.state = seg(self.world.state, dt)
                 i = j
 
     # ------------------------------------------------------------------
@@ -267,19 +282,46 @@ class App:
         """One frame (ref: SubApps::update, sub_app.rs:575)."""
         self.startup()
         dt = self._frame_dt() if dt is None else float(dt)
-        if "frame_input" in self.world.state["res"]:
-            self.world.set_resource_field("frame_input", "dt", dt)
         order = list(self.main_order)
         for label in (ExtractSchedule, Render):
             if label in self.schedules and label not in order:
                 order.append(label)
-        self._run_labels(order, include_frame_end=True)
+        self._run_labels(order, include_frame_end=True, dt=dt)
+
+    def frame_fn(self):
+        """The whole frame as one pure function `step(state) -> state`
+        (requires no host systems — the common post-startup case; see module
+        docstring). This is what bench/driver entry points compile."""
+        self.startup()
+        order = list(self.main_order)
+        for label in (ExtractSchedule, Render):
+            if label in self.schedules and label not in order:
+                order.append(label)
+        items = self._items(order, include_frame_end=True)
+        host = [it[1].system.name for it in items
+                if it[0] == "sys" and it[1].system.host]
+        if host:
+            raise RuntimeError(f"frame_fn requires a host-free frame; host systems: {host}")
+        thunks = [self._thunk(it) for it in items]
+
+        def step(state, dt=jnp.float32(1.0 / 60.0)):
+            for t in thunks:
+                state = t(state, dt)
+            return state
+
+        return step
+
+    _exit_check = None
 
     def should_exit(self) -> bool:
         store = self.world.state["msg"].get("app_exit")
         if store is None:
             return False
-        return int(jax.device_get(jnp.sum(store["count"]))) > 0
+        # jitted + cached: eager ops can cost seconds/dispatch on tunneled
+        # TPU backends; the frame loop must stay compiled end to end
+        if App._exit_check is None:
+            App._exit_check = jax.jit(lambda c: jnp.sum(c) > 0)
+        return bool(jax.device_get(App._exit_check(store["count"])))
 
     def run(self, max_frames: Optional[int] = None, dt: Optional[float] = None):
         """Headless loop (ref: ScheduleRunnerPlugin::run_loop)."""

@@ -1,0 +1,142 @@
+"""Meshes (reference twin: bevy_mesh — CPU Mesh with typed vertex
+attributes `src/mesh.rs`, primitive meshers `src/primitives/`, and
+bevy_render's MeshAllocator slab suballocation `src/mesh/allocator.rs:47`).
+
+TPU design: ALL meshes live in one device-resident pool (SoA position /
+normal / uv arrays + one triangle index array) — the MeshAllocator slab
+collapsed to a single slab, so the raster vertex stage is pure gathers +
+one batched matmul, no per-mesh buffers or bind groups.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class Mesh:
+    """Host-side mesh: positions (V,3), normals (V,3), uvs (V,2),
+    triangles (T,3) int32 (CCW front faces, right-handed y-up — the
+    reference's convention)."""
+
+    def __init__(self, positions, normals, uvs, triangles):
+        self.positions = np.asarray(positions, np.float32)
+        self.normals = np.asarray(normals, np.float32)
+        self.uvs = np.asarray(uvs, np.float32)
+        self.triangles = np.asarray(triangles, np.int32)
+
+    @property
+    def num_vertices(self):
+        return self.positions.shape[0]
+
+    @property
+    def num_triangles(self):
+        return self.triangles.shape[0]
+
+
+def cuboid(x=1.0, y=1.0, z=1.0) -> Mesh:
+    """ref: bevy_mesh/src/primitives/dim3/cuboid.rs — 24 verts (per-face
+    normals), 12 tris."""
+    hx, hy, hz = x / 2, y / 2, z / 2
+    faces = [
+        # (normal, corners CCW viewed from outside)
+        ((0, 0, 1), [(-hx, -hy, hz), (hx, -hy, hz), (hx, hy, hz), (-hx, hy, hz)]),
+        ((0, 0, -1), [(hx, -hy, -hz), (-hx, -hy, -hz), (-hx, hy, -hz), (hx, hy, -hz)]),
+        ((1, 0, 0), [(hx, -hy, hz), (hx, -hy, -hz), (hx, hy, -hz), (hx, hy, hz)]),
+        ((-1, 0, 0), [(-hx, -hy, -hz), (-hx, -hy, hz), (-hx, hy, hz), (-hx, hy, -hz)]),
+        ((0, 1, 0), [(-hx, hy, hz), (hx, hy, hz), (hx, hy, -hz), (-hx, hy, -hz)]),
+        ((0, -1, 0), [(-hx, -hy, -hz), (hx, -hy, -hz), (hx, -hy, hz), (-hx, -hy, hz)]),
+    ]
+    pos, nrm, uv, tri = [], [], [], []
+    for normal, corners in faces:
+        base = len(pos)
+        pos += corners
+        nrm += [normal] * 4
+        uv += [(0, 1), (1, 1), (1, 0), (0, 0)]
+        tri += [(base, base + 1, base + 2), (base, base + 2, base + 3)]
+    return Mesh(pos, nrm, uv, tri)
+
+
+def uv_sphere(radius=0.5, sectors=36, stacks=18) -> Mesh:
+    """ref: primitives/dim3/sphere.rs (SphereKind::Uv)."""
+    pos, nrm, uv = [], [], []
+    for i in range(stacks + 1):
+        phi = math.pi / 2 - i * math.pi / stacks
+        y = radius * math.sin(phi)
+        r = radius * math.cos(phi)
+        for j in range(sectors + 1):
+            theta = j * 2 * math.pi / sectors
+            p = (r * math.cos(theta), y, r * math.sin(theta))
+            pos.append(p)
+            n = np.asarray(p) / max(radius, 1e-9)
+            nrm.append(tuple(n))
+            uv.append((j / sectors, i / stacks))
+    tri = []
+    for i in range(stacks):
+        for j in range(sectors):
+            a = i * (sectors + 1) + j
+            b = a + sectors + 1
+            if i != 0:
+                tri.append((a, a + 1, b))
+            if i != stacks - 1:
+                tri.append((a + 1, b + 1, b))
+    return Mesh(pos, nrm, uv, tri)
+
+
+def plane(x=1.0, z=1.0) -> Mesh:
+    """ref: primitives/dim3/plane.rs — y-up plane."""
+    hx, hz = x / 2, z / 2
+    pos = [(-hx, 0, -hz), (hx, 0, -hz), (hx, 0, hz), (-hx, 0, hz)]
+    nrm = [(0, 1, 0)] * 4
+    uv = [(0, 0), (1, 0), (1, 1), (0, 1)]
+    tri = [(0, 2, 1), (0, 3, 2)]
+    return Mesh(pos, nrm, uv, tri)
+
+
+class MeshPool:
+    """Host-side builder of the single device slab; `add` returns a mesh id
+    (the Mesh3d component's handle). ref: MeshAllocator allocate/slab."""
+
+    RESOURCE = "mesh_pool"
+
+    def __init__(self):
+        self.meshes: List[Mesh] = []
+
+    def add(self, mesh: Mesh) -> int:
+        self.meshes.append(mesh)
+        return len(self.meshes) - 1
+
+    def build(self) -> Dict:
+        """Device pool: concatenated attributes, triangle indices offset
+        into the pool, per-mesh (vert_offset, tri_offset, tri_count,
+        bounding radius) tables."""
+        if not self.meshes:
+            self.add(cuboid())
+        pos = np.concatenate([m.positions for m in self.meshes])
+        nrm = np.concatenate([m.normals for m in self.meshes])
+        uv = np.concatenate([m.uvs for m in self.meshes])
+        tris, v_off, t_off, t_cnt, v_cnt, radius = [], [], [], [], [], []
+        vo = 0
+        for m in self.meshes:
+            v_off.append(vo)
+            t_off.append(sum(t.shape[0] for t in tris))
+            t_cnt.append(m.num_triangles)
+            v_cnt.append(m.num_vertices)
+            radius.append(float(np.linalg.norm(m.positions, axis=1).max()
+                                if m.num_vertices else 0.0))
+            tris.append(m.triangles + vo)
+            vo += m.num_vertices
+        return {
+            "positions": jnp.asarray(pos),
+            "normals": jnp.asarray(nrm),
+            "uvs": jnp.asarray(uv),
+            "triangles": jnp.asarray(np.concatenate(tris), jnp.int32),
+            "vert_offset": jnp.asarray(v_off, jnp.int32),
+            "vert_count": jnp.asarray(v_cnt, jnp.int32),
+            "tri_offset": jnp.asarray(t_off, jnp.int32),
+            "tri_count": jnp.asarray(t_cnt, jnp.int32),
+            "radius": jnp.asarray(radius, jnp.float32),
+        }

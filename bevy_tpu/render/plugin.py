@@ -1,0 +1,83 @@
+"""RenderPlugin (reference twin: bevy_render RenderPlugin lib.rs:132 —
+creates the RenderApp sub-world, phase sets lib.rs:158-212, render_system
+renderer/mod.rs:84).
+
+TPU design: no sub-app / render thread — extract and render trace into the
+SAME jit as the sim (the reference's pipelined-rendering overlap is
+recovered by XLA's async dispatch; the extract barrier becomes a pure
+functional read of world columns). The framebuffer is an HBM-resident
+resource; `frame_image()` is the single host readback point (the
+swapchain-present position, renderer/mod.rs:100-135).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bevy_tpu.app.main_schedule import Render
+from bevy_tpu.app.plugin import Plugin
+from bevy_tpu.color import image_to_srgb_u8
+from bevy_tpu.ecs.component import field, resource
+from bevy_tpu.ecs.query import Res, ResMut
+from bevy_tpu.ecs.system import system
+from bevy_tpu.render.texture import TextureAtlas
+
+
+class RenderTarget:
+    RESOURCE = "render_target"
+
+
+@resource
+class ClearColor:
+    """ref: ClearColor resource (bevy_render/src/view/mod.rs); linear RGBA."""
+    color = field(4, default=(0.098, 0.098, 0.133, 1.0))  # bevy's default dark grey-blue
+
+
+# Render-schedule system sets, mirroring RenderSystems (lib.rs:158-212).
+CLEAR_SET = "render:clear"
+QUEUE_SET = "render:queue"   # extract+queue per pipeline (sprites, meshes…)
+PASS_SET = "render:pass"     # raster passes
+POST_SET = "render:post"     # tonemap / post-process
+
+
+@system(name="clear_render_target")
+def clear_render_target(target=ResMut(RenderTarget.RESOURCE),
+                        clear=Res(ClearColor)):
+    target.color = jnp.broadcast_to(clear.color, target.color.shape)
+    target.depth = jnp.full_like(target.depth, jnp.inf)
+
+
+class RenderPlugin(Plugin):
+    """width/height are static (they size the framebuffer arrays and the
+    raster tile grid — the one retrace trigger for resolution change)."""
+
+    def __init__(self, width: int = 1280, height: int = 720):
+        self.width = width
+        self.height = height
+
+    def build(self, app):
+        h, w = self.height, self.width
+        app.init_resource(ClearColor())
+        app.insert_resource(RenderTarget.RESOURCE, {
+            "color": jnp.zeros((h, w, 4), jnp.float32),
+            "depth": jnp.full((h, w), jnp.inf, jnp.float32),
+            "size": jnp.asarray([w, h], jnp.float32),
+        })
+        if TextureAtlas.RESOURCE not in app.world.state["res"]:
+            app.insert_resource(TextureAtlas.RESOURCE,
+                                {"data": jnp.ones((1, 1, 4), jnp.float32)})
+        sched = app.schedule(Render)
+        sched.configure_set(CLEAR_SET)
+        sched.configure_set(QUEUE_SET, after=CLEAR_SET)
+        sched.configure_set(PASS_SET, after=QUEUE_SET)
+        sched.configure_set(POST_SET, after=PASS_SET)
+        app.add_systems(Render, clear_render_target, in_set=CLEAR_SET)
+
+
+def frame_image(app) -> np.ndarray:
+    """Host readback of the framebuffer as sRGB u8 (H, W, 4) — the
+    present/screenshot position (ref: screenshot.rs:83)."""
+    fb = app.world.state["res"][RenderTarget.RESOURCE]["color"]
+    return np.asarray(jax.device_get(image_to_srgb_u8(fb)))

@@ -1,0 +1,140 @@
+"""Sprites (reference twin: bevy_sprite Sprite/Anchor components +
+bevy_sprite_render extract/queue/prepare/draw —
+`src/render/mod.rs:360,442,499` — collapsed into one extract-and-raster
+system since phases are sort keys here, not GPU passes).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from bevy_tpu.app.main_schedule import Render
+from bevy_tpu.app.plugin import Plugin
+from bevy_tpu.ecs.component import component, field
+from bevy_tpu.ecs.query import Query, Read, Res, ResMut
+from bevy_tpu.ecs.system import system
+from bevy_tpu.ops.raster2d import pack_sprite_instances, raster_sprites
+from bevy_tpu.render.camera import Camera2d, pick_camera, quat_z_angle, world_to_screen_2d
+from bevy_tpu.render.plugin import PASS_SET, RenderTarget
+from bevy_tpu.render.texture import TextureAtlas
+
+
+class Anchor:
+    """ref: bevy_sprite Anchor variants (anchor point inside the rect,
+    in [-0.5, 0.5]² sprite-local units; translation sits at the anchor)."""
+    CENTER = (0.0, 0.0)
+    BOTTOM_LEFT = (-0.5, -0.5)
+    BOTTOM_CENTER = (0.0, -0.5)
+    BOTTOM_RIGHT = (0.5, -0.5)
+    CENTER_LEFT = (-0.5, 0.0)
+    CENTER_RIGHT = (0.5, 0.0)
+    TOP_LEFT = (-0.5, 0.5)
+    TOP_CENTER = (0.0, 0.5)
+    TOP_RIGHT = (0.5, 0.5)
+
+
+@component
+class Sprite:
+    """ref: Sprite (custom_size ⇒ `size` here is required — images provide
+    their natural size via the atlas handle at spawn). uv rect + tex index
+    address the global atlas (bindless-style); tex < 0 ⇒ solid color."""
+    color = field(4, default=(1.0, 1.0, 1.0, 1.0))
+    size = field(2, default=(1.0, 1.0))
+    anchor = field(2, default=(0.0, 0.0))
+    uv_min = field(2, default=(0.0, 0.0))
+    uv_max = field(2, default=(1.0, 1.0))
+    tex = field((), jnp.int32, default=-1)
+
+
+def sprite_from_handle(handle, color=(1.0, 1.0, 1.0, 1.0), size=None,
+                       anchor=Anchor.CENTER, flip_x=False, flip_y=False):
+    """Sprite bound to an AtlasBuilder handle (ref: Sprite::from_image;
+    flip_x/flip_y swap the uv rect like the reference's flip booleans)."""
+    u0, v0 = handle["uv_min"]
+    u1, v1 = handle["uv_max"]
+    if flip_x:
+        u0, u1 = u1, u0
+    if flip_y:
+        v0, v1 = v1, v0
+    return Sprite(
+        color=color, size=tuple(size) if size is not None else handle["size"],
+        anchor=anchor, uv_min=(u0, v0), uv_max=(u1, v1), tex=handle["tex"])
+
+
+def make_sprite_pass(width, height, tile_h=32, tile_w=128,
+                     pairs_per_sprite=8, max_per_tile=256, bilinear=True):
+    """The 2D transparent pass (ref: queue_sprites → Transparent2d sorted
+    phase → instanced draw, render/mod.rs:499). Static raster config is
+    closed over — it shapes the XLA program."""
+
+    from bevy_tpu.transform import GlobalTransform
+
+    @system(name="sprite_pass")
+    def sprite_pass(q=Query(Read(Sprite), Read(GlobalTransform)),
+                    cam=Query(Read(Camera2d), Read(GlobalTransform)),
+                    target=ResMut(RenderTarget.RESOURCE),
+                    atlas=Res(TextureAtlas.RESOURCE),
+                    stats=ResMut("render_stats")):
+        cam_idx, has_cam = pick_camera(cam.mask)
+        cam_xy = cam.global_transform.translation[cam_idx, :2]
+        cam_angle = quat_z_angle(cam.global_transform.rotation[cam_idx])
+        cam_cos, cam_sin = jnp.cos(cam_angle), jnp.sin(cam_angle)
+        cam_scale = cam.camera2d.scale[cam_idx]
+
+        t = q.global_transform.translation
+        angle = quat_z_angle(q.global_transform.rotation)
+        scale_xy = q.global_transform.scale[:, :2]
+        size_w = q.sprite.size * scale_xy
+        # anchor offset, rotated into world space (y-up)
+        off = -q.sprite.anchor * size_w
+        ca, sa = jnp.cos(angle), jnp.sin(angle)
+        off_w = jnp.stack([ca * off[:, 0] - sa * off[:, 1],
+                           sa * off[:, 0] + ca * off[:, 1]], axis=-1)
+        center_w = t[:, :2] + off_w
+        center_px = world_to_screen_2d(
+            center_w, cam_xy, cam_cos, cam_sin, cam_scale, width, height)
+        half_px = size_w * 0.5 / cam_scale
+        # world CCW rotation appears CW on a y-down screen
+        rot_screen = -(angle - cam_angle)
+        packed = pack_sprite_instances(
+            center=center_px, half=half_px, rot=rot_screen,
+            color=q.sprite.color, uv_min=q.sprite.uv_min, uv_max=q.sprite.uv_max,
+            tex=q.sprite.tex, z=t[:, 2], active=q.mask & has_cam)
+        fb, st = raster_sprites(
+            target.color, packed, atlas.data, tile_h=tile_h, tile_w=tile_w,
+            pairs_per_sprite=pairs_per_sprite, max_per_tile=max_per_tile,
+            bilinear=bilinear)
+        target.color = fb
+        stats.pair_overflow = st["pair_overflow"]
+        stats.tile_overflow = st["tile_overflow"]
+
+    return sprite_pass
+
+
+class SpritePlugin(Plugin):
+    """ref: SpritePlugin + SpriteRenderPlugin. Raster shape knobs surface
+    here (the reference's equivalents are pipeline specialization keys)."""
+
+    def __init__(self, tile_h=32, tile_w=128, pairs_per_sprite=8,
+                 max_per_tile=256, bilinear=True):
+        self.cfg = dict(tile_h=tile_h, tile_w=tile_w,
+                        pairs_per_sprite=pairs_per_sprite,
+                        max_per_tile=max_per_tile, bilinear=bilinear)
+
+    def build(self, app):
+        from bevy_tpu.render.plugin import RenderPlugin
+        rp = next((p for p in app._plugins if isinstance(p, RenderPlugin)), None)
+        if rp is None:
+            raise RuntimeError("SpritePlugin requires RenderPlugin")
+        from bevy_tpu.transform import GlobalTransform, Transform
+        app.world.register_component(Sprite)
+        app.world.register_component(Camera2d)
+        app.world.register_component(Transform)
+        app.world.register_component(GlobalTransform)
+        if "render_stats" not in app.world.state["res"]:
+            app.insert_resource("render_stats", {
+                "pair_overflow": jnp.asarray(0, jnp.int32),
+                "tile_overflow": jnp.asarray(0, jnp.int32),
+            })
+        app.add_systems(Render, make_sprite_pass(rp.width, rp.height, **self.cfg),
+                        in_set=PASS_SET)
