@@ -48,6 +48,8 @@ class App:
         self._plugin_names = set()
         self._started = False
         self._plan_cache: Dict[int, list] = {}
+        self._prepare_hooks: List = []   # (fn, last_version) host rebuilds
+        self._prepare_versions: List[int] = []
         self.max_fixed_steps_per_frame = 8  # safety clamp alongside max_delta
         self.time_strategy: Optional[float] = None  # None=wall clock, float=manual dt
         self._last_wall: Optional[float] = None
@@ -206,7 +208,18 @@ class App:
                 key = (tuple(labels), include_frame_end, i, j, version)
                 seg = self._segment(key, items[i:j])
                 self.world.state = seg(self.world.state, dt)
+                if any(self._item_has_commands(it) for it in items[i:j]):
+                    self.world.mark_device_dirty()
                 i = j
+
+    def _item_has_commands(self, it):
+        if it[0] == "sys":
+            return it[1].system.has_commands
+        if it[0] == "fixed":
+            return any(e.system.has_commands
+                       for fl in self.fixed_order if fl in self.schedules
+                       for e in self.schedules[fl].entries)
+        return False
 
     # ------------------------------------------------------------------
     # fixed main loop (ref: run_fixed_main_schedule, bevy_time fixed.rs:243)
@@ -278,9 +291,25 @@ class App:
         self._last_wall = now
         return dt
 
+    def add_prepare_hook(self, fn):
+        """Host callback run before a frame whenever world structure changed
+        since its last run (ref position: PrepareAssets/PrepareMeshes,
+        bevy_render lib.rs:158 — host-side table rebuilds, e.g. the mesh
+        instance→triangle expansion)."""
+        self._prepare_hooks.append(fn)
+        self._prepare_versions.append(-1)
+        return self
+
+    def _run_prepare_hooks(self):
+        for k, fn in enumerate(self._prepare_hooks):
+            if self._prepare_versions[k] != self.world.structure_version:
+                fn(self.world)
+                self._prepare_versions[k] = self.world.structure_version
+
     def update(self, dt: Optional[float] = None):
         """One frame (ref: SubApps::update, sub_app.rs:575)."""
         self.startup()
+        self._run_prepare_hooks()
         dt = self._frame_dt() if dt is None else float(dt)
         order = list(self.main_order)
         for label in (ExtractSchedule, Render):
@@ -293,6 +322,7 @@ class App:
         (requires no host systems — the common post-startup case; see module
         docstring). This is what bench/driver entry points compile."""
         self.startup()
+        self._run_prepare_hooks()
         order = list(self.main_order)
         for label in (ExtractSchedule, Render):
             if label in self.schedules and label not in order:

@@ -63,6 +63,12 @@ class System:
         for p in self.params.values():
             self.reads |= p.reads()
             self.writes |= p.writes()
+        # structural mutation happens on every EXECUTION of the compiled
+        # segment, not just at trace time — the App uses this to invalidate
+        # the world's host liveness mirror after each run (CommandsView.merge
+        # only runs while tracing)
+        self.has_commands = any(isinstance(p, Commands)
+                                for p in self.params.values())
 
     def conflicts_with(self, other: "System") -> set:
         """Access conflicts (ref: FilteredAccessSet::get_conflicts)."""

@@ -70,6 +70,17 @@ class World:
         self._host_has: Dict[str, np.ndarray] = {}
         self._device_dirty = False
 
+    def component_rows(self, comp) -> int:
+        """Host-known row count for a component — used for TRACE-TIME fast
+        paths (e.g. skipping hierarchy propagation in flat worlds). The
+        0→nonzero transition bumps structure_version so cached plans
+        retrace. In-jit Commands inserts are not reflected until the next
+        host sync (documented limitation)."""
+        self._sync()
+        name = get_spec(comp).name
+        has = self._host_has.get(name)
+        return 0 if has is None else int(has.sum())
+
     # ------------------------------------------------------------------
     # registration
 
@@ -238,6 +249,8 @@ class World:
             spec = self.register_component(inst.spec if isinstance(inst, ComponentInstance) else inst)
             if not isinstance(inst, ComponentInstance):
                 inst = ComponentInstance(spec, {})
+            if not self._host_has[spec.name].any():
+                self.structure_version += 1  # 0→nonzero: retrace fast paths
             self._host_has[spec.name][rows] = True
             store = self.state["comp"][spec.name]
             new_fields = {}
@@ -259,6 +272,8 @@ class World:
         tick = self.state["tick"]
         for inst in components:
             spec = self.register_component(inst.spec)
+            if not self._host_has[spec.name].any():
+                self.structure_version += 1  # 0→nonzero: retrace fast paths
             self._host_has[spec.name][row] = True
             store = self.state["comp"][spec.name]
             new_fields = {}

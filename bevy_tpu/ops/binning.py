@@ -11,6 +11,7 @@ are XLA-friendly (no dynamic shapes).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -26,13 +27,21 @@ def expand_runs(counts, capacity: int):
       total ()   int32 — sum(counts) (may exceed capacity ⇒ overflow)
     """
     counts = jnp.asarray(counts, jnp.int32)
+    n = counts.shape[0]
     ends = jnp.cumsum(counts)
     starts = ends - counts
     pos = jnp.arange(capacity, dtype=jnp.int32)
-    owner = jnp.searchsorted(ends, pos, side="right").astype(jnp.int32)
-    owner_c = jnp.clip(owner, 0, counts.shape[0] - 1)
+    # owner via scatter + cummax instead of searchsorted: mark each run's
+    # start slot with its index, then forward-fill — one N-element scatter
+    # and one capacity-length scan, both bandwidth-bound (searchsorted costs
+    # log(N) gather rounds per slot, which dominates at >100k pairs on TPU)
+    mark_at = jnp.where(counts > 0, starts, capacity)
+    mark = jnp.full(capacity, -1, jnp.int32).at[mark_at].max(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    owner = jax.lax.cummax(mark)
+    owner_c = jnp.clip(owner, 0, n - 1)
     rank = pos - starts[owner_c]
-    total = ends[-1] if counts.shape[0] > 0 else jnp.asarray(0, jnp.int32)
+    total = ends[-1] if n > 0 else jnp.asarray(0, jnp.int32)
     valid = pos < jnp.minimum(total, capacity)
     return owner_c, rank, valid, total
 

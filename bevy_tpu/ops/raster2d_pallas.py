@@ -1,0 +1,235 @@
+"""Pallas TPU sprite rasterizer — the fast path behind ops/raster2d.py's
+XLA reference implementation (reference twin: the per-tile fragment work the
+wgpu raster pipeline does in `bevy_sprite_render`; see pallas_guide.md).
+
+Why a kernel: in plain XLA the per-tile loop is either latency-bound (one
+sprite per lax.scan step ⇒ per-step dispatch overhead × max_per_tile) or
+bandwidth-bound (chunked ⇒ materialized (chunk, tiles, th, tw, 4) HBM
+intermediates). Here each grid step owns one framebuffer tile resident in
+VMEM, loops over a *dynamic* sprite count (only real work, not the static
+cap), and blends in-place.
+
+Pipeline (costs scale with VISIBLE sprites, not world capacity):
+  1. cull + z-sort: one argsort over (visible?, z) compacts visible sprites
+     to the front in draw order; a static `max_visible` budget bounds all
+     later shapes (ref: frustum culling before queuing,
+     bevy_camera/src/visibility/mod.rs:748).
+  2. pair expansion (scatter+cummax, ops/binning.py) + ONE stable sort by
+     tile id — pairs are generated in draw order, so stability keeps
+     back-to-front order inside each tile for free.
+  3. fixed per-tile table (num_tiles, 24, max_per_tile) gathered once —
+     aligned dim-0 slices for the kernel's single DMA per tile.
+  4. kernel: per-tile dynamic fori_loop; coverage on the VPU; texture
+     sampling is gather-free — bilinear filtering of an axis-aligned sprite
+     is separable, so a (th, tw) sample block is two small MXU matmuls with
+     tent-function weight matrices:  W_y (th×AH) @ atlas_ch @ W_xᵀ (AW×tw).
+     (Rotated solid-color sprites are exact; rotated *textured* sprites are
+     not supported here — callers use the XLA reference path.)
+
+Framebuffer is channel-planar (4, H, W) so each plane tiles to the native
+(8k, 128) VMEM layout.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bevy_tpu.ops.binning import expand_runs
+
+
+def _pad_to(x, m):
+    return (x + m - 1) // m * m
+
+
+def _kernel(counts_ref,                    # scalar prefetch (SMEM)
+            tile_table_ref,                # ANY/HBM (num_tiles, 24, max_per_tile)
+            atlas_ref,                     # VMEM (4, AH, AW) planar
+            fb_in_ref, fb_out_ref,         # VMEM (4, th, tw), aliased
+            sprites_ref, sem,              # scratch: SMEM rows + DMA sem
+            *, tile_h, tile_w, max_per_tile, ah, aw, bilinear):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ntx = pl.num_programs(1)
+    t = i * ntx + j
+    cnt = counts_ref[t]
+
+    # one DMA pulls this tile's sprite table row (dim-0 slice: aligned)
+    dma = pltpu.make_async_copy(tile_table_ref.at[t], sprites_ref, sem)
+    dma.start()
+
+    def fiota(shape, dim):
+        return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
+
+    px = fiota((tile_h, tile_w), 1) + (j * tile_w).astype(jnp.float32) + 0.5
+    py = fiota((tile_h, tile_w), 0) + (i * tile_h).astype(jnp.float32) + 0.5
+    col_x = px[0:1, :]                       # (1, tw)
+    row_y = py[:, 0:1]                       # (th, 1)
+    ky = fiota((tile_h, ah), 1)              # atlas row ids
+    kx = fiota((aw, tile_w), 0)              # atlas col ids
+
+    dma.wait()
+
+    def body(s, fb):
+        def d(k):
+            return sprites_ref[k, s]         # scalar load from SMEM
+        cx, cy, hx, hy = d(0), d(1), d(2), d(3)
+        cos, sin = d(4), d(5)
+        dx = px - cx
+        dy = py - cy
+        lx = cos * dx + sin * dy
+        ly = -sin * dx + cos * dy
+        inside = (jnp.abs(lx) <= hx) & (jnp.abs(ly) <= hy)
+        inv2hx = 1.0 / jnp.maximum(2.0 * hx, 1e-6)
+        inv2hy = 1.0 / jnp.maximum(2.0 * hy, 1e-6)
+
+        textured = d(14) >= 0.0
+        u0, v0, u1, v1 = d(10), d(11), d(12), d(13)
+
+        def sample():
+            uu = ((col_x - cx) * inv2hx + 0.5)        # (1, tw)
+            vv = ((row_y - cy) * inv2hy + 0.5)        # (th, 1)
+            fx = jnp.clip(u0 + uu * (u1 - u0), jnp.minimum(u0, u1),
+                          jnp.maximum(u0, u1)) * aw - 0.5
+            fy = jnp.clip(v0 + vv * (v1 - v0), jnp.minimum(v0, v1),
+                          jnp.maximum(v0, v1)) * ah - 0.5
+            if bilinear:
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(ky - fy))        # (th, AH)
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(kx - fx))        # (AW, tw)
+            else:
+                wy = (jnp.abs(ky - fy) <= 0.5).astype(jnp.float32)
+                wx = (jnp.abs(kx - fx) < 0.5).astype(jnp.float32)
+            # edge clamp: renormalize so weights always sum to 1
+            wy = wy / jnp.maximum(jnp.sum(wy, axis=1, keepdims=True), 1e-6)
+            wx = wx / jnp.maximum(jnp.sum(wx, axis=0, keepdims=True), 1e-6)
+            chans = []
+            for c in range(4):
+                rows = jnp.dot(wy, atlas_ref[c],
+                               preferred_element_type=jnp.float32)   # (th, AW)
+                chans.append(jnp.dot(rows, wx,
+                                     preferred_element_type=jnp.float32))
+            return chans
+
+        tex = sample()
+        one = jnp.ones((tile_h, tile_w), jnp.float32)
+        tr = jnp.where(textured, tex[0], one)
+        tg = jnp.where(textured, tex[1], one)
+        tb = jnp.where(textured, tex[2], one)
+        ta = jnp.where(textured, tex[3], one)
+
+        a = jnp.where(inside, ta * d(9), 0.0)
+        inv_a = 1.0 - a
+        fr = fb[0] * inv_a + tr * d(6) * a
+        fg = fb[1] * inv_a + tg * d(7) * a
+        fbb = fb[2] * inv_a + tb * d(8) * a
+        fa = fb[3] * inv_a + a
+        return (fr, fg, fbb, fa)
+
+    fb0 = (fb_in_ref[0], fb_in_ref[1], fb_in_ref[2], fb_in_ref[3])
+    fr, fg, fbb, fa = jax.lax.fori_loop(0, cnt, body, fb0)
+    fb_out_ref[0] = fr
+    fb_out_ref[1] = fg
+    fb_out_ref[2] = fbb
+    fb_out_ref[3] = fa
+
+
+@partial(jax.jit, static_argnames=(
+    "tile_h", "tile_w", "pairs_per_sprite", "max_per_tile", "max_visible",
+    "bilinear", "interpret"))
+def raster_sprites_pallas(fb_planar, packed, atlas_planar, *, tile_h=32,
+                          tile_w=128, pairs_per_sprite=4, max_per_tile=256,
+                          max_visible=None, bilinear=True, interpret=False):
+    """fb_planar (4, H, W) linear RGBA planes; atlas_planar (4, AH, AW);
+    packed (N, 17) from ops.raster2d.pack_sprite_instances.
+    Returns (fb_planar, stats)."""
+    _, H, W = fb_planar.shape
+    n = packed.shape[0]
+    v = min(max_visible or n, n)
+    max_per_tile = _pad_to(max_per_tile, 128)  # lane-aligned DMA slices
+    hp, wp = _pad_to(H, tile_h), _pad_to(W, tile_w)
+    nty, ntx = hp // tile_h, wp // tile_w
+    num_tiles = nty * ntx
+    ah, aw = int(atlas_planar.shape[1]), int(atlas_planar.shape[2])
+
+    # ---- 1. cull + z-sort + compact (all shapes below scale with v) ----
+    center = packed[:, 0:2]
+    half = packed[:, 2:4]
+    cs, sn = packed[:, 4], packed[:, 5]
+    z = packed[:, 15]
+    active = packed[:, 16] > 0.5
+    rx = jnp.abs(cs) * half[:, 0] + jnp.abs(sn) * half[:, 1]
+    ry = jnp.abs(sn) * half[:, 0] + jnp.abs(cs) * half[:, 1]
+    onscreen = (center[:, 0] + rx > 0) & (center[:, 0] - rx < wp) & \
+               (center[:, 1] + ry > 0) & (center[:, 1] - ry < hp) & \
+               (half[:, 0] > 0) & (half[:, 1] > 0) & active
+    order = jnp.argsort(jnp.where(onscreen, z, jnp.inf), stable=True)[:v]
+    pk = packed[order]                      # (v, 17) visible, back-to-front
+    vis = onscreen[order]
+    n_visible = jnp.sum(onscreen.astype(jnp.int32))
+
+    # ---- 2. pair expansion + one stable sort by tile ----
+    x0 = jnp.floor((pk[:, 0] - rx[order]) / tile_w).astype(jnp.int32)
+    x1 = jnp.floor((pk[:, 0] + rx[order]) / tile_w).astype(jnp.int32)
+    y0 = jnp.floor((pk[:, 1] - ry[order]) / tile_h).astype(jnp.int32)
+    y1 = jnp.floor((pk[:, 1] + ry[order]) / tile_h).astype(jnp.int32)
+    x0, x1 = jnp.clip(x0, 0, ntx - 1), jnp.clip(x1, 0, ntx - 1)
+    y0, y1 = jnp.clip(y0, 0, nty - 1), jnp.clip(y1, 0, nty - 1)
+    kx, ky = x1 - x0 + 1, y1 - y0 + 1
+    counts = jnp.where(vis, kx * ky, 0)
+    pair_cap = v * pairs_per_sprite + num_tiles
+    owner, rank, valid, total = expand_runs(counts, pair_cap)
+    tile_id = (y0[owner] + rank // kx[owner]) * ntx + (x0[owner] + rank % kx[owner])
+    tile_id = jnp.where(valid, tile_id, num_tiles)
+    perm = jnp.argsort(tile_id, stable=True)   # stability keeps z order
+    sorted_tile = tile_id[perm]
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tile, tids + 1, side="left").astype(jnp.int32)
+    pair_sprite = owner[perm]
+
+    # ---- 3. fixed per-tile table; dim-0 slices are aligned for the DMA ----
+    tile_counts = jnp.minimum(ends - starts, max_per_tile)
+    slot = starts[:, None] + jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
+    slot = jnp.minimum(slot, pair_cap - 1)
+    tile_table = pk[pair_sprite[slot]].transpose(0, 2, 1)
+    tile_table = jnp.pad(tile_table, ((0, 0), (0, 7), (0, 0)))
+
+    fbp = jnp.pad(fb_planar, ((0, 0), (0, hp - H), (0, wp - W)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nty, ntx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # tile_table
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # atlas (full)
+            pl.BlockSpec((4, tile_h, tile_w), lambda i, j, *_: (0, i, j),
+                         memory_space=pltpu.VMEM),     # fb in
+        ],
+        out_specs=pl.BlockSpec((4, tile_h, tile_w), lambda i, j, *_: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((24, max_per_tile), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = partial(_kernel, tile_h=tile_h, tile_w=tile_w,
+                     max_per_tile=max_per_tile, ah=ah, aw=aw,
+                     bilinear=bilinear)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
+        input_output_aliases={3: 0},   # fb in → fb out (index incl. prefetch)
+        interpret=interpret,
+    )(tile_counts, tile_table, atlas_planar, fbp)
+
+    stats = {
+        "pair_overflow": jnp.maximum(total - pair_cap, 0),
+        "tile_overflow": jnp.maximum(jnp.max(ends - starts) - max_per_tile, 0),
+        "visible_overflow": jnp.maximum(n_visible - v, 0),
+    }
+    return out[:, :H, :W], stats

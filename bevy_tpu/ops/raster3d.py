@@ -16,8 +16,6 @@ varyings (normal/uv) are perspective-correct (interp attr/w ÷ interp 1/w).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
@@ -70,8 +68,6 @@ def triangle_setup(clip, tri_verts, tri_active, width, height):
     }
 
 
-@partial(jax.jit, static_argnames=(
-    "tile_h", "tile_w", "pairs_per_tri", "max_per_tile", "num_varyings"))
 def raster_triangles(fb_color, fb_depth, setup, varyings, shade_fn=None,
                      *, tile_h=32, tile_w=128, pairs_per_tri=4,
                      max_per_tile=256, num_varyings=0):

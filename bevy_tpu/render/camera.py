@@ -56,3 +56,39 @@ def quat_z_angle(q):
     and sprite rotation extraction (assumes rotation is about z, as all the
     reference's 2D paths do)."""
     return 2.0 * jnp.arctan2(q[..., 2], q[..., 3])
+
+
+# ----------------------------------------------------------------------
+# 3D
+
+
+@component
+class Camera3d:
+    """3D perspective camera (ref: Camera3d + PerspectiveProjection,
+    bevy_camera/src/projection.rs — fov default π/4, near 0.1, reverse-z
+    infinite far)."""
+    fov = field((), jnp.float32, default=0.7853981634)   # π/4 vertical
+    near = field((), jnp.float32, default=0.1)
+    order = field((), jnp.int32, default=0)
+
+
+def perspective_infinite_reverse(fov, aspect, near):
+    """(4,4) projection, reverse-z in [0,1], infinite far (ref: wgpu/bevy
+    convention — glam Mat4::perspective_infinite_reverse_rh)."""
+    f = 1.0 / jnp.tan(fov * 0.5)
+    z = jnp.zeros((), jnp.float32)
+    return jnp.stack([
+        jnp.stack([f / aspect, z, z, z]),
+        jnp.stack([z, f, z, z]),
+        jnp.stack([z, z, z, near]),
+        jnp.stack([z, z, -jnp.ones((), jnp.float32), z]),
+    ])
+
+
+def view_matrix(cam_translation, cam_rotation, cam_scale):
+    """World→view (4,4): inverse of the camera's global TRS (cameras are
+    conventionally unscaled; scale is honored anyway)."""
+    from bevy_tpu.math.affine import TRS, trs_inverse, trs_to_mat4
+    inv = trs_inverse(TRS(translation=cam_translation, rotation=cam_rotation,
+                          scale=cam_scale))
+    return trs_to_mat4(inv)

@@ -1,0 +1,289 @@
+"""3D mesh rendering (reference twin: bevy_pbr's mesh pipeline —
+MeshUniform/RenderMeshInstance `src/render/mesh.rs:517,839`, GPU
+preprocessing transform+cull `src/render/gpu_preprocess.rs`, opaque main
+pass; lighting starts as Lambert directional + ambient, the first slice of
+`pbr_lighting.wesl`).
+
+TPU design: all mesh instances render in ONE pass. A host-side "expansion"
+table (rebuilt only on structural change, via App prepare hooks) flattens
+instances to vertices/triangles; the per-frame vertex stage is a batched
+matmul + gathers; triangles go through the tile-binned z-buffer kernel
+(ops/raster3d_pallas.py, XLA reference in ops/raster3d.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bevy_tpu.app.main_schedule import Render
+from bevy_tpu.app.plugin import Plugin
+from bevy_tpu.ecs.component import component, field, resource
+from bevy_tpu.ecs.query import Query, Read, Res, ResMut
+from bevy_tpu.ecs.system import system
+from bevy_tpu.math.affine import TRS, trs_to_mat4
+from bevy_tpu.math.quat import quat_rotate_vec3
+from bevy_tpu.ops.raster3d import triangle_setup
+from bevy_tpu.render.camera import (
+    Camera3d, perspective_infinite_reverse, pick_camera, view_matrix,
+)
+from bevy_tpu.render.mesh import MeshPool
+from bevy_tpu.render.plugin import PASS_SET, RenderTarget
+
+
+@component
+class Mesh3d:
+    """Handle into the MeshPool slab (ref: Mesh3d component + Handle<Mesh>)."""
+    mesh = field((), jnp.int32)
+
+
+@component
+class MeshMaterial:
+    """StandardMaterial subset (ref: bevy_pbr/src/pbr_material.rs — base
+    color, emissive; metallic/roughness reserved for the PBR stage)."""
+    base_color = field(4, default=(1.0, 1.0, 1.0, 1.0))
+    emissive = field(3)
+    metallic = field((), jnp.float32)
+    perceptual_roughness = field((), jnp.float32, default=0.5)
+
+
+@component
+class DirectionalLight:
+    """ref: bevy_light DirectionalLight — direction is the entity's
+    -Z axis (GlobalTransform rotation); intensity normalized (the
+    reference's physical lux + exposure chain collapses to this factor)."""
+    color = field(3, default=(1.0, 1.0, 1.0))
+    illuminance = field((), jnp.float32, default=1.0)
+
+
+@resource
+class AmbientLight:
+    """ref: bevy_light AmbientLight resource."""
+    color = field(3, default=(1.0, 1.0, 1.0))
+    brightness = field((), jnp.float32, default=0.08)
+
+
+EXPANSION = "mesh_expansion"
+
+
+def _rebuild_expansion(world, pool_host, plugin):
+    """Host: flatten mesh instances → vertex/triangle tables (ref position:
+    PrepareMeshes / RenderMeshInstances rebuild). Runs only when world
+    structure changed. When every instance shares one mesh (the stress-test
+    shape), records a *uniform* plan instead: the pass then skips per-vertex
+    gathers entirely — vertex transform becomes one batched MXU matmul."""
+    rows = world.query_rows(Mesh3d)
+    mesh_ids = np.asarray(jax.device_get(world.column(Mesh3d, "mesh")))[rows] \
+        if len(rows) else np.zeros(0, np.int32)
+    if len(rows) and (mesh_ids == mesh_ids[0]).all():
+        plugin._uniform = {"rows": rows.astype(np.int32),
+                           "mesh": int(mesh_ids[0])}
+        world.state["res"][EXPANSION] = {
+            "vert_inst": jnp.zeros(3, jnp.int32),
+            "vert_pool": jnp.zeros(3, jnp.int32),
+            "tri_inst": jnp.full(1, world.capacity - 1, jnp.int32),
+            "tri_verts": jnp.zeros((1, 3), jnp.int32),
+        }
+        world.structure_version += 1
+        return
+    plugin._uniform = None
+    v_off = np.asarray([m.num_vertices for m in pool_host.meshes]).cumsum() - \
+        np.asarray([m.num_vertices for m in pool_host.meshes])
+    vert_inst, vert_pool, tri_inst, tri_verts = [], [], [], []
+    vbase = 0
+    for row, mid in zip(rows, mesh_ids):
+        m = pool_host.meshes[int(mid)]
+        vc, tc = m.num_vertices, m.num_triangles
+        vert_inst.append(np.full(vc, row, np.int32))
+        vert_pool.append(np.arange(vc, dtype=np.int32) + int(v_off[int(mid)]))
+        tri_inst.append(np.full(tc, row, np.int32))
+        tri_verts.append(m.triangles.astype(np.int32) + vbase)
+        vbase += vc
+    if not rows.size:
+        vert_inst = [np.zeros(3, np.int32)]
+        vert_pool = [np.zeros(3, np.int32)]
+        tri_inst = [np.full(1, world.capacity - 1, np.int32)]
+        tri_verts = [np.zeros((1, 3), np.int32)]
+    world.state["res"][EXPANSION] = {
+        "vert_inst": jnp.asarray(np.concatenate(vert_inst)),
+        "vert_pool": jnp.asarray(np.concatenate(vert_pool)),
+        "tri_inst": jnp.asarray(np.concatenate(tri_inst)),
+        "tri_verts": jnp.asarray(np.concatenate(tri_verts)),
+    }
+    world.structure_version += 1
+
+
+def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
+                   pairs_per_tri=2, max_per_tile=256, backend="auto"):
+    from bevy_tpu.transform import GlobalTransform
+
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") \
+            else "xla"
+    interpret = backend == "pallas_interpret"
+    if interpret:
+        backend = "pallas"
+
+    @system(name="mesh_pass")
+    def mesh_pass(q=Query(Read(Mesh3d), Read(MeshMaterial), Read(GlobalTransform)),
+                  cam=Query(Read(Camera3d), Read(GlobalTransform)),
+                  light=Query(Read(DirectionalLight), Read(GlobalTransform)),
+                  amb=Res(AmbientLight),
+                  pool=Res(MeshPool.RESOURCE),
+                  exp=Res(EXPANSION),
+                  target=ResMut(RenderTarget.RESOURCE),
+                  stats=ResMut("render_stats")):
+        ci, has_cam = pick_camera(cam.mask)
+        cam_gt = cam.global_transform
+        view = view_matrix(cam_gt.translation[ci], cam_gt.rotation[ci],
+                           cam_gt.scale[ci])
+        proj = perspective_infinite_reverse(
+            cam.camera3d.fov[ci], width / height, cam.camera3d.near[ci])
+        vp = proj @ view
+
+        uni = plugin._uniform if plugin is not None else None
+        if uni is not None:
+            # uniform-mesh fast path: all instances share one mesh, so the
+            # vertex stage is (Ni,4,4)@(VC,4) batched matmuls — zero
+            # per-vertex gathers (ref: the instanced draw this mirrors)
+            m = plugin.pool.meshes[uni["mesh"]]
+            vc, tc = m.num_vertices, m.num_triangles
+            rows = jnp.asarray(uni["rows"])
+            ni = rows.shape[0]
+            gt_t = q.global_transform.translation[rows]
+            gt_r = q.global_transform.rotation[rows]
+            gt_s = q.global_transform.scale[rows]
+            mats = trs_to_mat4(TRS(translation=gt_t, rotation=gt_r, scale=gt_s))
+            mvp = jnp.einsum("ij,njk->nik", vp, mats)
+            mesh_pos = jnp.asarray(m.positions)
+            ph = jnp.concatenate([mesh_pos, jnp.ones((vc, 1), jnp.float32)], 1)
+            clip = jnp.einsum("nij,vj->nvi", mvp, ph).reshape(ni * vc, 4)
+            nrm = quat_rotate_vec3(gt_r[:, None, :],
+                                   jnp.asarray(m.normals)[None]).reshape(ni * vc, 3)
+            tri_verts = (jnp.asarray(m.triangles, jnp.int32)[None] +
+                         (jnp.arange(ni, dtype=jnp.int32) * vc)[:, None, None]
+                         ).reshape(ni * tc, 3)
+            tri_rows = jnp.repeat(rows, tc)
+            tri_active = q.mask[tri_rows] & has_cam
+            colors = q.mesh_material.base_color[tri_rows]
+            emissive = q.mesh_material.emissive[tri_rows]
+        else:
+            # general path: expanded gathers (mixed meshes)
+            mats = trs_to_mat4(TRS(translation=q.global_transform.translation,
+                                   rotation=q.global_transform.rotation,
+                                   scale=q.global_transform.scale))
+            mvp = jnp.einsum("ij,njk->nik", vp, mats)
+            vi = exp.vert_inst
+            pos = pool.positions[exp.vert_pool]
+            ph = jnp.concatenate([pos, jnp.ones((pos.shape[0], 1), jnp.float32)], 1)
+            clip = jnp.einsum("vij,vj->vi", mvp[vi], ph)
+            # world-space normals (uniform-scale assumption; ref: inverse
+            # transpose for non-uniform, mesh.rs MeshUniform inverse_transpose)
+            nrm = quat_rotate_vec3(q.global_transform.rotation[vi],
+                                   pool.normals[exp.vert_pool])
+            tri_verts = exp.tri_verts
+            tri_active = q.mask[exp.tri_inst] & has_cam
+            colors = q.mesh_material.base_color[exp.tri_inst]
+            emissive = q.mesh_material.emissive[exp.tri_inst]
+
+        setup = triangle_setup(clip, tri_verts, tri_active, width, height)
+        corner_n = nrm[tri_verts]                     # (T, 3, 3)
+
+        li, has_light = pick_camera(light.mask)
+        ldir = quat_rotate_vec3(light.global_transform.rotation[li],
+                                jnp.asarray([0.0, 0.0, -1.0]))
+        lcol = light.directional_light.color[li] * \
+            light.directional_light.illuminance[li] * has_light
+        light_vec = jnp.concatenate([
+            ldir, lcol, amb.color * amb.brightness,
+            jnp.zeros(7, jnp.float32)])
+
+        if backend == "pallas":
+            from bevy_tpu.ops.raster3d_pallas import (
+                pack_tri_table, raster_tris_pallas)
+            table = pack_tri_table(setup, corner_n, colors, emissive)
+            fb, dep, st = raster_tris_pallas(
+                target.color, target.depth, table, setup["valid"],
+                setup["aabb"], light_vec, tile_h=tile_h, tile_w=tile_w,
+                pairs_per_tri=pairs_per_tri, max_per_tile=max_per_tile,
+                interpret=interpret)
+        else:
+            from bevy_tpu.ops.raster3d import raster_triangles
+            varyings = jnp.concatenate(
+                [corner_n,
+                 jnp.broadcast_to(colors[:, None, :], colors.shape[:1] + (3, 4)),
+                 jnp.broadcast_to(emissive[:, None, :], emissive.shape[:1] + (3, 3)),
+                 ], axis=2)                            # (T, 3, 10)
+
+            def shade(interp, ti, bary):
+                n = interp[..., 0:3]
+                n = n * jax.lax.rsqrt(jnp.maximum(
+                    jnp.sum(n * n, -1, keepdims=True), 1e-12))
+                lam = jnp.maximum(0.0, -jnp.sum(n * light_vec[:3], -1))
+                rgb = interp[..., 3:6] * (light_vec[6:9] +
+                                          light_vec[3:6] * lam[..., None]) \
+                    + interp[..., 7:10]
+                return jnp.concatenate([rgb, interp[..., 6:7]], -1)
+
+            fbi, dep, st = raster_triangles(
+                target.color.transpose(1, 2, 0), target.depth, setup,
+                varyings, shade, tile_h=tile_h, tile_w=tile_w,
+                pairs_per_tri=pairs_per_tri, max_per_tile=max_per_tile,
+                num_varyings=10)
+            fb = fbi.transpose(2, 0, 1)
+        target.color = fb
+        target.depth = dep
+        stats.pair_overflow = stats.pair_overflow + st["pair_overflow"]
+        stats.tile_overflow = stats.tile_overflow + st["tile_overflow"]
+
+    return mesh_pass
+
+
+class Mesh3dPlugin(Plugin):
+    """ref: MeshPlugin + PbrPlugin's pipeline half. Owns the MeshPool;
+    call `plugin.pool.add(mesh)` before App.run (meshes are startup-baked;
+    runtime mesh streaming goes through pool rebuild + retrace)."""
+
+    def __init__(self, pool: MeshPool = None, tile_h=32, tile_w=128,
+                 pairs_per_tri=2, max_per_tile=256, backend="auto"):
+        self.pool = pool or MeshPool()
+        self._uniform = None
+        self.cfg = dict(tile_h=tile_h, tile_w=tile_w,
+                        pairs_per_tri=pairs_per_tri,
+                        max_per_tile=max_per_tile, backend=backend)
+
+    def build(self, app):
+        from bevy_tpu.render.plugin import RenderPlugin
+        from bevy_tpu.render.sprite import Sprite  # noqa: F401 (pass order)
+        rp = next((p for p in app._plugins if isinstance(p, RenderPlugin)), None)
+        if rp is None:
+            raise RuntimeError("Mesh3dPlugin requires RenderPlugin")
+        from bevy_tpu.transform import GlobalTransform, Transform
+        for c in (Mesh3d, MeshMaterial, DirectionalLight, Camera3d,
+                  Transform, GlobalTransform):
+            app.world.register_component(c)
+        app.init_resource(AmbientLight())
+        if "render_stats" not in app.world.state["res"]:
+            app.insert_resource("render_stats", {
+                "pair_overflow": jnp.asarray(0, jnp.int32),
+                "tile_overflow": jnp.asarray(0, jnp.int32),
+            })
+        pool_host = self.pool
+        plugin = self
+
+        def finish_pool(world):
+            world.state["res"][MeshPool.RESOURCE] = pool_host.build()
+            _rebuild_expansion(world, pool_host, plugin)
+
+        app.add_prepare_hook(finish_pool)
+        # opaque 3D draws before the transparent 2D overlay (ref: Core3d
+        # main pass before Core2d/UI composition)
+        app.add_systems(Render,
+                        make_mesh_pass(rp.width, rp.height, plugin=self,
+                                       **self.cfg),
+                        in_set=PASS_SET, before="sprite_pass")
+
+    # expose for examples
+    def add_mesh(self, mesh) -> int:
+        return self.pool.add(mesh)

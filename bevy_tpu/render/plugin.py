@@ -45,8 +45,11 @@ POST_SET = "render:post"     # tonemap / post-process
 @system(name="clear_render_target")
 def clear_render_target(target=ResMut(RenderTarget.RESOURCE),
                         clear=Res(ClearColor)):
-    target.color = jnp.broadcast_to(clear.color, target.color.shape)
-    target.depth = jnp.full_like(target.depth, jnp.inf)
+    # color is channel-planar (4, H, W) — the native TPU tile layout;
+    # depth is reverse-z (clear 0, GREATER test), matching bevy/wgpu
+    target.color = jnp.broadcast_to(clear.color[:, None, None],
+                                    target.color.shape)
+    target.depth = jnp.zeros_like(target.depth)
 
 
 class RenderPlugin(Plugin):
@@ -61,8 +64,8 @@ class RenderPlugin(Plugin):
         h, w = self.height, self.width
         app.init_resource(ClearColor())
         app.insert_resource(RenderTarget.RESOURCE, {
-            "color": jnp.zeros((h, w, 4), jnp.float32),
-            "depth": jnp.full((h, w), jnp.inf, jnp.float32),
+            "color": jnp.zeros((4, h, w), jnp.float32),
+            "depth": jnp.zeros((h, w), jnp.float32),
             "size": jnp.asarray([w, h], jnp.float32),
         })
         if TextureAtlas.RESOURCE not in app.world.state["res"]:
@@ -80,4 +83,4 @@ def frame_image(app) -> np.ndarray:
     """Host readback of the framebuffer as sRGB u8 (H, W, 4) — the
     present/screenshot position (ref: screenshot.rs:83)."""
     fb = app.world.state["res"][RenderTarget.RESOURCE]["color"]
-    return np.asarray(jax.device_get(image_to_srgb_u8(fb)))
+    return np.asarray(jax.device_get(image_to_srgb_u8(fb.transpose(1, 2, 0))))

@@ -6,6 +6,7 @@ system since phases are sort keys here, not GPU passes).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from bevy_tpu.app.main_schedule import Render
@@ -62,12 +63,20 @@ def sprite_from_handle(handle, color=(1.0, 1.0, 1.0, 1.0), size=None,
 
 
 def make_sprite_pass(width, height, tile_h=32, tile_w=128,
-                     pairs_per_sprite=8, max_per_tile=256, bilinear=True):
+                     pairs_per_sprite=4, max_per_tile=256, bilinear=True,
+                     backend="auto", max_visible=None):
     """The 2D transparent pass (ref: queue_sprites → Transparent2d sorted
     phase → instanced draw, render/mod.rs:499). Static raster config is
-    closed over — it shapes the XLA program."""
+    closed over — it shapes the XLA program.
+
+    backend: 'pallas' (TPU kernel; rotated *textured* sprites unsupported),
+    'xla' (reference path, fully general), or 'auto' (pallas on TPU)."""
 
     from bevy_tpu.transform import GlobalTransform
+
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") \
+            else "xla"
 
     @system(name="sprite_pass")
     def sprite_pass(q=Query(Read(Sprite), Read(GlobalTransform)),
@@ -100,10 +109,20 @@ def make_sprite_pass(width, height, tile_h=32, tile_w=128,
             center=center_px, half=half_px, rot=rot_screen,
             color=q.sprite.color, uv_min=q.sprite.uv_min, uv_max=q.sprite.uv_max,
             tex=q.sprite.tex, z=t[:, 2], active=q.mask & has_cam)
-        fb, st = raster_sprites(
-            target.color, packed, atlas.data, tile_h=tile_h, tile_w=tile_w,
-            pairs_per_sprite=pairs_per_sprite, max_per_tile=max_per_tile,
-            bilinear=bilinear)
+        if backend == "pallas":
+            from bevy_tpu.ops.raster2d_pallas import raster_sprites_pallas
+            fb, st = raster_sprites_pallas(
+                target.color, packed, atlas.data.transpose(2, 0, 1),
+                tile_h=tile_h, tile_w=tile_w,
+                pairs_per_sprite=pairs_per_sprite, max_per_tile=max_per_tile,
+                max_visible=max_visible, bilinear=bilinear)
+        else:
+            fbi, st = raster_sprites(
+                target.color.transpose(1, 2, 0), packed, atlas.data,
+                tile_h=tile_h, tile_w=tile_w,
+                pairs_per_sprite=pairs_per_sprite, max_per_tile=max_per_tile,
+                bilinear=bilinear)
+            fb = fbi.transpose(2, 0, 1)
         target.color = fb
         stats.pair_overflow = st["pair_overflow"]
         stats.tile_overflow = st["tile_overflow"]
@@ -115,11 +134,13 @@ class SpritePlugin(Plugin):
     """ref: SpritePlugin + SpriteRenderPlugin. Raster shape knobs surface
     here (the reference's equivalents are pipeline specialization keys)."""
 
-    def __init__(self, tile_h=32, tile_w=128, pairs_per_sprite=8,
-                 max_per_tile=256, bilinear=True):
+    def __init__(self, tile_h=32, tile_w=128, pairs_per_sprite=4,
+                 max_per_tile=256, bilinear=True, backend="auto",
+                 max_visible=None):
         self.cfg = dict(tile_h=tile_h, tile_w=tile_w,
                         pairs_per_sprite=pairs_per_sprite,
-                        max_per_tile=max_per_tile, bilinear=bilinear)
+                        max_per_tile=max_per_tile, bilinear=bilinear,
+                        backend=backend, max_visible=max_visible)
 
     def build(self, app):
         from bevy_tpu.render.plugin import RenderPlugin

@@ -84,16 +84,30 @@ def despawn_recursive(world, entity):
     world.despawn(entity)
 
 
-def make_propagate_system(max_depth: int = 8):
+def make_propagate_system(max_depth: int = 8, world=None):
+    """`world` (the owning App's) enables a TRACE-TIME fast path: flat
+    worlds (no ChildOf rows yet) skip the per-level gather composition
+    entirely — the dominant sim cost at 100k+ entities. The 0→nonzero
+    ChildOf transition bumps structure_version, retracing into the full
+    path (ref: the dirty-tree early-outs of `mark_dirty_trees`,
+    bevy_transform/src/systems.rs:103)."""
+
     @system(name="propagate_transforms")
     def propagate_transforms(q=Query(Read(Transform), GlobalTransform),
                              rel=Query(Read(ChildOf))):
+        lt, lr, ls = q.transform.translation, q.transform.rotation, q.transform.scale
+        flat = world is not None and world.component_rows(ChildOf) == 0
+        if flat:
+            m = q.mask[:, None]
+            q.global_transform.translation = jnp.where(m, lt, q.global_transform.translation)
+            q.global_transform.rotation = jnp.where(m, lr, q.global_transform.rotation)
+            q.global_transform.scale = jnp.where(m, ls, q.global_transform.scale)
+            return
         child_mask = rel.mask
         parent = rel.child_of.parent
         depth = rel.child_of.depth
         safe_parent = jnp.clip(parent, 0, parent.shape[0] - 1)
 
-        lt, lr, ls = q.transform.translation, q.transform.rotation, q.transform.scale
         # roots copy local → global (ref: sync_simple_transforms)
         root = q.mask & ~child_mask
         gt = jnp.where(root[:, None], lt, q.global_transform.translation)
@@ -127,4 +141,5 @@ class TransformPlugin(Plugin):
         app.world.register_component(Transform)
         app.world.register_component(GlobalTransform)
         app.world.register_component(ChildOf)
-        app.add_systems(PostUpdate, make_propagate_system(self.max_depth))
+        app.add_systems(PostUpdate,
+                        make_propagate_system(self.max_depth, app.world))
