@@ -182,7 +182,13 @@ def raster_sprites_pallas(fb_planar, packed, atlas_planar, *, tile_h=32,
     counts = jnp.where(vis, kx * ky, 0)
     pair_cap = v * pairs_per_sprite + num_tiles
     owner, rank, valid, total = expand_runs(counts, pair_cap)
-    tile_id = (y0[owner] + rank // kx[owner]) * ntx + (x0[owner] + rank % kx[owner])
+    # one packed gather instead of three (gathers dominate binning cost)
+    code = (y0 * 1024 + x0) * 32 + kx
+    c = code[owner]
+    kxo = c % 32
+    x0o = (c // 32) % 1024
+    y0o = c // 32768
+    tile_id = (y0o + rank // kxo) * ntx + (x0o + rank % kxo)
     tile_id = jnp.where(valid, tile_id, num_tiles)
     perm = jnp.argsort(tile_id, stable=True)   # stability keeps z order
     sorted_tile = tile_id[perm]

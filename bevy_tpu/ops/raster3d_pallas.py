@@ -52,6 +52,112 @@ def pack_tri_table(setup, normals, colors, emissive):
     ], axis=1)
 
 
+def pack_tri_planes(corner_xy, depth, inv_w, area2, valid,
+                    normals, colors, emissive):
+    """Plane-equation triangle records (T, 32) — barycentrics are affine in
+    screen space, so every interpolated quantity is a plane; the kernel then
+    needs only FMAs, no per-corner math. Inputs are per-triangle corner
+    arrays (T, 3, …) — produce them WITHOUT gathers where possible (the
+    uniform-mesh path uses constant one-hot matmuls).
+
+    Layout: 0:9 edge planes (A,B,C ×3, raw sign: inside = all ≤ 0),
+    9:12 z plane, 12:15 1/w plane, 15:24 normal planes (premultiplied by
+    corner 1/w), 24:28 color rgba, 28:31 emissive rgb."""
+    t = valid.shape[0]
+    ax, ay = corner_xy[:, 0, 0], corner_xy[:, 0, 1]
+    bx, by = corner_xy[:, 1, 0], corner_xy[:, 1, 1]
+    cx, cy = corner_xy[:, 2, 0], corner_xy[:, 2, 1]
+
+    def edge(px0, py0, px1, py1):
+        # e(p) = (x1-x0)(py-y0) - (y1-y0)(px-x0)
+        a = -(py1 - py0)
+        b = px1 - px0
+        c = (py1 - py0) * px0 - (px1 - px0) * py0
+        return a, b, c
+
+    a0, b0, c0 = edge(bx, by, cx, cy)
+    a1, b1, c1 = edge(cx, cy, ax, ay)
+    a2, b2, c2 = edge(ax, ay, bx, by)
+    inv_area = jnp.where(valid, 1.0 / jnp.where(valid, area2, 1.0), 0.0)
+
+    def plane(q):  # q: (T, 3) corner values → affine (A, B, C)
+        qa = (q[:, 0] * a0 + q[:, 1] * a1 + q[:, 2] * a2) * inv_area
+        qb = (q[:, 0] * b0 + q[:, 1] * b1 + q[:, 2] * b2) * inv_area
+        qc = (q[:, 0] * c0 + q[:, 1] * c1 + q[:, 2] * c2) * inv_area
+        return qa, qb, qc
+
+    n_pre = normals * inv_w[:, :, None]
+    planes = [plane(depth), plane(inv_w),
+              plane(n_pre[:, :, 0]), plane(n_pre[:, :, 1]),
+              plane(n_pre[:, :, 2])]
+    cols = [a0, b0, c0, a1, b1, c1, a2, b2, c2]
+    for pa, pb, pc in planes:
+        cols += [pa, pb, pc]
+    rec = jnp.stack(cols, axis=1)                      # (T, 24)
+    return jnp.concatenate([
+        rec, colors, emissive, jnp.zeros((t, F_PAD - 31), jnp.float32)], axis=1)
+
+
+def _plane_kernel(counts_ref, light_ref,
+                  tile_table_ref,
+                  col_in_ref, dep_in_ref,
+                  col_out_ref, dep_out_ref,
+                  tris_ref, sem,
+                  *, tile_h, tile_w, max_per_tile):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ntx = pl.num_programs(1)
+    t = i * ntx + j
+    cnt = counts_ref[t]
+
+    dma = pltpu.make_async_copy(tile_table_ref.at[t], tris_ref, sem)
+    dma.start()
+
+    def fiota(shape, dim):
+        return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
+
+    px = fiota((tile_h, tile_w), 1) + (j * tile_w).astype(jnp.float32) + 0.5
+    py = fiota((tile_h, tile_w), 0) + (i * tile_h).astype(jnp.float32) + 0.5
+    ldx, ldy, ldz = light_ref[0], light_ref[1], light_ref[2]
+
+    dma.wait()
+
+    def body(s, fb):
+        cr, cg, cb, ca, dep = fb
+
+        def d(k):
+            return tris_ref[k, s]
+        inside = (d(0) * px + d(1) * py + d(2) <= 0) & \
+                 (d(3) * px + d(4) * py + d(5) <= 0) & \
+                 (d(6) * px + d(7) * py + d(8) <= 0)
+        z = d(9) * px + d(10) * py + d(11)
+        zpass = inside & (z > dep)
+        iw = jnp.maximum(d(12) * px + d(13) * py + d(14), 1e-12)
+        nx = (d(15) * px + d(16) * py + d(17)) / iw
+        ny = (d(18) * px + d(19) * py + d(20)) / iw
+        nz = (d(21) * px + d(22) * py + d(23)) / iw
+        inv_len = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-12))
+        lambert = jnp.maximum(0.0, -(nx * ldx + ny * ldy + nz * ldz) * inv_len)
+        sr = d(24) * (light_ref[6] + light_ref[3] * lambert) + d(28)
+        sg = d(25) * (light_ref[7] + light_ref[4] * lambert) + d(29)
+        sb = d(26) * (light_ref[8] + light_ref[5] * lambert) + d(30)
+        cr = jnp.where(zpass, sr, cr)
+        cg = jnp.where(zpass, sg, cg)
+        cb = jnp.where(zpass, sb, cb)
+        ca = jnp.where(zpass, d(27), ca)
+        dep = jnp.where(zpass, z, dep)
+        return (cr, cg, cb, ca, dep)
+
+    fb0 = (col_in_ref[0], col_in_ref[1], col_in_ref[2], col_in_ref[3],
+           dep_in_ref[:])
+    cr, cg, cb, ca, dep = jax.lax.fori_loop(0, cnt, body, fb0)
+    col_out_ref[0] = cr
+    col_out_ref[1] = cg
+    col_out_ref[2] = cb
+    col_out_ref[3] = ca
+    dep_out_ref[:] = dep
+
+
 def _kernel(counts_ref, light_ref,         # scalar prefetch (SMEM)
             tile_table_ref,                # ANY (num_tiles, F_PAD, max_per_tile)
             col_in_ref, dep_in_ref,        # VMEM blocks (aliased)
@@ -120,13 +226,15 @@ def _kernel(counts_ref, light_ref,         # scalar prefetch (SMEM)
 
 
 @partial(jax.jit, static_argnames=(
-    "tile_h", "tile_w", "pairs_per_tri", "max_per_tile", "interpret"))
+    "tile_h", "tile_w", "pairs_per_tri", "max_per_tile", "interpret",
+    "layout"))
 def raster_tris_pallas(fb_planar, depth, tri_table, valid, aabb, light,
                        *, tile_h=32, tile_w=128, pairs_per_tri=2,
-                       max_per_tile=256, interpret=False):
+                       max_per_tile=256, interpret=False, layout="corners"):
     """fb_planar (4,H,W), depth (H,W) reverse-z; tri_table (T,32) from
-    pack_tri_table; valid (T,) bool; aabb (T,4) screen x0 y0 x1 y1;
-    light (16,) f32 [dir xyz, light rgb, ambient rgb, ...].
+    pack_tri_table (layout='corners') or pack_tri_planes (layout='planes' —
+    the fast path: pure-FMA kernel body); valid (T,) bool; aabb (T,4)
+    screen x0 y0 x1 y1; light (16,) f32 [dir xyz, light rgb, ambient rgb].
     Returns (fb_planar, depth, stats)."""
     _, H, W = fb_planar.shape
     t = tri_table.shape[0]
@@ -146,7 +254,13 @@ def raster_tris_pallas(fb_planar, depth, tri_table, valid, aabb, light,
     counts = jnp.where(valid & onscreen, kx * ky, 0)
     pair_cap = t * pairs_per_tri + num_tiles
     owner, rank, pvalid, total = expand_runs(counts, pair_cap)
-    tile_id = (y0[owner] + rank // kx[owner]) * ntx + (x0[owner] + rank % kx[owner])
+    # one packed gather instead of three (gathers dominate binning cost)
+    code = (y0 * 1024 + x0) * 32 + kx
+    c = code[owner]
+    kxo = c % 32
+    x0o = (c // 32) % 1024
+    y0o = c // 32768
+    tile_id = (y0o + rank // kxo) * ntx + (x0o + rank % kxo)
     tile_id = jnp.where(pvalid, tile_id, num_tiles)
     perm = jnp.argsort(tile_id)             # opaque: order irrelevant
     sorted_tile = tile_id[perm]
@@ -184,7 +298,8 @@ def raster_tris_pallas(fb_planar, depth, tri_table, valid, aabb, light,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = partial(_kernel, tile_h=tile_h, tile_w=tile_w,
+    kernel = partial(_plane_kernel if layout == "planes" else _kernel,
+                     tile_h=tile_h, tile_w=tile_w,
                      max_per_tile=max_per_tile)
     col, dep = pl.pallas_call(
         kernel,

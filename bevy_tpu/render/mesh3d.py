@@ -114,6 +114,76 @@ def _rebuild_expansion(world, pool_host, plugin):
     world.structure_version += 1
 
 
+def directional_light_vec(light, amb):
+    """(16,) light params for the raster kernels: [dir xyz, light rgb,
+    ambient rgb, 0…] from the first DirectionalLight entity + AmbientLight."""
+    li, has_light = pick_camera(light.mask)
+    ldir = quat_rotate_vec3(light.global_transform.rotation[li],
+                            jnp.asarray([0.0, 0.0, -1.0]))
+    lcol = light.directional_light.color[li] * \
+        light.directional_light.illuminance[li] * has_light
+    return jnp.concatenate([ldir, lcol, amb.color * amb.brightness,
+                            jnp.zeros(7, jnp.float32)])
+
+
+def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
+                   target, stats, *, width, height, tile_h, tile_w,
+                   pairs_per_tri, max_per_tile, interpret):
+    """Shared gather-free raster tail for batched-uniform geometry (plain
+    meshes AND skinned meshes): clip (Ni, VC, 4) clip-space positions,
+    nrm (Ni, VC, 3) world normals, triangles (TC, 3) STATIC numpy indices,
+    inst_ok (Ni,) bool, per-instance colors/emissive. Corner extraction is a
+    constant one-hot matmul; setup is plane math; kernel is pure FMA."""
+    from bevy_tpu.ops.raster3d_pallas import (
+        pack_tri_planes, raster_tris_pallas)
+    ni, vc = clip.shape[0], clip.shape[1]
+    tc = triangles.shape[0]
+    w = clip[..., 3]
+    w_ok = w > 1e-6
+    inv_w = 1.0 / jnp.where(w_ok, w, 1.0)
+    ndc = clip[..., :3] * inv_w[..., None]
+    sx = (ndc[..., 0] * 0.5 + 0.5) * width
+    sy = (0.5 - ndc[..., 1] * 0.5) * height
+    quant = jnp.stack([sx, sy, ndc[..., 2], inv_w,
+                       w_ok.astype(jnp.float32),
+                       nrm[..., 0], nrm[..., 1], nrm[..., 2]], axis=1)
+    onehot = np.zeros((vc, tc * 3), np.float32)
+    for ti in range(tc):
+        for k in range(3):
+            onehot[int(triangles[ti, k]), ti * 3 + k] = 1.0
+    corners = jnp.einsum("nqv,vc->nqc", quant, jnp.asarray(onehot))
+    corners = corners.reshape(ni, 8, tc, 3)
+    t_all = ni * tc
+    cxy = jnp.stack([corners[:, 0], corners[:, 1]], axis=-1).reshape(t_all, 3, 2)
+    depth_c = corners[:, 2].reshape(t_all, 3)
+    invw_c = corners[:, 3].reshape(t_all, 3)
+    wok_c = corners[:, 4].reshape(t_all, 3)
+    normals_c = jnp.stack(
+        [corners[:, 5], corners[:, 6], corners[:, 7]], axis=-1
+    ).reshape(t_all, 3, 3)
+    ax, ay = cxy[:, 0, 0], cxy[:, 0, 1]
+    bx, by = cxy[:, 1, 0], cxy[:, 1, 1]
+    cx2, cy2 = cxy[:, 2, 0], cxy[:, 2, 1]
+    area2 = (bx - ax) * (cy2 - ay) - (by - ay) * (cx2 - ax)
+    valid = (area2 < -1e-12) & (jnp.sum(wok_c, 1) > 2.5) & \
+        jnp.broadcast_to(inst_ok[:, None], (ni, tc)).reshape(t_all)
+    aabb = jnp.stack([
+        jnp.min(cxy[:, :, 0], 1), jnp.min(cxy[:, :, 1], 1),
+        jnp.max(cxy[:, :, 0], 1), jnp.max(cxy[:, :, 1], 1)], axis=1)
+    colors = jnp.broadcast_to(col_i[:, None, :], (ni, tc, 4)).reshape(t_all, 4)
+    emissive = jnp.broadcast_to(emi_i[:, None, :], (ni, tc, 3)).reshape(t_all, 3)
+    table = pack_tri_planes(cxy, depth_c, invw_c, area2, valid,
+                            normals_c, colors, emissive)
+    fb, dep, st = raster_tris_pallas(
+        target.color, target.depth, table, valid, aabb, light_vec,
+        tile_h=tile_h, tile_w=tile_w, pairs_per_tri=pairs_per_tri,
+        max_per_tile=max_per_tile, interpret=interpret, layout="planes")
+    target.color = fb
+    target.depth = dep
+    stats.pair_overflow = stats.pair_overflow + st["pair_overflow"]
+    stats.tile_overflow = stats.tile_overflow + st["tile_overflow"]
+
+
 def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                    pairs_per_tri=2, max_per_tile=256, backend="auto"):
     from bevy_tpu.transform import GlobalTransform
@@ -143,6 +213,30 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
         vp = proj @ view
 
         uni = plugin._uniform if plugin is not None else None
+        if uni is not None and backend == "pallas":
+            # gather-free fast path (see raster_batched)
+            m = plugin.pool.meshes[uni["mesh"]]
+            vc = m.num_vertices
+            rows = jnp.asarray(uni["rows"])
+            gt_r = q.global_transform.rotation[rows]
+            mats = trs_to_mat4(TRS(translation=q.global_transform.translation[rows],
+                                   rotation=gt_r,
+                                   scale=q.global_transform.scale[rows]))
+            mvp = jnp.einsum("ij,njk->nik", vp, mats)
+            ph = jnp.concatenate([jnp.asarray(m.positions),
+                                  jnp.ones((vc, 1), jnp.float32)], 1)
+            clip = jnp.einsum("nij,vj->nvi", mvp, ph)          # (Ni, VC, 4)
+            nrm = quat_rotate_vec3(gt_r[:, None, :],
+                                   jnp.asarray(m.normals)[None])  # (Ni, VC, 3)
+            raster_batched(
+                clip, nrm, m.triangles, q.mask[rows] & has_cam,
+                q.mesh_material.base_color[rows],
+                q.mesh_material.emissive[rows],
+                directional_light_vec(light, amb), target, stats,
+                width=width, height=height, tile_h=tile_h, tile_w=tile_w,
+                pairs_per_tri=pairs_per_tri, max_per_tile=max_per_tile,
+                interpret=interpret)
+            return
         if uni is not None:
             # uniform-mesh fast path: all instances share one mesh, so the
             # vertex stage is (Ni,4,4)@(VC,4) batched matmuls — zero
