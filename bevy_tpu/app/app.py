@@ -50,6 +50,12 @@ class App:
         self._plan_cache: Dict[int, list] = {}
         self._prepare_hooks: List = []   # (fn, last_version) host rebuilds
         self._prepare_versions: List[int] = []
+        # host→device per-frame input channels: name -> fn() returning a
+        # fixed-shape numpy array, passed as jit args (NEVER eager writes —
+        # see _thunk) and written into the 'frame_input' resource in-jit
+        self._input_channels: Dict[str, object] = {}
+        self._observers: Dict[str, List] = {}
+        self._frame_hooks: List = []    # host callbacks after each update
         self.max_fixed_steps_per_frame = 8  # safety clamp alongside max_delta
         self.time_strategy: Optional[float] = None  # None=wall clock, float=manual dt
         self._last_wall: Optional[float] = None
@@ -121,6 +127,20 @@ class App:
         self._plan_cache.clear()
         return self
 
+    def add_observer(self, ev, observer_system, capacity: int = 64):
+        """Register a push-reaction to an event (ref: App::add_observer).
+        The observer system runs in every schedule that contains a system
+        with a Trigger(ev) param, immediately after that schedule's systems
+        (trace-time splicing; see ecs/observer.py)."""
+        from bevy_tpu.ecs.observer import register_event_storage
+        from bevy_tpu.ecs.schedule import SystemEntry
+
+        spec = register_event_storage(self.world, ev, capacity)
+        self._observers.setdefault(spec.name, []).append(
+            SystemEntry(observer_system))
+        self._plan_cache.clear()
+        return self
+
     # ------------------------------------------------------------------
     # plan building: flatten schedules into host/jit segments
 
@@ -128,11 +148,24 @@ class App:
         items = []
         if include_frame_end:
             items.append(("frame_begin",))
+        from bevy_tpu.ecs.observer import Trigger
+
         for label in labels:
             sched = self.schedules.get(label)
             if sched is not None:
                 sched.init_systems(self.world)
                 items += [("sys", e) for e in sched.items()]
+                # splice observers after schedules that trigger their event
+                if self._observers:
+                    fired = set()
+                    for e in sched.items():
+                        for p in e.system.params.values():
+                            if isinstance(p, Trigger):
+                                fired.add(p.spec.name)
+                    for name in fired:
+                        for obs in self._observers.get(name, ()):
+                            obs.system.init_state(self.world)
+                            items.append(("sys", obs))
             if label == RunFixedMainLoop:
                 for fl in self.fixed_order:
                     if fl in self.schedules:
@@ -142,26 +175,57 @@ class App:
             items.append(("frame_end",))
         return items
 
+    def register_frame_input(self, name: str, initial, fn):
+        """Add a host→device per-frame input channel (ref: the winit→bevy
+        message conversion position, bevy_winit/src/converters.rs — here
+        values enter the jitted frame as traced arguments). `initial` sets
+        shape/dtype in the frame_input resource; `fn()` supplies the value
+        each frame."""
+        store = dict(self.world.state["res"].get("frame_input", {}))
+        store.setdefault("dt", jnp.zeros((), jnp.float32))
+        store[name] = jnp.asarray(initial)
+        self.world.state["res"]["frame_input"] = store
+        self.world.structure_version += 1
+        self._input_channels[name] = fn
+        self._plan_cache.clear()
+        return self
+
+    def _gather_frame_inputs(self, dt):
+        import numpy as _np
+
+        fin = {"dt": _np.float32(dt)}
+        for name, fn in self._input_channels.items():
+            fin[name] = fn()
+        return fin
+
     def _thunk(self, item):
-        """Thunks are (state, dt) -> state; dt is a traced per-frame input
-        so the steady-state loop contains ZERO eager device ops (eager
-        dispatches can cost seconds over tunneled TPU backends)."""
+        """Thunks are (state, fin) -> state; fin (dt + input channels) is a
+        traced per-frame input so the steady-state loop contains ZERO eager
+        device ops (eager dispatches can cost seconds over tunneled TPU
+        backends)."""
         world = self.world
         if item[0] == "sys":
             entry = item[1]
-            return lambda state, dt: _run_entry(entry, state, world)
+            return lambda state, fin: _run_entry(entry, state, world)
         if item[0] == "fixed":
-            return lambda state, dt: self._fixed_loop(state)
+            return lambda state, fin: self._fixed_loop(state)
         if item[0] == "frame_begin":
-            def frame_begin(state, dt):
-                if "frame_input" in state["res"]:
-                    return set_in(state, ("res", "frame_input", "dt"),
-                                  jnp.asarray(dt, jnp.float32))
-                return state
+            def frame_begin(state, fin):
+                if "frame_input" not in state["res"]:
+                    return state
+                store = dict(state["res"]["frame_input"])
+                store["dt"] = jnp.asarray(fin["dt"], jnp.float32)
+                for name, val in fin.items():
+                    if name != "dt" and name in store:
+                        store[name] = jnp.asarray(val, store[name].dtype)
+                return set_in(state, ("res", "frame_input"), store)
             return frame_begin
         if item[0] == "frame_end":
-            def frame_end(state, dt):
+            from bevy_tpu.ecs.observer import clear_observer_buffers
+
+            def frame_end(state, fin):
                 state = swap_message_buffers(state)
+                state = clear_observer_buffers(state)
                 return set_in(state, ("frame",), state["frame"] + 1)
             return frame_end
         raise ValueError(item)
@@ -173,9 +237,9 @@ class App:
         if seg is None:
             thunks = [self._thunk(it) for it in items]
 
-            def run_seg(state, dt):
+            def run_seg(state, fin):
                 for t in thunks:
-                    state = t(state, dt)
+                    state = t(state, fin)
                 return state
 
             seg = jax.jit(run_seg, donate_argnums=0)
@@ -186,9 +250,7 @@ class App:
         """Run a label sequence. Maximal runs of device systems execute as
         one jitted segment; host systems run eagerly in between and may
         change world structure (we rebuild the item list when they do)."""
-        import numpy as _np
-
-        dt = _np.float32(dt)
+        fin = self._gather_frame_inputs(dt)
         items = self._items(labels, include_frame_end)
         version = self.world.structure_version
         i = 0
@@ -207,7 +269,7 @@ class App:
                     j += 1
                 key = (tuple(labels), include_frame_end, i, j, version)
                 seg = self._segment(key, items[i:j])
-                self.world.state = seg(self.world.state, dt)
+                self.world.state = seg(self.world.state, fin)
                 if any(self._item_has_commands(it) for it in items[i:j]):
                     self.world.mark_device_dirty()
                 i = j
@@ -306,6 +368,11 @@ class App:
                 fn(self.world)
                 self._prepare_versions[k] = self.world.structure_version
 
+    def add_frame_hook(self, fn):
+        """Host callback after each update (diagnostics, recorders …)."""
+        self._frame_hooks.append(fn)
+        return self
+
     def update(self, dt: Optional[float] = None):
         """One frame (ref: SubApps::update, sub_app.rs:575)."""
         self.startup()
@@ -316,6 +383,8 @@ class App:
             if label in self.schedules and label not in order:
                 order.append(label)
         self._run_labels(order, include_frame_end=True, dt=dt)
+        for hook in self._frame_hooks:
+            hook(self)
 
     def frame_fn(self):
         """The whole frame as one pure function `step(state) -> state`
@@ -333,10 +402,12 @@ class App:
         if host:
             raise RuntimeError(f"frame_fn requires a host-free frame; host systems: {host}")
         thunks = [self._thunk(it) for it in items]
+        default_fin = self._gather_frame_inputs(1.0 / 60.0)
 
-        def step(state, dt=jnp.float32(1.0 / 60.0)):
+        def step(state, fin=None):
+            fin2 = default_fin if fin is None else fin
             for t in thunks:
-                state = t(state, dt)
+                state = t(state, fin2)
             return state
 
         return step

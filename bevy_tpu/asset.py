@@ -1,0 +1,180 @@
+"""Assets (reference twin: bevy_asset — AssetServer::load returning typed
+handles immediately with IO on a pool `src/server/mod.rs:364,588`,
+Assets<A> storage `src/assets.rs:288`, AssetLoader registry by extension
+`src/loader.rs:32`, file-watcher hot reload `src/io/file/`).
+
+Host-side by design (asset IO never belongs in the jit): loads run on a
+thread pool, handles resolve when done, and an optional watcher polls
+mtimes to hot-reload (the notify-based watcher's polling cousin).
+Loaded CPU assets feed device uploads (atlas build, mesh pools) explicitly.
+"""
+
+from __future__ import annotations
+
+import json
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+from bevy_tpu.app.plugin import Plugin
+
+
+class LoadState:
+    NOT_LOADED = "not_loaded"
+    LOADING = "loading"
+    LOADED = "loaded"
+    FAILED = "failed"
+
+
+class Handle:
+    """Typed-ish handle, valid immediately (ref: Handle<A>)."""
+
+    __slots__ = ("id", "path")
+
+    def __init__(self, id_: int, path: str):
+        self.id = id_
+        self.path = path
+
+    def __repr__(self):
+        return f"Handle({self.id}, {self.path!r})"
+
+
+def _load_image(path: Path):
+    from PIL import Image
+    img = np.asarray(Image.open(path).convert("RGBA"), np.uint8)
+    return img
+
+
+def _load_json(path: Path):
+    return json.loads(path.read_text())
+
+
+def _load_npy(path: Path):
+    return np.load(path)
+
+
+def _load_scene(path: Path):
+    from bevy_tpu.scene import Scene
+    return Scene(json.loads(path.read_text()))
+
+
+DEFAULT_LOADERS = {
+    ".png": _load_image, ".jpg": _load_image, ".jpeg": _load_image,
+    ".bmp": _load_image, ".webp": _load_image,
+    ".json": _load_json, ".npy": _load_npy,
+    ".scene": _load_scene,   # bevy_tpu world snapshots (see bevy_tpu.scene)
+}
+
+
+class AssetServer:
+    """ref: AssetServer + Assets<A> + AssetProcessor's invalidation (mtime
+    based). `load` is async (IoTaskPool position); `load_sync` blocks."""
+
+    def __init__(self, root: str = "assets", workers: int = 4,
+                 watch: bool = False):
+        self.root = Path(root)
+        self.pool = ThreadPoolExecutor(max_workers=workers)
+        self.loaders: Dict[str, Callable] = dict(DEFAULT_LOADERS)
+        self._assets: Dict[int, Any] = {}
+        self._state: Dict[int, str] = {}
+        self._futures: Dict[int, Any] = {}
+        self._mtimes: Dict[int, float] = {}
+        self._by_path: Dict[str, Handle] = {}
+        self._next = 0
+        self.watch = watch
+        self.events = []   # (kind, handle) — 'loaded' | 'modified' | 'failed'
+
+    def register_loader(self, ext: str, fn: Callable):
+        self.loaders[ext] = fn
+
+    def _resolve(self, path: str) -> Path:
+        p = Path(path)
+        return p if p.is_absolute() else self.root / p
+
+    def load(self, path: str) -> Handle:
+        if path in self._by_path:
+            return self._by_path[path]
+        h = Handle(self._next, path)
+        self._next += 1
+        self._by_path[path] = h
+        self._state[h.id] = LoadState.LOADING
+        self._futures[h.id] = self.pool.submit(self._do_load, h)
+        return h
+
+    def load_sync(self, path: str) -> Any:
+        h = self.load(path)
+        self._futures[h.id].result()
+        if self._state[h.id] == LoadState.FAILED:
+            raise IOError(f"failed to load {path}: {self._assets.get(h.id)}")
+        return self._assets[h.id]
+
+    def _do_load(self, h: Handle):
+        try:
+            p = self._resolve(h.path)
+            loader = self.loaders.get(p.suffix.lower())
+            if loader is None:
+                raise ValueError(f"no loader for '{p.suffix}'")
+            asset = loader(p)
+            self._assets[h.id] = asset
+            self._mtimes[h.id] = p.stat().st_mtime
+            self._state[h.id] = LoadState.LOADED
+            self.events.append(("loaded", h))
+        except Exception as e:  # noqa: BLE001 — reported via load_state
+            self._assets[h.id] = e
+            self._state[h.id] = LoadState.FAILED
+            self.events.append(("failed", h))
+
+    def get(self, handle: Handle):
+        return self._assets.get(handle.id) \
+            if self._state.get(handle.id) == LoadState.LOADED else None
+
+    def load_state(self, handle: Handle) -> str:
+        return self._state.get(handle.id, LoadState.NOT_LOADED)
+
+    def check_modified(self):
+        """Poll mtimes; reload changed assets (ref: file-watcher reload)."""
+        for path, h in list(self._by_path.items()):
+            if self._state.get(h.id) != LoadState.LOADED:
+                continue
+            p = self._resolve(path)
+            try:
+                mt = p.stat().st_mtime
+            except OSError:
+                continue
+            if mt > self._mtimes.get(h.id, 0):
+                self._state[h.id] = LoadState.LOADING
+                fut = self.pool.submit(self._do_load, h)
+                self._futures[h.id] = fut
+                fut.result()
+                self.events.append(("modified", h))
+
+    def drain_events(self):
+        ev, self.events = self.events, []
+        return ev
+
+
+class AssetPlugin(Plugin):
+    """ref: AssetPlugin. `app.assets` is the server; with watch=True a frame
+    hook polls for hot reloads every `watch_every` frames."""
+
+    def __init__(self, root: str = "assets", watch: bool = False,
+                 watch_every: int = 30):
+        self.root = root
+        self.watch = watch
+        self.watch_every = watch_every
+
+    def build(self, app):
+        server = AssetServer(self.root, watch=self.watch)
+        app.assets = server
+        if self.watch:
+            counter = {"n": 0}
+            every = self.watch_every
+
+            def tick(app_):
+                counter["n"] += 1
+                if counter["n"] % every == 0:
+                    server.check_modified()
+
+            app.add_frame_hook(tick)

@@ -39,11 +39,14 @@ class Field:
     shape: Tuple[int, ...]
     dtype: Any
     default: Any
+    entity_ref: bool = False
 
 
-def field(shape=(), dtype=jnp.float32, default=None):
+def field(shape=(), dtype=jnp.float32, default=None, entity_ref=False):
     """Declare a component field. `shape` is the per-entity trailing shape
-    (scalar = ()). `default` fills unspecified values at spawn."""
+    (scalar = ()). `default` fills unspecified values at spawn.
+    `entity_ref` marks the field as holding entity row ids — serialization
+    remaps it on load (ref: MapEntities, entity/map_entities.rs)."""
     if isinstance(shape, int):
         shape = (shape,)
     shape = tuple(int(s) for s in shape)
@@ -51,7 +54,8 @@ def field(shape=(), dtype=jnp.float32, default=None):
         default = np.zeros(shape, dtype=np.dtype(dtype) if dtype != jnp.bfloat16 else np.float32)
         if dtype == jnp.bfloat16:
             default = default.astype(jnp.bfloat16)
-    return Field(shape=shape, dtype=dtype, default=default)
+    return Field(shape=shape, dtype=dtype, default=default,
+                 entity_ref=entity_ref)
 
 
 class ComponentSpec:

@@ -1,0 +1,140 @@
+"""Observers — push-based event reactions (reference twin: bevy_ecs
+observer/ — Observer components `observer/distributed_storage.rs:207`,
+`On<E>` param `observer/system_param.rs:38`, World::add_observer
+`observer/mod.rs:55`).
+
+TPU design: `trigger` writes events into a single-frame device buffer;
+observer systems are spliced into the schedule immediately after the LAST
+triggering system (trace-time ordering — the reference's dynamic dispatch
+becomes static system insertion), read the buffer vectorized, and the
+buffer clears at frame end. Unlike Messages (double-buffered, read next
+frame), observers see events the same frame they fire — matching the
+reference's immediacy semantics at schedule granularity.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from bevy_tpu.ecs._state import set_in
+from bevy_tpu.ecs.component import get_spec
+
+
+def event(cls=None, **kw):
+    """Decorator registering an observer-event struct (ref: #[derive(Event)]).
+    Same field machinery as components."""
+    from bevy_tpu.ecs.component import component as _component
+    return _component(cls, **kw) if cls is not None else _component(**kw)
+
+
+class Trigger:
+    """System param for firing events (ref: Commands::trigger)."""
+
+    def __init__(self, ev, budget: int = 64):
+        self.spec = get_spec(ev)
+        self.budget = budget
+
+    def reads(self):
+        return set()
+
+    def writes(self):
+        return {f"obs:{self.spec.name}"}
+
+    def build(self, state, world, sysctx):
+        return TriggerView(self, state["obs"][self.spec.name])
+
+
+class TriggerView:
+    def __init__(self, param, store):
+        self._param = param
+        self._store = store
+        self._sends = []
+
+    def trigger(self, count=None, **fields):
+        """Fire up to `budget` events; `count` of them real (traced)."""
+        self._sends.append((count, fields))
+
+    def merge(self, state, tick):
+        if not self._sends:
+            return state
+        name = self._param.spec.name
+        budget = self._param.budget
+        store = dict(state["obs"][name])
+        fields = dict(store["f"])
+        cap = next(iter(store["f"].values())).shape[0]
+        for count, vals in self._sends:
+            count = budget if count is None else count
+            cnt = store["count"]
+            lane = jnp.arange(budget, dtype=jnp.int32)
+            rows = cnt + lane
+            valid = (lane < count) & (rows < cap)
+            rows = jnp.where(valid, rows, cap)
+            for fname, fld in self._param.spec.fields.items():
+                val = vals.get(fname, fld.default)
+                val = jnp.broadcast_to(jnp.asarray(val, fld.dtype),
+                                       (budget,) + fld.shape)
+                fields[fname] = fields[fname].at[rows].set(val, mode="drop")
+            store["count"] = cnt + jnp.sum(valid.astype(jnp.int32))
+        store["f"] = fields
+        return set_in(state, ("obs", name), store)
+
+
+class On:
+    """Observer system param: vectorized view of this frame's events
+    (ref: On<E>). `.read()` -> (fields dict, valid mask); `.count()`."""
+
+    def __init__(self, ev):
+        self.spec = get_spec(ev)
+
+    def reads(self):
+        return {f"obs:{self.spec.name}"}
+
+    def writes(self):
+        return set()
+
+    def build(self, state, world, sysctx):
+        return OnView(state["obs"][self.spec.name])
+
+
+class OnView:
+    def __init__(self, store):
+        self._store = store
+
+    def read(self):
+        cap = next(iter(self._store["f"].values())).shape[0]
+        lane = jnp.arange(cap, dtype=jnp.int32)
+        mask = lane < self._store["count"]
+        return dict(self._store["f"]), mask
+
+    def count(self):
+        return self._store["count"]
+
+    def merge(self, state, tick):
+        return state
+
+
+def register_event_storage(world, ev, capacity: int = 64):
+    spec = get_spec(ev)
+    if "obs" not in world.state:
+        world.state["obs"] = {}
+    if spec.name in world.state["obs"]:
+        return spec
+    fields = {fname: jnp.zeros((capacity,) + fld.shape, fld.dtype)
+              for fname, fld in spec.fields.items()}
+    if not fields:  # marker events still need a capacity-carrying array
+        fields["_"] = jnp.zeros(capacity, jnp.int32)
+    world.state["obs"][spec.name] = {
+        "f": fields,
+        "count": jnp.asarray(0, jnp.int32),
+    }
+    world.structure_version += 1
+    return spec
+
+
+def clear_observer_buffers(state):
+    """Frame-final clear (observers are same-frame only)."""
+    if "obs" not in state:
+        return state
+    obs = {name: dict(store, count=jnp.zeros_like(store["count"]))
+           for name, store in state["obs"].items()}
+    return set_in(state, ("obs",), obs)

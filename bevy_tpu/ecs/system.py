@@ -26,8 +26,10 @@ from bevy_tpu.ecs._state import set_in
 from bevy_tpu.ecs.commands import Commands
 from bevy_tpu.ecs.query import Local, Query, Res, ResMut
 from bevy_tpu.ecs.message import MessageReader, MessageWriter
+from bevy_tpu.ecs.observer import On, Trigger
 
-PARAM_TYPES = (Query, Res, ResMut, Commands, Local, MessageReader, MessageWriter)
+PARAM_TYPES = (Query, Res, ResMut, Commands, Local, MessageReader,
+               MessageWriter, Trigger, On)
 
 
 class System:

@@ -58,6 +58,7 @@ class World:
             "comp": {},
             "res": {},
             "msg": {},
+            "obs": {},
             "sys": {},
             "tick": jnp.asarray(1, jnp.int32),
             "frame": jnp.asarray(0, jnp.int32),

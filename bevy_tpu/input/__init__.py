@@ -1,0 +1,160 @@
+"""Input (reference twin: bevy_input — ButtonInput<T> pressed /
+just_pressed / just_released sets `src/button_input.rs`, keyboard / mouse /
+gamepad models; bevy_winit's converters are replaced by the App's
+frame-input channels).
+
+Headless model: the host sets input state between frames
+(`keyboard.press/release`, `mouse.move_to`, `gamepad.set_axis`); values
+enter the jitted frame as traced args, and a First-schedule system derives
+just_pressed/just_released transitions on device — systems read the
+`Keyboard`/`Mouse`/`Gamepad` resources exactly like the reference's
+`Res<ButtonInput<KeyCode>>`.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from bevy_tpu.app.main_schedule import First
+from bevy_tpu.app.plugin import Plugin
+from bevy_tpu.ecs.query import Res, ResMut
+from bevy_tpu.ecs.system import system
+
+NUM_KEYS = 256
+NUM_MOUSE_BUTTONS = 8
+NUM_GAMEPAD_AXES = 8
+NUM_GAMEPAD_BUTTONS = 16
+
+
+class KeyCode:
+    """Stable key indices (subset of ref: bevy_input KeyCode)."""
+    _names = [
+        "KeyA", "KeyB", "KeyC", "KeyD", "KeyE", "KeyF", "KeyG", "KeyH",
+        "KeyI", "KeyJ", "KeyK", "KeyL", "KeyM", "KeyN", "KeyO", "KeyP",
+        "KeyQ", "KeyR", "KeyS", "KeyT", "KeyU", "KeyV", "KeyW", "KeyX",
+        "KeyY", "KeyZ",
+        "Digit0", "Digit1", "Digit2", "Digit3", "Digit4", "Digit5",
+        "Digit6", "Digit7", "Digit8", "Digit9",
+        "ArrowLeft", "ArrowRight", "ArrowUp", "ArrowDown",
+        "Space", "Enter", "Escape", "Tab", "Backspace", "Delete",
+        "ShiftLeft", "ShiftRight", "ControlLeft", "ControlRight",
+        "AltLeft", "AltRight", "Home", "End", "PageUp", "PageDown",
+    ]
+
+
+for _i, _n in enumerate(KeyCode._names):
+    setattr(KeyCode, _n, _i)
+
+
+class MouseButton:
+    Left = 0
+    Right = 1
+    Middle = 2
+
+
+class InputState:
+    """Host-side live input device state (what winit events would mutate)."""
+
+    def __init__(self):
+        self.keys = np.zeros(NUM_KEYS, bool)
+        self.mouse_buttons = np.zeros(NUM_MOUSE_BUTTONS, bool)
+        self.mouse_pos = np.zeros(2, np.float32)
+        self.mouse_delta = np.zeros(2, np.float32)
+        self.scroll = np.zeros(2, np.float32)
+        self.gamepad_axes = np.zeros(NUM_GAMEPAD_AXES, np.float32)
+        self.gamepad_buttons = np.zeros(NUM_GAMEPAD_BUTTONS, bool)
+
+    # -- the API a host driver / test calls between frames ---------------
+    def press(self, key):
+        self.keys[key] = True
+
+    def release(self, key):
+        self.keys[key] = False
+
+    def press_mouse(self, button):
+        self.mouse_buttons[button] = True
+
+    def release_mouse(self, button):
+        self.mouse_buttons[button] = False
+
+    def move_to(self, x, y):
+        self.mouse_delta = np.asarray([x, y], np.float32) - self.mouse_pos
+        self.mouse_pos = np.asarray([x, y], np.float32)
+
+    def set_axis(self, axis, value):
+        self.gamepad_axes[axis] = value
+
+    def set_gamepad_button(self, button, pressed=True):
+        self.gamepad_buttons[button] = pressed
+
+
+@system(name="process_keyboard")
+def process_keyboard(fin=Res("frame_input"), kb=ResMut("keyboard")):
+    new = fin.keys
+    kb.just_pressed = new & ~kb.pressed
+    kb.just_released = ~new & kb.pressed
+    kb.pressed = new
+
+
+@system(name="process_mouse")
+def process_mouse(fin=Res("frame_input"), mouse=ResMut("mouse")):
+    new = fin.mouse_buttons
+    mouse.just_pressed = new & ~mouse.pressed
+    mouse.just_released = ~new & mouse.pressed
+    mouse.pressed = new
+    mouse.delta = fin.mouse_pos - mouse.position
+    mouse.position = fin.mouse_pos
+    mouse.scroll = fin.scroll
+
+
+@system(name="process_gamepad")
+def process_gamepad(fin=Res("frame_input"), pad=ResMut("gamepad")):
+    newb = fin.gamepad_buttons
+    pad.just_pressed = newb & ~pad.pressed
+    pad.pressed = newb
+    pad.axes = fin.gamepad_axes
+
+
+class InputPlugin(Plugin):
+    """ref: InputPlugin (bevy_input/src/lib.rs) + the winit event bridge.
+    `app.input` is the host-side InputState."""
+
+    def build(self, app):
+        state = InputState()
+        app.input = state
+        app.register_frame_input("keys", np.zeros(NUM_KEYS, bool),
+                                 lambda: state.keys.copy())
+        app.register_frame_input("mouse_buttons",
+                                 np.zeros(NUM_MOUSE_BUTTONS, bool),
+                                 lambda: state.mouse_buttons.copy())
+        app.register_frame_input("mouse_pos", np.zeros(2, np.float32),
+                                 lambda: state.mouse_pos.copy())
+        app.register_frame_input("scroll", np.zeros(2, np.float32),
+                                 lambda: state.scroll.copy())
+        app.register_frame_input("gamepad_axes",
+                                 np.zeros(NUM_GAMEPAD_AXES, np.float32),
+                                 lambda: state.gamepad_axes.copy())
+        app.register_frame_input("gamepad_buttons",
+                                 np.zeros(NUM_GAMEPAD_BUTTONS, bool),
+                                 lambda: state.gamepad_buttons.copy())
+        app.insert_resource("keyboard", {
+            "pressed": jnp.zeros(NUM_KEYS, bool),
+            "just_pressed": jnp.zeros(NUM_KEYS, bool),
+            "just_released": jnp.zeros(NUM_KEYS, bool),
+        })
+        app.insert_resource("mouse", {
+            "pressed": jnp.zeros(NUM_MOUSE_BUTTONS, bool),
+            "just_pressed": jnp.zeros(NUM_MOUSE_BUTTONS, bool),
+            "just_released": jnp.zeros(NUM_MOUSE_BUTTONS, bool),
+            "position": jnp.zeros(2, jnp.float32),
+            "delta": jnp.zeros(2, jnp.float32),
+            "scroll": jnp.zeros(2, jnp.float32),
+        })
+        app.insert_resource("gamepad", {
+            "pressed": jnp.zeros(NUM_GAMEPAD_BUTTONS, bool),
+            "just_pressed": jnp.zeros(NUM_GAMEPAD_BUTTONS, bool),
+            "axes": jnp.zeros(NUM_GAMEPAD_AXES, jnp.float32),
+        })
+        app.add_systems(First, [process_keyboard, process_mouse,
+                                process_gamepad])

@@ -158,6 +158,68 @@ def _plane_kernel(counts_ref, light_ref,
     dep_out_ref[:] = dep
 
 
+def _plane_kernel_gbuf(counts_ref, light_ref,
+                       tile_table_ref,
+                       g_in_ref, dep_in_ref,
+                       g_out_ref, dep_out_ref,
+                       tris_ref, sem,
+                       *, tile_h, tile_w, max_per_tile):
+    """G-buffer variant of _plane_kernel (ref: the deferred prepass,
+    bevy_core_pipeline/src/deferred/): writes albedo(0:3), alpha(3),
+    world normal(4:7), emissive(7:10) + depth; lighting happens in the
+    deferred shade kernel (ops/shade_pallas.py)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ntx = pl.num_programs(1)
+    t = i * ntx + j
+    cnt = counts_ref[t]
+
+    dma = pltpu.make_async_copy(tile_table_ref.at[t], tris_ref, sem)
+    dma.start()
+
+    def fiota(shape, dim):
+        return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
+
+    px = fiota((tile_h, tile_w), 1) + (j * tile_w).astype(jnp.float32) + 0.5
+    py = fiota((tile_h, tile_w), 0) + (i * tile_h).astype(jnp.float32) + 0.5
+
+    dma.wait()
+
+    def body(s, fb):
+        ar, ag, ab, aa, nxp, nyp, nzp, er, eg, eb, dep = fb
+
+        def d(k):
+            return tris_ref[k, s]
+        inside = (d(0) * px + d(1) * py + d(2) <= 0) & \
+                 (d(3) * px + d(4) * py + d(5) <= 0) & \
+                 (d(6) * px + d(7) * py + d(8) <= 0)
+        z = d(9) * px + d(10) * py + d(11)
+        zpass = inside & (z > dep)
+        iw = jnp.maximum(d(12) * px + d(13) * py + d(14), 1e-12)
+        nx = (d(15) * px + d(16) * py + d(17)) / iw
+        ny = (d(18) * px + d(19) * py + d(20)) / iw
+        nz = (d(21) * px + d(22) * py + d(23)) / iw
+        inv_len = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-12))
+        ar = jnp.where(zpass, d(24), ar)
+        ag = jnp.where(zpass, d(25), ag)
+        ab = jnp.where(zpass, d(26), ab)
+        aa = jnp.where(zpass, d(27), aa)
+        nxp = jnp.where(zpass, nx * inv_len, nxp)
+        nyp = jnp.where(zpass, ny * inv_len, nyp)
+        nzp = jnp.where(zpass, nz * inv_len, nzp)
+        er = jnp.where(zpass, d(28), er)
+        eg = jnp.where(zpass, d(29), eg)
+        eb = jnp.where(zpass, d(30), eb)
+        dep = jnp.where(zpass, z, dep)
+        return (ar, ag, ab, aa, nxp, nyp, nzp, er, eg, eb, dep)
+
+    fb0 = tuple(g_in_ref[k] for k in range(10)) + (dep_in_ref[:],)
+    out = jax.lax.fori_loop(0, cnt, body, fb0)
+    for k in range(10):
+        g_out_ref[k] = out[k]
+    dep_out_ref[:] = out[10]
+
+
 def _kernel(counts_ref, light_ref,         # scalar prefetch (SMEM)
             tile_table_ref,                # ANY (num_tiles, F_PAD, max_per_tile)
             col_in_ref, dep_in_ref,        # VMEM blocks (aliased)
@@ -227,16 +289,18 @@ def _kernel(counts_ref, light_ref,         # scalar prefetch (SMEM)
 
 @partial(jax.jit, static_argnames=(
     "tile_h", "tile_w", "pairs_per_tri", "max_per_tile", "interpret",
-    "layout"))
+    "layout", "pair_budget"))
 def raster_tris_pallas(fb_planar, depth, tri_table, valid, aabb, light,
                        *, tile_h=32, tile_w=128, pairs_per_tri=2,
-                       max_per_tile=256, interpret=False, layout="corners"):
-    """fb_planar (4,H,W), depth (H,W) reverse-z; tri_table (T,32) from
-    pack_tri_table (layout='corners') or pack_tri_planes (layout='planes' —
+                       max_per_tile=256, interpret=False, layout="corners",
+                       pair_budget=None):
+    """fb_planar (4,H,W) — or the (10,H,W) G-buffer for layout='planes_gbuf'
+    — plus depth (H,W) reverse-z; tri_table (T,32) from pack_tri_table
+    (layout='corners') or pack_tri_planes (layout='planes'/'planes_gbuf' —
     the fast path: pure-FMA kernel body); valid (T,) bool; aabb (T,4)
     screen x0 y0 x1 y1; light (16,) f32 [dir xyz, light rgb, ambient rgb].
     Returns (fb_planar, depth, stats)."""
-    _, H, W = fb_planar.shape
+    nplanes, H, W = fb_planar.shape
     t = tri_table.shape[0]
     max_per_tile = _pad_to(max_per_tile, 128)
     hp, wp = _pad_to(H, tile_h), _pad_to(W, tile_w)
@@ -252,7 +316,7 @@ def raster_tris_pallas(fb_planar, depth, tri_table, valid, aabb, light,
     y0, y1 = jnp.clip(y0, 0, nty - 1), jnp.clip(y1, 0, nty - 1)
     kx, ky = x1 - x0 + 1, y1 - y0 + 1
     counts = jnp.where(valid & onscreen, kx * ky, 0)
-    pair_cap = t * pairs_per_tri + num_tiles
+    pair_cap = pair_budget or (t * pairs_per_tri + num_tiles)
     owner, rank, pvalid, total = expand_runs(counts, pair_cap)
     # one packed gather instead of three (gathers dominate binning cost)
     code = (y0 * 1024 + x0) * 32 + kx
@@ -282,13 +346,13 @@ def raster_tris_pallas(fb_planar, depth, tri_table, valid, aabb, light,
         grid=(nty, ntx),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # tile_table
-            pl.BlockSpec((4, tile_h, tile_w), lambda i, j, *_: (0, i, j),
-                         memory_space=pltpu.VMEM),     # color in
+            pl.BlockSpec((nplanes, tile_h, tile_w), lambda i, j, *_: (0, i, j),
+                         memory_space=pltpu.VMEM),     # color/gbuffer in
             pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
                          memory_space=pltpu.VMEM),     # depth in
         ],
         out_specs=[
-            pl.BlockSpec((4, tile_h, tile_w), lambda i, j, *_: (0, i, j),
+            pl.BlockSpec((nplanes, tile_h, tile_w), lambda i, j, *_: (0, i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
                          memory_space=pltpu.VMEM),
@@ -298,13 +362,14 @@ def raster_tris_pallas(fb_planar, depth, tri_table, valid, aabb, light,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = partial(_plane_kernel if layout == "planes" else _kernel,
-                     tile_h=tile_h, tile_w=tile_w,
+    kernels = {"planes": _plane_kernel, "planes_gbuf": _plane_kernel_gbuf,
+               "corners": _kernel}
+    kernel = partial(kernels[layout], tile_h=tile_h, tile_w=tile_w,
                      max_per_tile=max_per_tile)
     col, dep = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((nplanes, hp, wp), jnp.float32),
                    jax.ShapeDtypeStruct((hp, wp), jnp.float32)],
         input_output_aliases={3: 0, 4: 1},   # indices incl. prefetch args
         interpret=interpret,

@@ -1,0 +1,195 @@
+"""Deferred shading with tile-binned point lights (reference twin: the
+clustered-forward light binning `bevy_light/src/cluster/assign.rs:133` +
+per-fragment light loop `clustered_forward.wesl` / `pbr_lighting.wesl`,
+re-shaped as bevy's deferred path `bevy_core_pipeline/src/deferred/`:
+G-buffer → per-tile light lists → one shade kernel).
+
+Light clusters align with raster tiles (2D tiled light culling); the shade
+kernel reconstructs world position from reverse-z depth + the inverse
+view-projection, then walks the tile's light list in SMEM. Distance
+attenuation matches the reference's smooth inverse-square window
+(getDistanceAttenuation, pbr_lighting.wesl):
+    atten = saturate(1 - (d²/r²)²)² / (d² + 1)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bevy_tpu.ops.binning import expand_runs
+
+LF = 8  # light record: x y z r g b range pad
+
+
+def _pad_to(x, m):
+    return (x + m - 1) // m * m
+
+
+def bin_lights(pos_view_z, center_px, radius_px, active, nty, ntx,
+               tile_h, tile_w, pairs_per_light, max_per_tile, records):
+    """Tile-bin point lights by conservative screen AABB. records (L, 8)
+    rows are pre-packed [x y z  r g b  range  pad] (world space, color
+    premultiplied by intensity). Returns (tile_table, counts, stats)."""
+    num_tiles = nty * ntx
+    l = records.shape[0]
+    x0 = jnp.floor((center_px[:, 0] - radius_px) / tile_w).astype(jnp.int32)
+    x1 = jnp.floor((center_px[:, 0] + radius_px) / tile_w).astype(jnp.int32)
+    y0 = jnp.floor((center_px[:, 1] - radius_px) / tile_h).astype(jnp.int32)
+    y1 = jnp.floor((center_px[:, 1] + radius_px) / tile_h).astype(jnp.int32)
+    onscreen = (x1 >= 0) & (x0 < ntx) & (y1 >= 0) & (y0 < nty) & active
+    x0, x1 = jnp.clip(x0, 0, ntx - 1), jnp.clip(x1, 0, ntx - 1)
+    y0, y1 = jnp.clip(y0, 0, nty - 1), jnp.clip(y1, 0, nty - 1)
+    kx, ky = x1 - x0 + 1, y1 - y0 + 1
+    counts = jnp.where(onscreen, kx * ky, 0)
+    pair_cap = l * pairs_per_light + num_tiles
+    owner, rank, pvalid, total = expand_runs(counts, pair_cap)
+    code = (y0 * 1024 + x0) * 32 + jnp.minimum(kx, 31)
+    c = code[owner]
+    kxo = c % 32
+    x0o = (c // 32) % 1024
+    y0o = c // 32768
+    tile_id = (y0o + rank // kxo) * ntx + (x0o + rank % kxo)
+    tile_id = jnp.where(pvalid, tile_id, num_tiles)
+    perm = jnp.argsort(tile_id)
+    sorted_tile = tile_id[perm]
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tile, tids + 1, side="left").astype(jnp.int32)
+    pair_light = owner[perm]
+    tile_counts = jnp.minimum(ends - starts, max_per_tile)
+    slot = starts[:, None] + jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
+    slot = jnp.minimum(slot, pair_cap - 1)
+    table = records[pair_light[slot]].transpose(0, 2, 1)   # (T, 8, mpt)
+    stats = {"light_pair_overflow": jnp.maximum(total - pair_cap, 0),
+             "light_tile_overflow": jnp.maximum(
+                 jnp.max(ends - starts) - max_per_tile, 0)}
+    return table, tile_counts, stats
+
+
+def _shade_kernel(counts_ref, params_ref,
+                  light_table_ref,
+                  gbuf_ref, dep_ref,
+                  col_out_ref,
+                  lights_ref, sem,
+                  *, tile_h, tile_w, max_per_tile):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ntx = pl.num_programs(1)
+    t = i * ntx + j
+    cnt = counts_ref[t]
+
+    dma = pltpu.make_async_copy(light_table_ref.at[t], lights_ref, sem)
+    dma.start()
+
+    def fiota(shape, dim):
+        return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
+
+    px = fiota((tile_h, tile_w), 1) + (j * tile_w).astype(jnp.float32) + 0.5
+    py = fiota((tile_h, tile_w), 0) + (i * tile_h).astype(jnp.float32) + 0.5
+
+    # params: [0:16 inv_vp row-major, 16:19 light dir, 19:22 light rgb,
+    #          22:25 ambient rgb, 25 width, 26 height, 27:31 clear rgba]
+    def p(k):
+        return params_ref[k]
+
+    depth = dep_ref[:]
+    geom = depth > 0.0
+    ndx = 2.0 * px / p(25) - 1.0
+    ndy = 1.0 - 2.0 * py / p(26)
+    # world = inv_vp @ [ndx, ndy, z, 1], then divide by w
+    wx = p(0) * ndx + p(1) * ndy + p(2) * depth + p(3)
+    wy = p(4) * ndx + p(5) * ndy + p(6) * depth + p(7)
+    wz = p(8) * ndx + p(9) * ndy + p(10) * depth + p(11)
+    ww = p(12) * ndx + p(13) * ndy + p(14) * depth + p(15)
+    inv_ww = 1.0 / jnp.where(jnp.abs(ww) > 1e-9, ww, 1.0)
+    wx, wy, wz = wx * inv_ww, wy * inv_ww, wz * inv_ww
+
+    ar, ag, ab = gbuf_ref[0], gbuf_ref[1], gbuf_ref[2]
+    aa = gbuf_ref[3]
+    nx, ny, nz = gbuf_ref[4], gbuf_ref[5], gbuf_ref[6]
+    er, eg, eb = gbuf_ref[7], gbuf_ref[8], gbuf_ref[9]
+
+    # directional + ambient (ref: directional part of pbr_lighting)
+    lam = jnp.maximum(0.0, -(nx * p(16) + ny * p(17) + nz * p(18)))
+    acc_r = p(22) + p(19) * lam
+    acc_g = p(23) + p(20) * lam
+    acc_b = p(24) + p(21) * lam
+
+    dma.wait()
+
+    def body(s, acc):
+        r, g, b = acc
+
+        def d(k):
+            return lights_ref[k, s]
+        dx = d(0) - wx
+        dy = d(1) - wy
+        dz = d(2) - wz
+        d2 = dx * dx + dy * dy + dz * dz
+        inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-9))
+        lamp = jnp.maximum(0.0, (nx * dx + ny * dy + nz * dz) * inv_d)
+        rng2 = jnp.maximum(d(6) * d(6), 1e-9)
+        win = jnp.clip(1.0 - (d2 / rng2) * (d2 / rng2), 0.0, 1.0)
+        atten = win * win / (d2 + 1.0)
+        f = lamp * atten
+        return (r + d(3) * f, g + d(4) * f, b + d(5) * f)
+
+    acc_r, acc_g, acc_b = jax.lax.fori_loop(
+        0, cnt, body, (acc_r, acc_g, acc_b))
+
+    out_r = jnp.where(geom, ar * acc_r + er, p(27))
+    out_g = jnp.where(geom, ag * acc_g + eg, p(28))
+    out_b = jnp.where(geom, ab * acc_b + eb, p(29))
+    out_a = jnp.where(geom, aa, p(30))
+    col_out_ref[0] = out_r
+    col_out_ref[1] = out_g
+    col_out_ref[2] = out_b
+    col_out_ref[3] = out_a
+
+
+@partial(jax.jit, static_argnames=("tile_h", "tile_w", "max_per_tile",
+                                   "interpret"))
+def deferred_shade(gbuffer, depth, light_table, tile_counts, params,
+                   *, tile_h=32, tile_w=128, max_per_tile=256,
+                   interpret=False):
+    """gbuffer (10,H,W), depth (H,W); light_table (num_tiles, 8, mpt) from
+    bin_lights; params (32,) f32 (see _shade_kernel). Returns color (4,H,W)."""
+    _, H, W = gbuffer.shape
+    max_per_tile = _pad_to(max_per_tile, 128)
+    hp, wp = _pad_to(H, tile_h), _pad_to(W, tile_w)
+    nty, ntx = hp // tile_h, wp // tile_w
+
+    gb = jnp.pad(gbuffer, ((0, 0), (0, hp - H), (0, wp - W)))
+    dp = jnp.pad(depth, ((0, hp - H), (0, wp - W)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nty, ntx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),          # light_table
+            pl.BlockSpec((10, tile_h, tile_w), lambda i, j, *_: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, tile_h, tile_w), lambda i, j, *_: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((LF, max_per_tile), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = partial(_shade_kernel, tile_h=tile_h, tile_w=tile_w,
+                     max_per_tile=max_per_tile)
+    col = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
+        interpret=interpret,
+    )(tile_counts, params, light_table, gb, dp)
+    return col[:, :H, :W]

@@ -41,15 +41,9 @@ def world_shardings(state, mesh: Mesh, fb_resources=("render_target",)):
             lambda a: row if (hasattr(a, "ndim") and a.ndim >= 1
                               and a.shape[0] % n == 0) else rep, tree)
 
-    sh = {
-        "ent": shard_leading(state["ent"]),
-        "comp": shard_leading(state["comp"]),
-        "res": jax.tree.map(lambda a: rep, state["res"]),
-        "msg": jax.tree.map(lambda a: rep, state["msg"]),
-        "sys": jax.tree.map(lambda a: rep, state["sys"]),
-        "tick": rep,
-        "frame": rep,
-    }
+    sh = {k: jax.tree.map(lambda a: rep, v) for k, v in state.items()}
+    sh["ent"] = shard_leading(state["ent"])
+    sh["comp"] = shard_leading(state["comp"])
     for name in fb_resources:
         if name in state["res"]:
             sh["res"][name] = jax.tree.map(

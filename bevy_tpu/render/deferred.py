@@ -1,0 +1,143 @@
+"""Deferred lighting plugin (reference twin: bevy's deferred path
+`bevy_core_pipeline/src/deferred/` + clustered light binning
+`bevy_light/src/cluster/assign.rs` + PointLight `bevy_light/src/point_light.rs`).
+
+Geometry passes write the G-buffer (albedo/normal/emissive + reverse-z
+depth); this plugin bins point lights into raster-aligned screen tiles and
+resolves lighting in one Pallas kernel (ops/shade_pallas.py). Enable by
+constructing geometry plugins with deferred=True and adding
+DeferredLightingPlugin.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from bevy_tpu.app.main_schedule import Render
+from bevy_tpu.app.plugin import Plugin
+from bevy_tpu.ecs.component import component, field
+from bevy_tpu.ecs.query import Query, Read, Res, ResMut
+from bevy_tpu.ecs.system import system
+from bevy_tpu.math.quat import quat_rotate_vec3
+from bevy_tpu.render.camera import (
+    Camera3d, perspective_infinite_reverse, pick_camera, view_matrix,
+)
+from bevy_tpu.render.mesh3d import AmbientLight, DirectionalLight
+from bevy_tpu.render.plugin import CLEAR_SET, SHADE_SET, ClearColor, RenderTarget
+
+
+@component
+class PointLight:
+    """ref: PointLight — color, intensity (normalized), range cutoff."""
+    color = field(3, default=(1.0, 1.0, 1.0))
+    intensity = field((), jnp.float32, default=1.0)
+    range = field((), jnp.float32, default=20.0)
+
+
+@system(name="clear_gbuffer")
+def clear_gbuffer(target=ResMut(RenderTarget.RESOURCE)):
+    target.gbuffer = jnp.zeros_like(target.gbuffer)
+
+
+def make_deferred_shade(width, height, tile_h=32, tile_w=128,
+                        pairs_per_light=4, max_lights_per_tile=256,
+                        backend="auto"):
+    from bevy_tpu.transform import GlobalTransform
+
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") \
+            else "pallas_interpret"
+    interpret = backend == "pallas_interpret"
+
+    @system(name="deferred_shade")
+    def deferred_shade_sys(cam=Query(Read(Camera3d), Read(GlobalTransform)),
+                           dlight=Query(Read(DirectionalLight),
+                                        Read(GlobalTransform)),
+                           plight=Query(Read(PointLight), Read(GlobalTransform)),
+                           amb=Res(AmbientLight),
+                           clear=Res(ClearColor),
+                           target=ResMut(RenderTarget.RESOURCE),
+                           stats=ResMut("render_stats")):
+        from bevy_tpu.ops.shade_pallas import bin_lights, deferred_shade
+
+        ci, has_cam = pick_camera(cam.mask)
+        cam_gt = cam.global_transform
+        view = view_matrix(cam_gt.translation[ci], cam_gt.rotation[ci],
+                           cam_gt.scale[ci])
+        near = cam.camera3d.near[ci]
+        proj = perspective_infinite_reverse(
+            cam.camera3d.fov[ci], width / height, near)
+        vp = proj @ view
+        inv_vp = jnp.linalg.inv(vp)
+
+        # --- light records + conservative screen AABBs ---
+        pos = plight.global_transform.translation            # (N, 3)
+        rng = plight.point_light.range
+        col = plight.point_light.color * \
+            plight.point_light.intensity[:, None]
+        ph = jnp.concatenate([pos, jnp.ones((pos.shape[0], 1))], 1)
+        vz = -(view[2] @ ph.T)                                # view depth >0 ahead
+        clip = (vp @ ph.T).T
+        w = jnp.maximum(clip[:, 3], 1e-6)
+        cx = (clip[:, 0] / w * 0.5 + 0.5) * width
+        cy = (0.5 - clip[:, 1] / w * 0.5) * height
+        f = 1.0 / jnp.tan(cam.camera3d.fov[ci] * 0.5)
+        r_px = rng * f * (height * 0.5) / jnp.maximum(vz - rng, near)
+        # light sphere containing / behind camera: cover whole screen
+        engulf = vz <= rng
+        big = jnp.asarray(max(width, height) * 2.0, jnp.float32)
+        r_px = jnp.where(engulf, big, r_px)
+        cx = jnp.where(engulf, width * 0.5, cx)
+        cy = jnp.where(engulf, height * 0.5, cy)
+        active = plight.mask & has_cam & (vz + rng > near)
+        records = jnp.concatenate([
+            pos, col, rng[:, None],
+            jnp.zeros((pos.shape[0], 1), jnp.float32)], axis=1)
+
+        hp = (height + tile_h - 1) // tile_h
+        wp = (width + tile_w - 1) // tile_w
+        table, counts, lstats = bin_lights(
+            vz, jnp.stack([cx, cy], 1), r_px, active, hp, wp,
+            tile_h, tile_w, pairs_per_light, max_lights_per_tile, records)
+
+        di, has_dl = pick_camera(dlight.mask)
+        ldir = quat_rotate_vec3(dlight.global_transform.rotation[di],
+                                jnp.asarray([0.0, 0.0, -1.0]))
+        lcol = dlight.directional_light.color[di] * \
+            dlight.directional_light.illuminance[di] * has_dl
+        params = jnp.concatenate([
+            inv_vp.reshape(16), ldir, lcol, amb.color * amb.brightness,
+            jnp.asarray([width, height], jnp.float32), clear.color,
+            jnp.zeros(1, jnp.float32)])
+        target.color = deferred_shade(
+            target.gbuffer, target.depth, table, counts, params,
+            tile_h=tile_h, tile_w=tile_w, max_per_tile=max_lights_per_tile,
+            interpret=interpret)
+        stats.pair_overflow = stats.pair_overflow + lstats["light_pair_overflow"]
+        stats.tile_overflow = stats.tile_overflow + lstats["light_tile_overflow"]
+
+    return deferred_shade_sys
+
+
+class DeferredLightingPlugin(Plugin):
+    def __init__(self, tile_h=32, tile_w=128, pairs_per_light=4,
+                 max_lights_per_tile=256, backend="auto"):
+        self.cfg = dict(tile_h=tile_h, tile_w=tile_w,
+                        pairs_per_light=pairs_per_light,
+                        max_lights_per_tile=max_lights_per_tile,
+                        backend=backend)
+
+    def build(self, app):
+        from bevy_tpu.render.plugin import RenderPlugin
+        rp = next((p for p in app._plugins if isinstance(p, RenderPlugin)), None)
+        if rp is None:
+            raise RuntimeError("DeferredLightingPlugin requires RenderPlugin")
+        app.world.register_component(PointLight)
+        store = app.world.state["res"][RenderTarget.RESOURCE]
+        store["gbuffer"] = jnp.zeros((10, rp.height, rp.width), jnp.float32)
+        app.world.structure_version += 1
+        app.add_systems(Render, clear_gbuffer, in_set=CLEAR_SET)
+        app.add_systems(Render,
+                        make_deferred_shade(rp.width, rp.height, **self.cfg),
+                        in_set=SHADE_SET)

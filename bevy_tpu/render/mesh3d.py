@@ -126,71 +126,148 @@ def directional_light_vec(light, amb):
                             jnp.zeros(7, jnp.float32)])
 
 
+def _near_clip(cc, cn, valid, eps=1e-3):
+    """Vectorized near-plane clipping at w = eps (ref: the hardware clipper
+    wgpu relies on). cc (T,3,4) clip-space corners, cn (T,3,3) corner
+    normals. Returns doubled arrays (2T, …): slot i = the (possibly
+    clipped) triangle, slot T+i = the second triangle of a 1-behind quad
+    split (degenerate/invalid otherwise). Cyclic rotations preserve winding.
+    """
+    w = cc[..., 3]
+    behind = w < eps
+    nb = jnp.sum(behind.astype(jnp.int32), axis=1)
+
+    def rot(arr, k):
+        return jnp.roll(arr, -k, axis=1)
+
+    # rotate so the single behind vertex (nb==1) or the single front vertex
+    # (nb==2, rotated to slot 2) lands canonically
+    b0, b1 = behind[:, 0], behind[:, 1]
+    f0, f1 = ~behind[:, 0], ~behind[:, 1]
+    k1 = jnp.where(b0, 0, jnp.where(b1, 1, 2))          # behind-first
+    k2 = jnp.where(f0, 1, jnp.where(f1, 2, 0))          # front-last
+    k = jnp.where(nb == 1, k1, jnp.where(nb == 2, k2, 0))
+    sel = jax.nn.one_hot(k, 3, dtype=cc.dtype)          # (T, 3)
+    ccr = (sel[:, 0, None, None] * cc +
+           sel[:, 1, None, None] * rot(cc, 1) +
+           sel[:, 2, None, None] * rot(cc, 2))
+    cnr = (sel[:, 0, None, None] * cn +
+           sel[:, 1, None, None] * rot(cn, 1) +
+           sel[:, 2, None, None] * rot(cn, 2))
+
+    a, b, c = ccr[:, 0], ccr[:, 1], ccr[:, 2]
+    na, nbn, ncn = cnr[:, 0], cnr[:, 1], cnr[:, 2]
+
+    def lerp_to_plane(p, q, np_, nq):
+        t = (eps - p[:, 3:4]) / jnp.where(
+            jnp.abs(q[:, 3:4] - p[:, 3:4]) > 1e-12,
+            q[:, 3:4] - p[:, 3:4], 1.0)
+        t = jnp.clip(t, 0.0, 1.0)
+        return p + (q - p) * t, np_ + (nq - np_) * t
+
+    # nb==1 (A behind): A1 on AB, A2 on AC → (A1,B,C) + (A1,C,A2)
+    a1, na1 = lerp_to_plane(a, b, na, nbn)
+    a2, na2 = lerp_to_plane(a, c, na, ncn)
+    # nb==2 (A,B behind, C front): A'=on AC, B'=on BC → (A',B',C)
+    ap, nap = lerp_to_plane(a, c, na, ncn)
+    bp, nbp = lerp_to_plane(b, c, nbn, ncn)
+
+    is1 = (nb == 1)[:, None, None]
+    is2 = (nb == 2)[:, None, None]
+    slot1_cc = jnp.where(is1, jnp.stack([a1, b, c], 1),
+                         jnp.where(is2, jnp.stack([ap, bp, c], 1), ccr))
+    slot1_cn = jnp.where(is1, jnp.stack([na1, nbn, ncn], 1),
+                         jnp.where(is2, jnp.stack([nap, nbp, ncn], 1), cnr))
+    slot2_cc = jnp.stack([a1, c, a2], 1)
+    slot2_cn = jnp.stack([na1, ncn, na2], 1)
+    valid1 = valid & (nb < 3)
+    valid2 = valid & (nb == 1)
+    return (jnp.concatenate([slot1_cc, slot2_cc]),
+            jnp.concatenate([slot1_cn, slot2_cn]),
+            jnp.concatenate([valid1, valid2]))
+
+
 def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                    target, stats, *, width, height, tile_h, tile_w,
-                   pairs_per_tri, max_per_tile, interpret):
+                   pairs_per_tri, max_per_tile, interpret, deferred=False):
     """Shared gather-free raster tail for batched-uniform geometry (plain
     meshes AND skinned meshes): clip (Ni, VC, 4) clip-space positions,
     nrm (Ni, VC, 3) world normals, triangles (TC, 3) STATIC numpy indices,
     inst_ok (Ni,) bool, per-instance colors/emissive. Corner extraction is a
-    constant one-hot matmul; setup is plane math; kernel is pure FMA."""
+    constant one-hot matmul; near-plane clipping is exact (quad splits use a
+    second table half); setup is plane math; kernel is pure FMA."""
     from bevy_tpu.ops.raster3d_pallas import (
         pack_tri_planes, raster_tris_pallas)
     ni, vc = clip.shape[0], clip.shape[1]
     tc = triangles.shape[0]
-    w = clip[..., 3]
-    w_ok = w > 1e-6
-    inv_w = 1.0 / jnp.where(w_ok, w, 1.0)
-    ndc = clip[..., :3] * inv_w[..., None]
-    sx = (ndc[..., 0] * 0.5 + 0.5) * width
-    sy = (0.5 - ndc[..., 1] * 0.5) * height
-    quant = jnp.stack([sx, sy, ndc[..., 2], inv_w,
-                       w_ok.astype(jnp.float32),
-                       nrm[..., 0], nrm[..., 1], nrm[..., 2]], axis=1)
+    quant = jnp.concatenate([jnp.moveaxis(clip, -1, 1),
+                             jnp.moveaxis(nrm, -1, 1)], axis=1)  # (Ni,7,VC)
     onehot = np.zeros((vc, tc * 3), np.float32)
     for ti in range(tc):
         for k in range(3):
             onehot[int(triangles[ti, k]), ti * 3 + k] = 1.0
     corners = jnp.einsum("nqv,vc->nqc", quant, jnp.asarray(onehot))
-    corners = corners.reshape(ni, 8, tc, 3)
-    t_all = ni * tc
-    cxy = jnp.stack([corners[:, 0], corners[:, 1]], axis=-1).reshape(t_all, 3, 2)
-    depth_c = corners[:, 2].reshape(t_all, 3)
-    invw_c = corners[:, 3].reshape(t_all, 3)
-    wok_c = corners[:, 4].reshape(t_all, 3)
-    normals_c = jnp.stack(
-        [corners[:, 5], corners[:, 6], corners[:, 7]], axis=-1
-    ).reshape(t_all, 3, 3)
+    corners = corners.reshape(ni, 7, tc, 3)
+    t_half = ni * tc
+    cc = jnp.moveaxis(corners[:, 0:4], 1, -1).reshape(t_half, 3, 4)
+    cn = jnp.moveaxis(corners[:, 4:7], 1, -1).reshape(t_half, 3, 3)
+    valid0 = jnp.broadcast_to(inst_ok[:, None], (ni, tc)).reshape(t_half)
+    cc, cn, valid = _near_clip(cc, cn, valid0)
+    t_all = 2 * t_half
+
+    w = cc[..., 3]
+    inv_w = 1.0 / jnp.maximum(w, 1e-6)
+    sx = (cc[..., 0] * inv_w * 0.5 + 0.5) * width
+    sy = (0.5 - cc[..., 1] * inv_w * 0.5) * height
+    cxy = jnp.stack([sx, sy], axis=-1)                 # (2T, 3, 2)
+    depth_c = cc[..., 2] * inv_w
+    invw_c = inv_w
+    normals_c = cn
     ax, ay = cxy[:, 0, 0], cxy[:, 0, 1]
     bx, by = cxy[:, 1, 0], cxy[:, 1, 1]
     cx2, cy2 = cxy[:, 2, 0], cxy[:, 2, 1]
     area2 = (bx - ax) * (cy2 - ay) - (by - ay) * (cx2 - ax)
-    valid = (area2 < -1e-12) & (jnp.sum(wok_c, 1) > 2.5) & \
-        jnp.broadcast_to(inst_ok[:, None], (ni, tc)).reshape(t_all)
+    valid = valid & (area2 < -1e-12)
     aabb = jnp.stack([
         jnp.min(cxy[:, :, 0], 1), jnp.min(cxy[:, :, 1], 1),
         jnp.max(cxy[:, :, 0], 1), jnp.max(cxy[:, :, 1], 1)], axis=1)
-    colors = jnp.broadcast_to(col_i[:, None, :], (ni, tc, 4)).reshape(t_all, 4)
-    emissive = jnp.broadcast_to(emi_i[:, None, :], (ni, tc, 3)).reshape(t_all, 3)
+    colors = jnp.tile(
+        jnp.broadcast_to(col_i[:, None, :], (ni, tc, 4)).reshape(t_half, 4),
+        (2, 1))
+    emissive = jnp.tile(
+        jnp.broadcast_to(emi_i[:, None, :], (ni, tc, 3)).reshape(t_half, 3),
+        (2, 1))
     table = pack_tri_planes(cxy, depth_c, invw_c, area2, valid,
                             normals_c, colors, emissive)
+    fb_in = target.gbuffer if deferred else target.color
+    # the clip-quad half (slots T..2T) is almost entirely degenerate —
+    # budget pairs on the REAL triangle count plus a small clip allowance
+    hp_t = (height + tile_h - 1) // tile_h
+    wp_t = (width + tile_w - 1) // tile_w
+    budget = t_half * pairs_per_tri + hp_t * wp_t + 8192
     fb, dep, st = raster_tris_pallas(
-        target.color, target.depth, table, valid, aabb, light_vec,
+        fb_in, target.depth, table, valid, aabb, light_vec,
         tile_h=tile_h, tile_w=tile_w, pairs_per_tri=pairs_per_tri,
-        max_per_tile=max_per_tile, interpret=interpret, layout="planes")
-    target.color = fb
+        max_per_tile=max_per_tile, interpret=interpret,
+        layout="planes_gbuf" if deferred else "planes",
+        pair_budget=budget)
+    if deferred:
+        target.gbuffer = fb
+    else:
+        target.color = fb
     target.depth = dep
     stats.pair_overflow = stats.pair_overflow + st["pair_overflow"]
     stats.tile_overflow = stats.tile_overflow + st["tile_overflow"]
 
 
 def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
-                   pairs_per_tri=2, max_per_tile=256, backend="auto"):
+                   pairs_per_tri=2, max_per_tile=256, backend="auto",
+                   deferred=False):
     from bevy_tpu.transform import GlobalTransform
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") \
-            else "xla"
+            else ("pallas_interpret" if deferred else "xla")
     interpret = backend == "pallas_interpret"
     if interpret:
         backend = "pallas"
@@ -213,6 +290,10 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
         vp = proj @ view
 
         uni = plugin._uniform if plugin is not None else None
+        if deferred and not (uni is not None and backend == "pallas"):
+            raise RuntimeError(
+                "deferred lighting currently requires the uniform-mesh "
+                "pallas path (all Mesh3d instances sharing one mesh)")
         if uni is not None and backend == "pallas":
             # gather-free fast path (see raster_batched)
             m = plugin.pool.meshes[uni["mesh"]]
@@ -235,7 +316,7 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                 directional_light_vec(light, amb), target, stats,
                 width=width, height=height, tile_h=tile_h, tile_w=tile_w,
                 pairs_per_tri=pairs_per_tri, max_per_tile=max_per_tile,
-                interpret=interpret)
+                interpret=interpret, deferred=deferred)
             return
         if uni is not None:
             # uniform-mesh fast path: all instances share one mesh, so the
@@ -340,12 +421,14 @@ class Mesh3dPlugin(Plugin):
     runtime mesh streaming goes through pool rebuild + retrace)."""
 
     def __init__(self, pool: MeshPool = None, tile_h=32, tile_w=128,
-                 pairs_per_tri=2, max_per_tile=256, backend="auto"):
+                 pairs_per_tri=2, max_per_tile=256, backend="auto",
+                 deferred=False):
         self.pool = pool or MeshPool()
         self._uniform = None
         self.cfg = dict(tile_h=tile_h, tile_w=tile_w,
                         pairs_per_tri=pairs_per_tri,
-                        max_per_tile=max_per_tile, backend=backend)
+                        max_per_tile=max_per_tile, backend=backend,
+                        deferred=deferred)
 
     def build(self, app):
         from bevy_tpu.render.plugin import RenderPlugin
@@ -371,12 +454,11 @@ class Mesh3dPlugin(Plugin):
             _rebuild_expansion(world, pool_host, plugin)
 
         app.add_prepare_hook(finish_pool)
-        # opaque 3D draws before the transparent 2D overlay (ref: Core3d
-        # main pass before Core2d/UI composition)
+        # opaque 3D draws in PASS_SET; 2D overlay composes later (set order)
         app.add_systems(Render,
                         make_mesh_pass(rp.width, rp.height, plugin=self,
                                        **self.cfg),
-                        in_set=PASS_SET, before="sprite_pass")
+                        in_set=PASS_SET)
 
     # expose for examples
     def add_mesh(self, mesh) -> int:

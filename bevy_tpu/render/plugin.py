@@ -35,10 +35,13 @@ class ClearColor:
     color = field(4, default=(0.098, 0.098, 0.133, 1.0))  # bevy's default dark grey-blue
 
 
-# Render-schedule system sets, mirroring RenderSystems (lib.rs:158-212).
+# Render-schedule system sets, mirroring RenderSystems (lib.rs:158-212)
+# and the Core3d pass order (Prepass → MainPass → PostProcess).
 CLEAR_SET = "render:clear"
 QUEUE_SET = "render:queue"   # extract+queue per pipeline (sprites, meshes…)
-PASS_SET = "render:pass"     # raster passes
+PASS_SET = "render:pass"     # 3D geometry passes (forward or G-buffer)
+SHADE_SET = "render:shade"   # deferred lighting resolve
+OVERLAY_SET = "render:overlay"  # transparent 2D / UI composition
 POST_SET = "render:post"     # tonemap / post-process
 
 
@@ -74,8 +77,10 @@ class RenderPlugin(Plugin):
         sched = app.schedule(Render)
         sched.configure_set(CLEAR_SET)
         sched.configure_set(QUEUE_SET, after=CLEAR_SET)
-        sched.configure_set(PASS_SET, after=QUEUE_SET)
-        sched.configure_set(POST_SET, after=PASS_SET)
+        sched.configure_set(PASS_SET, after=[CLEAR_SET, QUEUE_SET])
+        sched.configure_set(SHADE_SET, after=[CLEAR_SET, PASS_SET])
+        sched.configure_set(OVERLAY_SET, after=[CLEAR_SET, PASS_SET, SHADE_SET])
+        sched.configure_set(POST_SET, after=[CLEAR_SET, OVERLAY_SET])
         app.add_systems(Render, clear_render_target, in_set=CLEAR_SET)
 
 

@@ -155,5 +155,4 @@ class SkinnedMeshPlugin(Plugin):
                 directional_light_vec(light, amb), target, stats,
                 width=width, height=height, interpret=interpret, **cfg)
 
-        app.add_systems(Render, skinned_pass, in_set=PASS_SET,
-                        before="sprite_pass")
+        app.add_systems(Render, skinned_pass, in_set=PASS_SET)

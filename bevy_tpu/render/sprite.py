@@ -16,7 +16,7 @@ from bevy_tpu.ecs.query import Query, Read, Res, ResMut
 from bevy_tpu.ecs.system import system
 from bevy_tpu.ops.raster2d import pack_sprite_instances, raster_sprites
 from bevy_tpu.render.camera import Camera2d, pick_camera, quat_z_angle, world_to_screen_2d
-from bevy_tpu.render.plugin import PASS_SET, RenderTarget
+from bevy_tpu.render.plugin import OVERLAY_SET, RenderTarget
 from bevy_tpu.render.texture import TextureAtlas
 
 
@@ -158,4 +158,4 @@ class SpritePlugin(Plugin):
                 "tile_overflow": jnp.asarray(0, jnp.int32),
             })
         app.add_systems(Render, make_sprite_pass(rp.width, rp.height, **self.cfg),
-                        in_set=PASS_SET)
+                        in_set=OVERLAY_SET)

@@ -41,7 +41,7 @@ class GlobalTransform:
 class ChildOf:
     """Child→parent link (ref: ChildOf, hierarchy.rs:107). `depth` is the
     level bucket for propagation, maintained by `set_parent`."""
-    parent = field((), jnp.int32, default=NULL_ENTITY)
+    parent = field((), jnp.int32, default=NULL_ENTITY, entity_ref=True)
     depth = field((), jnp.int32, default=0)
 
 

@@ -1,0 +1,84 @@
+"""State machine tests (ref model: bevy_state in-crate tests —
+OnEnter/OnExit firing order, in_state run conditions)."""
+
+import jax.numpy as jnp
+
+from bevy_tpu import App, Res, ResMut, Update, field, resource
+from bevy_tpu.ecs.system import system
+from bevy_tpu.state import (
+    CurrentState, NextState, OnEnter, OnExit, add_state, in_state,
+)
+from bevy_tpu.time import TimePlugin
+
+
+class GameState:
+    MENU = 0
+    PLAYING = 1
+    PAUSED = 2
+
+
+@resource
+class Log:
+    enters = field((), jnp.int32)
+    exits = field((), jnp.int32)
+    updates = field((), jnp.int32)
+
+
+def _app():
+    app = App(capacity=16)
+    app.add_plugins(TimePlugin())
+    app.insert_resource(Log())
+    add_state(app, "game", GameState.MENU,
+              [GameState.MENU, GameState.PLAYING, GameState.PAUSED])
+    return app
+
+
+def test_transition_runs_exit_then_enter():
+    app = _app()
+
+    @system
+    def on_exit_menu(log=ResMut(Log)):
+        log.exits = log.exits + 1
+
+    @system
+    def on_enter_playing(log=ResMut(Log)):
+        log.enters = log.enters + 1
+
+    @system
+    def request(ns=NextState("game"), log=Res(Log)):
+        ns.set(GameState.PLAYING)
+
+    app.add_systems(OnExit("game", GameState.MENU), on_exit_menu)
+    app.add_systems(OnEnter("game", GameState.PLAYING), on_enter_playing)
+    app.add_systems(Update, request)
+
+    app.update(dt=1 / 60)  # request fires AFTER this frame's transition
+    assert int(app.world.resource("state_game").current) == GameState.MENU
+    app.update(dt=1 / 60)  # transition applies at StateTransition
+    assert int(app.world.resource("state_game").current) == GameState.PLAYING
+    log = app.world.resource(Log)
+    assert int(log.exits) == 1
+    assert int(log.enters) == 1
+    app.update(dt=1 / 60)  # self-transition (PLAYING→PLAYING) must not refire
+    log = app.world.resource(Log)
+    assert int(log.enters) == 1
+
+
+def test_in_state_run_condition():
+    app = _app()
+
+    @system
+    def count(log=ResMut(Log)):
+        log.updates = log.updates + 1
+
+    @system
+    def to_playing(ns=NextState("game")):
+        ns.set(GameState.PLAYING)
+
+    app.add_systems(Update, count, run_if=in_state("game", GameState.PLAYING))
+    app.add_systems(Update, to_playing)
+    app.update(dt=1 / 60)   # still MENU during Update
+    assert int(app.world.resource(Log).updates) == 0
+    app.update(dt=1 / 60)   # transition happened before this Update
+    app.update(dt=1 / 60)
+    assert int(app.world.resource(Log).updates) == 2
