@@ -32,6 +32,12 @@ PARAM_TYPES = (Query, Res, ResMut, Commands, Local, MessageReader,
                MessageWriter, Trigger, On)
 
 
+def register_param_type(cls):
+    """Extend the accepted system-param set (used by e.g. render Gizmos)."""
+    global PARAM_TYPES
+    PARAM_TYPES = PARAM_TYPES + (cls,)
+
+
 class System:
     _counter = 0
 

@@ -1,0 +1,130 @@
+"""Picking (reference twin: bevy_picking — backends emit PointerHits
+`src/backend.rs:93`; mesh raycasting backend `src/mesh_picking/`).
+
+Vectorized Möller–Trumbore over every instance triangle at once (the
+reference walks a BVH per mesh; at TPU batch widths brute force over the
+scene is one fused elementwise pass).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bevy_tpu.math.affine import TRS, trs_to_mat4
+from bevy_tpu.math.quat import quat_rotate_vec3
+from bevy_tpu.render.camera import view_matrix
+from bevy_tpu.render.mesh3d import Mesh3d
+from bevy_tpu.transform import GlobalTransform
+
+
+def screen_ray(cam_translation, cam_rotation, fov, width, height, px, py):
+    """Pixel → world-space ray (origin, direction) for a perspective
+    Camera3d (ref: Camera::viewport_to_world)."""
+    ndx = 2.0 * (px + 0.5) / width - 1.0
+    ndy = 1.0 - 2.0 * (py + 0.5) / height
+    f = 1.0 / jnp.tan(fov * 0.5)
+    aspect = width / height
+    d_view = jnp.asarray([ndx * aspect / f, ndy / f, -1.0], jnp.float32)
+    d_world = quat_rotate_vec3(cam_rotation, d_view)
+    d_world = d_world / jnp.linalg.norm(d_world)
+    return jnp.asarray(cam_translation, jnp.float32), d_world
+
+
+def raycast(origin, direction, v0, v1, v2):
+    """Batched Möller–Trumbore: (T,3) triangle corners → (t, hit) arrays.
+    Backface hits count (the reference's default Backfaces::Include)."""
+    eps = 1e-7
+    e1 = v1 - v0
+    e2 = v2 - v0
+    h = jnp.cross(jnp.broadcast_to(direction, e2.shape), e2)
+    a = jnp.sum(e1 * h, -1)
+    ok = jnp.abs(a) > eps
+    f = 1.0 / jnp.where(ok, a, 1.0)
+    s = origin - v0
+    u = f * jnp.sum(s * h, -1)
+    q = jnp.cross(s, e1)
+    v = f * jnp.sum(direction * q, -1)
+    t = f * jnp.sum(e2 * q, -1)
+    hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > eps)
+    return jnp.where(hit, t, jnp.inf), hit
+
+
+def pick_mesh3d(world, plugin, origin, direction):
+    """Cast a ray against every Mesh3d instance of `plugin` (Mesh3dPlugin).
+    Returns (entity_row or -1, distance). Host-callable (one jit dispatch)."""
+    uni = plugin._uniform
+    rows = world.query_rows(Mesh3d)
+    if len(rows) == 0:
+        return -1, float("inf")
+    origin = jnp.asarray(origin, jnp.float32)
+    direction = jnp.asarray(direction, jnp.float32)
+
+    gt = world.state["comp"]["global_transform"]["f"]
+    rows_j = jnp.asarray(rows, jnp.int32)
+    mats = trs_to_mat4(TRS(translation=gt["translation"][rows_j],
+                           rotation=gt["rotation"][rows_j],
+                           scale=gt["scale"][rows_j]))   # (Ni,4,4)
+    if uni is not None:
+        meshes = [plugin.pool.meshes[uni["mesh"]]] * len(rows)
+    else:
+        ids = np.asarray(jax.device_get(
+            world.column(Mesh3d, "mesh")))[rows]
+        meshes = [plugin.pool.meshes[int(i)] for i in ids]
+
+    best_t, best_row = jnp.inf, jnp.asarray(-1, jnp.int32)
+    # group instances per mesh id for batched transforms
+    if uni is not None:
+        m = meshes[0]
+        ph = jnp.concatenate([jnp.asarray(m.positions),
+                              jnp.ones((m.num_vertices, 1))], 1)
+        wv = jnp.einsum("nij,vj->nvi", mats, ph)[..., :3]   # (Ni, VC, 3)
+        tri = jnp.asarray(m.triangles, jnp.int32)
+        v0 = wv[:, tri[:, 0]].reshape(-1, 3)
+        v1 = wv[:, tri[:, 1]].reshape(-1, 3)
+        v2 = wv[:, tri[:, 2]].reshape(-1, 3)
+        t, hit = raycast(origin, direction, v0, v1, v2)
+        alive = world.mask_of(Mesh3d)[rows_j]
+        t = jnp.where(jnp.repeat(alive, m.num_triangles), t, jnp.inf)
+        k = jnp.argmin(t)
+        best_t = t[k]
+        best_row = jnp.where(jnp.isfinite(best_t),
+                             rows_j[k // m.num_triangles], -1)
+    else:
+        for i, m in enumerate(meshes):
+            ph = jnp.concatenate([jnp.asarray(m.positions),
+                                  jnp.ones((m.num_vertices, 1))], 1)
+            wv = (mats[i] @ ph.T).T[:, :3]
+            tri = jnp.asarray(m.triangles, jnp.int32)
+            t, hit = raycast(origin, direction,
+                             wv[tri[:, 0]], wv[tri[:, 1]], wv[tri[:, 2]])
+            tmin = jnp.min(t)
+            better = tmin < best_t
+            best_row = jnp.where(better, rows_j[i], best_row)
+            best_t = jnp.minimum(best_t, tmin)
+
+    row = int(jax.device_get(best_row))
+    dist = float(jax.device_get(best_t))
+    return (row, dist) if row >= 0 and np.isfinite(dist) else (-1, float("inf"))
+
+
+def pick_at_pixel(app, plugin, px, py):
+    """Mouse-style pick: pixel → ray → nearest Mesh3d entity row
+    (ref: the pointer→PointerHits flow)."""
+    from bevy_tpu.render.camera import Camera3d
+    from bevy_tpu.render.plugin import RenderTarget
+
+    cams = app.world.query_rows(Camera3d)
+    if len(cams) == 0:
+        return -1, float("inf")
+    cam = int(cams[0])
+    gt = app.world.get(cam, GlobalTransform)
+    fov = float(app.world.get(cam, Camera3d).fov)
+    size = jax.device_get(
+        app.world.state["res"][RenderTarget.RESOURCE]["size"])
+    origin, direction = screen_ray(
+        jnp.asarray(gt.translation), jnp.asarray(gt.rotation),
+        jnp.asarray(fov), float(size[0]), float(size[1]),
+        jnp.asarray(float(px)), jnp.asarray(float(py)))
+    return pick_mesh3d(app.world, plugin, origin, direction)

@@ -1,0 +1,220 @@
+"""Gizmos — immediate-mode debug drawing (reference twin: bevy_gizmos —
+`Gizmos` system param accumulating per-frame primitives `src/gizmos.rs`,
+rendered by bevy_gizmos_render's polyline pipeline into transparent phases).
+
+TPU design: a line segment is a thin rotated solid quad — gizmos append
+into a fixed per-frame device buffer and one pass feeds them through the
+existing sprite rasterizer after the 2D overlay. 3D endpoints project
+through the active Camera3d first.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from bevy_tpu.app.main_schedule import Render
+from bevy_tpu.app.plugin import Plugin
+from bevy_tpu.ecs._state import set_in
+from bevy_tpu.ecs.query import Query, Read, ResMut
+from bevy_tpu.ecs.system import system
+from bevy_tpu.render.camera import (
+    Camera2d, Camera3d, perspective_infinite_reverse, pick_camera,
+    quat_z_angle, view_matrix, world_to_screen_2d,
+)
+from bevy_tpu.render.plugin import OVERLAY_SET, POST_SET, RenderTarget
+
+GIZMO_RES = "gizmo_lines"
+
+
+class Gizmos:  # registered as a system param type at end of module
+    """System param (ref: Gizmos). Methods append segments; `budget` caps
+    appends per system per frame."""
+
+    def __init__(self, budget: int = 256):
+        self.budget = budget
+
+    def reads(self):
+        return set()
+
+    def writes(self):
+        return {"res:" + GIZMO_RES}
+
+    def build(self, state, world, sysctx):
+        return GizmosView(self, state["res"][GIZMO_RES])
+
+
+class GizmosView:
+    def __init__(self, param, store):
+        self._param = param
+        self._store = store
+        self._segments = []   # (a, b, color, width, is3d) per batch
+
+    def line(self, a, b, color=(1.0, 1.0, 1.0, 1.0), width=2.0):
+        """3D world-space segment(s); a/b (3,) or (n, 3)."""
+        self._segments.append((a, b, color, width, True))
+
+    def line_2d(self, a, b, color=(1.0, 1.0, 1.0, 1.0), width=2.0):
+        """2D world-space segment(s); a/b (2,) or (n, 2)."""
+        self._segments.append((a, b, color, width, False))
+
+    def rect_2d(self, center, size, color=(1.0, 1.0, 1.0, 1.0), width=2.0):
+        cx, cy = center[0], center[1]
+        hx, hy = size[0] / 2, size[1] / 2
+        corners = [(cx - hx, cy - hy), (cx + hx, cy - hy),
+                   (cx + hx, cy + hy), (cx - hx, cy + hy)]
+        for i in range(4):
+            self.line_2d(jnp.asarray(corners[i]),
+                         jnp.asarray(corners[(i + 1) % 4]), color, width)
+
+    def merge(self, state, tick):
+        if not self._segments:
+            return state
+        store = dict(state["res"][GIZMO_RES])
+        cap = store["a"].shape[0]
+        budget = self._param.budget
+        for a, b, color, width, is3d in self._segments:
+            a = jnp.atleast_2d(jnp.asarray(a, jnp.float32))
+            b = jnp.atleast_2d(jnp.asarray(b, jnp.float32))
+            n = a.shape[0]
+            if a.shape[1] == 2:
+                a = jnp.concatenate([a, jnp.zeros((n, 1))], 1)
+                b = jnp.concatenate([b, jnp.zeros((n, 1))], 1)
+            n = min(n, budget)
+            rows = store["count"] + jnp.arange(n, dtype=jnp.int32)
+            ok = rows < cap
+            rows = jnp.where(ok, rows, cap)
+            col = jnp.broadcast_to(jnp.asarray(color, jnp.float32), (n, 4))
+            store = dict(
+                store,
+                a=store["a"].at[rows].set(a[:n], mode="drop"),
+                b=store["b"].at[rows].set(b[:n], mode="drop"),
+                color=store["color"].at[rows].set(col, mode="drop"),
+                width=store["width"].at[rows].set(
+                    jnp.full(n, width, jnp.float32), mode="drop"),
+                is3d=store["is3d"].at[rows].set(
+                    jnp.full(n, is3d, jnp.bool_), mode="drop"),
+                count=store["count"] + jnp.sum(ok.astype(jnp.int32)),
+            )
+        return set_in(state, ("res", GIZMO_RES), store)
+
+
+@system(name="clear_gizmos")
+def clear_gizmos(g=ResMut(GIZMO_RES)):
+    g.count = jnp.zeros((), jnp.int32)
+
+
+def make_gizmo_pass(width, height, backend="auto"):
+    from bevy_tpu.ops.raster2d import pack_sprite_instances, raster_sprites
+    from bevy_tpu.transform import GlobalTransform
+
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") \
+            else "xla"
+
+    @system(name="gizmo_pass")
+    def gizmo_pass(g=ResMut(GIZMO_RES),
+                   cam2=Query(Read(Camera2d), Read(GlobalTransform)),
+                   cam3=Query(Read(Camera3d), Read(GlobalTransform)),
+                   target=ResMut(RenderTarget.RESOURCE)):
+        cap = g.a.shape[0]
+        lane = jnp.arange(cap, dtype=jnp.int32)
+        active = lane < g.count
+
+        # 3D endpoints → screen via Camera3d
+        c3, has3 = pick_camera(cam3.mask)
+        gt3 = cam3.global_transform
+        view = view_matrix(gt3.translation[c3], gt3.rotation[c3], gt3.scale[c3])
+        proj = perspective_infinite_reverse(
+            cam3.camera3d.fov[c3], width / height, cam3.camera3d.near[c3])
+        vp = proj @ view
+
+        def project(p):
+            ph = jnp.concatenate([p, jnp.ones((cap, 1))], 1)
+            clip = (vp @ ph.T).T
+            w = clip[:, 3]
+            ok = w > 1e-4
+            inv = 1.0 / jnp.where(ok, w, 1.0)
+            return jnp.stack([(clip[:, 0] * inv * 0.5 + 0.5) * width,
+                              (0.5 - clip[:, 1] * inv * 0.5) * height], 1), ok
+
+        a3, ok_a = project(g.a)
+        b3, ok_b = project(g.b)
+
+        # 2D endpoints → screen via Camera2d
+        c2, has2 = pick_camera(cam2.mask)
+        gt2 = cam2.global_transform
+        ang = quat_z_angle(gt2.rotation[c2])
+        a2 = world_to_screen_2d(g.a[:, :2], gt2.translation[c2, :2],
+                                jnp.cos(ang), jnp.sin(ang),
+                                cam2.camera2d.scale[c2], width, height)
+        b2 = world_to_screen_2d(g.b[:, :2], gt2.translation[c2, :2],
+                                jnp.cos(ang), jnp.sin(ang),
+                                cam2.camera2d.scale[c2], width, height)
+
+        use3 = g.is3d & has3
+        pa = jnp.where(use3[:, None], a3, a2)
+        pb = jnp.where(use3[:, None], b3, b2)
+        visible = active & jnp.where(g.is3d, ok_a & ok_b & has3, has2)
+
+        d = pb - pa
+        length = jnp.sqrt(jnp.sum(d * d, 1))
+        rot = jnp.arctan2(d[:, 1], d[:, 0])
+        packed = pack_sprite_instances(
+            center=(pa + pb) * 0.5,
+            half=jnp.stack([length * 0.5 + g.width * 0.5, g.width * 0.5], 1),
+            rot=rot, color=g.color,
+            uv_min=jnp.zeros((cap, 2)), uv_max=jnp.ones((cap, 2)),
+            tex=jnp.full(cap, -1, jnp.int32),
+            z=lane.astype(jnp.float32), active=visible)
+        if backend == "pallas":
+            from bevy_tpu.ops.raster2d_pallas import raster_sprites_pallas
+            fb, _ = raster_sprites_pallas(
+                target.color, packed,
+                jnp.ones((4, 1, 1), jnp.float32))
+            target.color = fb
+        else:
+            fbi, _ = raster_sprites(
+                target.color.transpose(1, 2, 0), packed,
+                jnp.ones((1, 1, 4), jnp.float32))
+            target.color = fbi.transpose(2, 0, 1)
+
+    return gizmo_pass
+
+
+class GizmosPlugin(Plugin):
+    """ref: GizmoPlugin + bevy_gizmos_render. `capacity` bounds retained
+    lines per frame."""
+
+    def __init__(self, capacity: int = 1024, backend="auto"):
+        self.capacity = capacity
+        self.backend = backend
+
+    def build(self, app):
+        from bevy_tpu.render.plugin import RenderPlugin
+        rp = next((p for p in app._plugins if isinstance(p, RenderPlugin)), None)
+        if rp is None:
+            raise RuntimeError("GizmosPlugin requires RenderPlugin")
+        from bevy_tpu.transform import GlobalTransform, Transform  # noqa: F401
+        app.world.register_component(Camera2d)
+        app.world.register_component(Camera3d)
+        cap = self.capacity
+        app.insert_resource(GIZMO_RES, {
+            "a": jnp.zeros((cap, 3), jnp.float32),
+            "b": jnp.zeros((cap, 3), jnp.float32),
+            "color": jnp.zeros((cap, 4), jnp.float32),
+            "width": jnp.zeros(cap, jnp.float32),
+            "is3d": jnp.zeros(cap, jnp.bool_),
+            "count": jnp.zeros((), jnp.int32),
+        })
+        # gizmos accumulate during Update; the pass draws them in OVERLAY
+        # and the buffer clears in POST (after drawing, before next frame)
+        app.add_systems(Render,
+                        make_gizmo_pass(rp.width, rp.height, self.backend),
+                        in_set=OVERLAY_SET, after="sprite_pass")
+        app.add_systems(Render, clear_gizmos, in_set=POST_SET)
+
+
+from bevy_tpu.ecs.system import register_param_type  # noqa: E402
+
+register_param_type(Gizmos)

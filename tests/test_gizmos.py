@@ -1,0 +1,57 @@
+"""Gizmos tests (ref model: bevy_gizmos immediate-mode semantics)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from bevy_tpu import App, Update
+from bevy_tpu.ecs.system import system
+from bevy_tpu.render import Camera2d, RenderPlugin, SpritePlugin
+from bevy_tpu.render.gizmos import Gizmos, GizmosPlugin
+from bevy_tpu.render.plugin import frame_image
+from bevy_tpu.time import TimePlugin
+from bevy_tpu.transform import TransformPlugin, transform_bundle
+
+
+def _app(draw_system):
+    app = App(capacity=32)
+    app.add_plugins(TimePlugin(), TransformPlugin(),
+                    RenderPlugin(width=128, height=64), SpritePlugin(),
+                    GizmosPlugin(capacity=64))
+    app.world.spawn(Camera2d(), *transform_bundle())
+    app.add_systems(Update, draw_system)
+    return app
+
+
+def test_line_2d_draws_and_is_immediate():
+    @system
+    def draw(g=Gizmos()):
+        g.line_2d(jnp.asarray([-30.0, 0.0]), jnp.asarray([30.0, 0.0]),
+                  color=(1.0, 0.0, 0.0, 1.0), width=2.0)
+
+    app = _app(draw)
+    app.update(dt=1 / 60)
+    img = frame_image(app)
+    assert img[32, 64, 0] > 150, "line not drawn through center"
+    assert img[20, 64, 0] < 120, "line too thick / misplaced"
+
+    # immediate mode: a frame without drawing leaves no line
+    app.schedules[Update].entries.clear()
+    app.schedules[Update]._order = None
+    app._plan_cache.clear()
+    app.update(dt=1 / 60)
+    img2 = frame_image(app)
+    assert img2[32, 64, 0] < 120, "gizmo persisted across frames"
+
+
+def test_rect_outline():
+    @system
+    def draw(g=Gizmos()):
+        g.rect_2d((0.0, 0.0), (40.0, 20.0), color=(0.0, 1.0, 0.0, 1.0),
+                  width=2.0)
+
+    app = _app(draw)
+    app.update(dt=1 / 60)
+    img = frame_image(app)
+    assert img[32 - 10, 64, 1] > 150     # top edge
+    assert img[32, 64 - 20, 1] > 150     # left edge
+    assert img[32, 64, 1] < 120          # hollow center
