@@ -432,6 +432,8 @@ class App:
             frames += 1
             if max_frames is not None and frames >= max_frames:
                 break
+            if getattr(self, "_ci_exit", False):
+                break
             if self.should_exit():
                 break
         return self

@@ -1,0 +1,146 @@
+"""Audio (reference twin: bevy_audio — AudioPlayer/PlaybackSettings
+components, rodio mixer/sink `src/audio_output.rs:9`, spatial falloff).
+
+Host-side: decoding (wav via stdlib) and the mixer are implemented and
+tested; a physical output device is out of scope in this environment — the
+mixer renders frames into a buffer a host driver can hand to any sink
+(the rodio position). Spatial volume uses inverse-distance falloff against
+the listener like the reference's spatial scale.
+"""
+
+from __future__ import annotations
+
+import wave
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from bevy_tpu.app.plugin import Plugin
+
+
+class AudioSource:
+    """Decoded waveform (ref: AudioSource asset)."""
+
+    def __init__(self, samples: np.ndarray, sample_rate: int):
+        self.samples = np.asarray(samples, np.float32)  # (n,) or (n, 2)
+        self.sample_rate = int(sample_rate)
+
+    @classmethod
+    def from_wav(cls, path):
+        with wave.open(str(path), "rb") as w:
+            n = w.getnframes()
+            raw = np.frombuffer(w.readframes(n), dtype=np.int16)
+            ch = w.getnchannels()
+            data = raw.astype(np.float32) / 32768.0
+            if ch > 1:
+                data = data.reshape(-1, ch)[:, :2]
+            return cls(data, w.getframerate())
+
+    @classmethod
+    def sine(cls, freq=440.0, seconds=1.0, sample_rate=44100):
+        t = np.arange(int(seconds * sample_rate)) / sample_rate
+        return cls(np.sin(2 * np.pi * freq * t).astype(np.float32),
+                   sample_rate)
+
+    @property
+    def duration(self):
+        return len(self.samples) / self.sample_rate
+
+
+class PlaybackSettings:
+    """ref: PlaybackSettings (ONCE / LOOP / DESPAWN semantics)."""
+
+    def __init__(self, volume=1.0, speed=1.0, looped=False, paused=False,
+                 spatial=False, position=(0.0, 0.0, 0.0)):
+        self.volume = volume
+        self.speed = speed
+        self.looped = looped
+        self.paused = paused
+        self.spatial = spatial
+        self.position = np.asarray(position, np.float32)
+
+
+class AudioSink:
+    """Control over one playing sound (ref: AudioSink)."""
+
+    def __init__(self, source: AudioSource, settings: PlaybackSettings):
+        self.source = source
+        self.settings = settings
+        self.cursor = 0.0   # sample position
+        self.stopped = False
+
+    def pause(self):
+        self.settings.paused = True
+
+    def play(self):
+        self.settings.paused = False
+
+    def stop(self):
+        self.stopped = True
+
+    def set_volume(self, v):
+        self.settings.volume = v
+
+    @property
+    def finished(self):
+        return self.stopped or (not self.settings.looped and
+                                self.cursor >= len(self.source.samples))
+
+
+class AudioMixer:
+    """ref: rodio's mixer. `render(n)` produces the next n output samples,
+    advancing all sinks; a host output loop would feed these to a device."""
+
+    def __init__(self, sample_rate=44100, listener=(0.0, 0.0, 0.0),
+                 spatial_scale=1.0):
+        self.sample_rate = sample_rate
+        self.sinks: list[AudioSink] = []
+        self.listener = np.asarray(listener, np.float32)
+        self.spatial_scale = spatial_scale
+
+    def play(self, source: AudioSource,
+             settings: Optional[PlaybackSettings] = None) -> AudioSink:
+        sink = AudioSink(source, settings or PlaybackSettings())
+        self.sinks.append(sink)
+        return sink
+
+    def render(self, n: int) -> np.ndarray:
+        out = np.zeros(n, np.float32)
+        for sink in list(self.sinks):
+            if sink.finished:
+                self.sinks.remove(sink)
+                continue
+            if sink.settings.paused:
+                continue
+            src = sink.source.samples
+            mono = src if src.ndim == 1 else src.mean(-1)
+            step = sink.settings.speed * sink.source.sample_rate / self.sample_rate
+            idx = sink.cursor + np.arange(n) * step
+            if sink.settings.looped:
+                idx = idx % len(mono)
+            valid = idx < len(mono)
+            samples = np.where(valid, mono[np.minimum(
+                idx.astype(np.int64), len(mono) - 1)], 0.0)
+            vol = sink.settings.volume
+            if sink.settings.spatial:
+                d = np.linalg.norm(sink.settings.position - self.listener)
+                vol = vol / (1.0 + d * self.spatial_scale)
+            out += samples * vol
+            sink.cursor = float(idx[-1] + step)
+        return np.clip(out, -1.0, 1.0)
+
+
+class AudioPlugin(Plugin):
+    """ref: AudioPlugin — exposes `app.audio` (mixer) and registers the
+    .wav loader with the asset server if present."""
+
+    def __init__(self, sample_rate=44100):
+        self.sample_rate = sample_rate
+
+    def build(self, app):
+        app.audio = AudioMixer(self.sample_rate)
+        server = getattr(app, "assets", None)
+        if server is not None:
+            server.register_loader(
+                ".wav", lambda p: AudioSource.from_wav(p))

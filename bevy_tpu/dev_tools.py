@@ -1,0 +1,96 @@
+"""Dev tools (reference twin: bevy_dev_tools — FPS overlay
+`src/fps_overlay.rs` and the CI testing harness `src/ci_testing/`:
+frame-indexed actions driven from config).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from bevy_tpu.app.main_schedule import Update
+from bevy_tpu.app.plugin import Plugin
+
+
+class FpsOverlayPlugin(Plugin):
+    """ref: FpsOverlayPlugin — a digit counter in the corner updated in-jit
+    from the host fps measurement (entering as a frame-input channel).
+    Requires RenderPlugin + SpritePlugin + FrameTimeDiagnosticsPlugin."""
+
+    def __init__(self, digits: int = 4, size: float = 12.0):
+        self.digits = digits
+        self.size = size
+
+    def build(self, app):
+        from bevy_tpu.diagnostic import FrameTimeDiagnosticsPlugin
+        from bevy_tpu.render.plugin import RenderPlugin
+        from bevy_tpu.render.sprite import Sprite  # noqa: F401
+        from bevy_tpu.render.text import (
+            DigitText, FontAtlas, make_digit_system, spawn_digit_counter,
+        )
+        from bevy_tpu.render.texture import AtlasBuilder, TextureAtlas
+
+        rp = next((p for p in app._plugins if isinstance(p, RenderPlugin)), None)
+        if rp is None:
+            raise RuntimeError("FpsOverlayPlugin requires RenderPlugin")
+
+        # glyphs pack into the shared atlas: rebuild it including any
+        # existing pixels (fresh builder if none)
+        builder = getattr(app, "_atlas_builder", None)
+        if builder is None:
+            builder = AtlasBuilder(512, 256)
+            app._atlas_builder = builder
+        font = FontAtlas(builder)
+        app.insert_resource(TextureAtlas.RESOURCE, {"data": builder.build()})
+        app.font = font
+
+        def fps_value():
+            store = getattr(app, "diagnostics", None)
+            d = store.get(FrameTimeDiagnosticsPlugin.FPS) if store else None
+            v = d.smoothed if d and d.smoothed else 0.0
+            return np.float32(v)
+
+        app.register_frame_input("fps", np.float32(0.0), fps_value)
+        app.add_systems(Update, make_digit_system(font, "frame_input", "fps"))
+        x = -rp.width / 2 + 8
+        y = rp.height / 2 - 8
+        spawn_digit_counter(app.world, font, self.digits, pos=(x, y),
+                            z=100.0, color=(0.2, 1.0, 0.3, 1.0),
+                            size=self.size)
+
+
+class CiTestingPlugin(Plugin):
+    """ref: CiTestingPlugin (ci_testing/mod.rs) — frame-indexed actions from
+    a config dict or JSON file: [{"frame": N, "action": "screenshot",
+    "path": ...} | {"frame": M, "action": "exit"} | {"frame": K,
+    "action": "custom", "fn": callable}]."""
+
+    def __init__(self, config=None, config_path=None):
+        if config_path:
+            config = json.loads(Path(config_path).read_text())
+        self.actions = sorted(config or [], key=lambda a: a["frame"])
+
+    def build(self, app):
+        actions = list(self.actions)
+        counter = {"n": 0}
+
+        def tick(app_):
+            counter["n"] += 1
+            for a in [a for a in actions if a["frame"] == counter["n"]]:
+                kind = a["action"]
+                if kind == "screenshot":
+                    from PIL import Image
+
+                    from bevy_tpu.render.plugin import frame_image
+                    Image.fromarray(frame_image(app_)).save(
+                        a.get("path", f"screenshot-{counter['n']}.png"))
+                elif kind == "exit":
+                    app_._ci_exit = True
+                elif kind == "custom":
+                    a["fn"](app_)
+
+        app.add_frame_hook(tick)
+        app._ci_exit = False

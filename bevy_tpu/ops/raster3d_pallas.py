@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from bevy_tpu.ops.binning import expand_runs
 
-F_PAD = 32
+F_PAD = 40
 
 
 def _pad_to(x, m):
@@ -53,16 +53,18 @@ def pack_tri_table(setup, normals, colors, emissive):
 
 
 def pack_tri_planes(corner_xy, depth, inv_w, area2, valid,
-                    normals, colors, emissive):
-    """Plane-equation triangle records (T, 32) — barycentrics are affine in
-    screen space, so every interpolated quantity is a plane; the kernel then
-    needs only FMAs, no per-corner math. Inputs are per-triangle corner
-    arrays (T, 3, …) — produce them WITHOUT gathers where possible (the
-    uniform-mesh path uses constant one-hot matmuls).
+                    normals, colors, emissive, metallic=None,
+                    roughness=None):
+    """Plane-equation triangle records (T, F_PAD) — barycentrics are affine
+    in screen space, so every interpolated quantity is a plane; the kernel
+    then needs only FMAs, no per-corner math. Inputs are per-triangle
+    corner arrays (T, 3, …) — produce them WITHOUT gathers where possible
+    (the uniform-mesh path uses constant one-hot matmuls).
 
     Layout: 0:9 edge planes (A,B,C ×3, raw sign: inside = all ≤ 0),
     9:12 z plane, 12:15 1/w plane, 15:24 normal planes (premultiplied by
-    corner 1/w), 24:28 color rgba, 28:31 emissive rgb."""
+    corner 1/w), 24:28 color rgba, 28:31 emissive rgb, 31 metallic,
+    32 perceptual roughness."""
     t = valid.shape[0]
     ax, ay = corner_xy[:, 0, 0], corner_xy[:, 0, 1]
     bx, by = corner_xy[:, 1, 0], corner_xy[:, 1, 1]
@@ -94,8 +96,11 @@ def pack_tri_planes(corner_xy, depth, inv_w, area2, valid,
     for pa, pb, pc in planes:
         cols += [pa, pb, pc]
     rec = jnp.stack(cols, axis=1)                      # (T, 24)
+    metallic = jnp.zeros(t, jnp.float32) if metallic is None else metallic
+    roughness = jnp.full(t, 0.5, jnp.float32) if roughness is None else roughness
     return jnp.concatenate([
-        rec, colors, emissive, jnp.zeros((t, F_PAD - 31), jnp.float32)], axis=1)
+        rec, colors, emissive, metallic[:, None], roughness[:, None],
+        jnp.zeros((t, F_PAD - 33), jnp.float32)], axis=1)
 
 
 def _plane_kernel(counts_ref, light_ref,
@@ -166,8 +171,8 @@ def _plane_kernel_gbuf(counts_ref, light_ref,
                        *, tile_h, tile_w, max_per_tile):
     """G-buffer variant of _plane_kernel (ref: the deferred prepass,
     bevy_core_pipeline/src/deferred/): writes albedo(0:3), alpha(3),
-    world normal(4:7), emissive(7:10) + depth; lighting happens in the
-    deferred shade kernel (ops/shade_pallas.py)."""
+    world normal(4:7), emissive(7:10), metallic(10), roughness(11) + depth;
+    lighting happens in the deferred shade kernel (ops/shade_pallas.py)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     ntx = pl.num_programs(1)
@@ -186,7 +191,7 @@ def _plane_kernel_gbuf(counts_ref, light_ref,
     dma.wait()
 
     def body(s, fb):
-        ar, ag, ab, aa, nxp, nyp, nzp, er, eg, eb, dep = fb
+        ar, ag, ab, aa, nxp, nyp, nzp, er, eg, eb, met, rgh, dep = fb
 
         def d(k):
             return tris_ref[k, s]
@@ -210,14 +215,16 @@ def _plane_kernel_gbuf(counts_ref, light_ref,
         er = jnp.where(zpass, d(28), er)
         eg = jnp.where(zpass, d(29), eg)
         eb = jnp.where(zpass, d(30), eb)
+        met = jnp.where(zpass, d(31), met)
+        rgh = jnp.where(zpass, d(32), rgh)
         dep = jnp.where(zpass, z, dep)
-        return (ar, ag, ab, aa, nxp, nyp, nzp, er, eg, eb, dep)
+        return (ar, ag, ab, aa, nxp, nyp, nzp, er, eg, eb, met, rgh, dep)
 
-    fb0 = tuple(g_in_ref[k] for k in range(10)) + (dep_in_ref[:],)
+    fb0 = tuple(g_in_ref[k] for k in range(12)) + (dep_in_ref[:],)
     out = jax.lax.fori_loop(0, cnt, body, fb0)
-    for k in range(10):
+    for k in range(12):
         g_out_ref[k] = out[k]
-    dep_out_ref[:] = out[10]
+    dep_out_ref[:] = out[12]
 
 
 def _kernel(counts_ref, light_ref,         # scalar prefetch (SMEM)

@@ -92,8 +92,9 @@ def _shade_kernel(counts_ref, params_ref,
     px = fiota((tile_h, tile_w), 1) + (j * tile_w).astype(jnp.float32) + 0.5
     py = fiota((tile_h, tile_w), 0) + (i * tile_h).astype(jnp.float32) + 0.5
 
-    # params: [0:16 inv_vp row-major, 16:19 light dir, 19:22 light rgb,
-    #          22:25 ambient rgb, 25 width, 26 height, 27:31 clear rgba]
+    # params (40,): [0:16 inv_vp row-major, 16:19 light dir, 19:22 light
+    # rgb, 22:25 ambient rgb, 25 width, 26 height, 27:31 clear rgba,
+    # 31:34 camera position]
     def p(k):
         return params_ref[k]
 
@@ -113,12 +114,49 @@ def _shade_kernel(counts_ref, params_ref,
     aa = gbuf_ref[3]
     nx, ny, nz = gbuf_ref[4], gbuf_ref[5], gbuf_ref[6]
     er, eg, eb = gbuf_ref[7], gbuf_ref[8], gbuf_ref[9]
+    met = gbuf_ref[10]
+    rough = jnp.clip(gbuf_ref[11], 0.045, 1.0)
 
-    # directional + ambient (ref: directional part of pbr_lighting)
-    lam = jnp.maximum(0.0, -(nx * p(16) + ny * p(17) + nz * p(18)))
-    acc_r = p(22) + p(19) * lam
-    acc_g = p(23) + p(20) * lam
-    acc_b = p(24) + p(21) * lam
+    # view vector + PBR terms shared across lights (ref: pbr_lighting.wesl
+    # Cook-Torrance GGX; diffuse kept un-normalized by π to match the
+    # forward path's brightness convention)
+    vx, vy, vz = p(31) - wx, p(32) - wy, p(33) - wz
+    inv_vlen = jax.lax.rsqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-9))
+    vx, vy, vz = vx * inv_vlen, vy * inv_vlen, vz * inv_vlen
+    nov = jnp.maximum(nx * vx + ny * vy + nz * vz, 1e-4)
+    alpha = rough * rough
+    a2 = alpha * alpha
+    dr = ar * (1.0 - met)
+    dg = ag * (1.0 - met)
+    db = ab * (1.0 - met)
+    f0r = 0.04 * (1.0 - met) + ar * met
+    f0g = 0.04 * (1.0 - met) + ag * met
+    f0b = 0.04 * (1.0 - met) + ab * met
+
+    def shade_light(lx, ly, lz, cr, cg, cb):
+        """L normalized toward the light; c* = light color (incl. atten)."""
+        nol = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
+        hx, hy, hz = lx + vx, ly + vy, lz + vz
+        inv_h = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-9))
+        noh = jnp.maximum((nx * hx + ny * hy + nz * hz) * inv_h, 0.0)
+        loh = jnp.maximum((lx * hx + ly * hy + lz * hz) * inv_h, 0.0)
+        den = noh * noh * (a2 - 1.0) + 1.0
+        dist = a2 / jnp.maximum(3.14159265 * den * den, 1e-9)
+        vis = 0.5 / jnp.maximum(
+            nol * (nov * (1.0 - alpha) + alpha) +
+            nov * (nol * (1.0 - alpha) + alpha), 1e-4)
+        fres = (1.0 - loh) ** 5
+        sr = dist * vis * (f0r + (1.0 - f0r) * fres)
+        sg = dist * vis * (f0g + (1.0 - f0g) * fres)
+        sb = dist * vis * (f0b + (1.0 - f0b) * fres)
+        return ((dr + sr) * cr * nol, (dg + sg) * cg * nol,
+                (db + sb) * cb * nol)
+
+    # directional + ambient
+    drr, drg, drb = shade_light(-p(16), -p(17), -p(18), p(19), p(20), p(21))
+    acc_r = ar * p(22) + drr
+    acc_g = ag * p(23) + drg
+    acc_b = ab * p(24) + drb
 
     dma.wait()
 
@@ -132,19 +170,19 @@ def _shade_kernel(counts_ref, params_ref,
         dz = d(2) - wz
         d2 = dx * dx + dy * dy + dz * dz
         inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-9))
-        lamp = jnp.maximum(0.0, (nx * dx + ny * dy + nz * dz) * inv_d)
         rng2 = jnp.maximum(d(6) * d(6), 1e-9)
         win = jnp.clip(1.0 - (d2 / rng2) * (d2 / rng2), 0.0, 1.0)
         atten = win * win / (d2 + 1.0)
-        f = lamp * atten
-        return (r + d(3) * f, g + d(4) * f, b + d(5) * f)
+        pr, pg, pb = shade_light(dx * inv_d, dy * inv_d, dz * inv_d,
+                                 d(3) * atten, d(4) * atten, d(5) * atten)
+        return (r + pr, g + pg, b + pb)
 
     acc_r, acc_g, acc_b = jax.lax.fori_loop(
         0, cnt, body, (acc_r, acc_g, acc_b))
 
-    out_r = jnp.where(geom, ar * acc_r + er, p(27))
-    out_g = jnp.where(geom, ag * acc_g + eg, p(28))
-    out_b = jnp.where(geom, ab * acc_b + eb, p(29))
+    out_r = jnp.where(geom, acc_r + er, p(27))
+    out_g = jnp.where(geom, acc_g + eg, p(28))
+    out_b = jnp.where(geom, acc_b + eb, p(29))
     out_a = jnp.where(geom, aa, p(30))
     col_out_ref[0] = out_r
     col_out_ref[1] = out_g
@@ -157,8 +195,8 @@ def _shade_kernel(counts_ref, params_ref,
 def deferred_shade(gbuffer, depth, light_table, tile_counts, params,
                    *, tile_h=32, tile_w=128, max_per_tile=256,
                    interpret=False):
-    """gbuffer (10,H,W), depth (H,W); light_table (num_tiles, 8, mpt) from
-    bin_lights; params (32,) f32 (see _shade_kernel). Returns color (4,H,W)."""
+    """gbuffer (12,H,W), depth (H,W); light_table (num_tiles, 8, mpt) from
+    bin_lights; params (40,) f32 (see _shade_kernel). Returns color (4,H,W)."""
     _, H, W = gbuffer.shape
     max_per_tile = _pad_to(max_per_tile, 128)
     hp, wp = _pad_to(H, tile_h), _pad_to(W, tile_w)
@@ -172,7 +210,7 @@ def deferred_shade(gbuffer, depth, light_table, tile_counts, params,
         grid=(nty, ntx),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),          # light_table
-            pl.BlockSpec((10, tile_h, tile_w), lambda i, j, *_: (0, i, j),
+            pl.BlockSpec((12, tile_h, tile_w), lambda i, j, *_: (0, i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
                          memory_space=pltpu.VMEM),

@@ -109,7 +109,7 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
         params = jnp.concatenate([
             inv_vp.reshape(16), ldir, lcol, amb.color * amb.brightness,
             jnp.asarray([width, height], jnp.float32), clear.color,
-            jnp.zeros(1, jnp.float32)])
+            cam_gt.translation[ci], jnp.zeros(6, jnp.float32)])
         target.color = deferred_shade(
             target.gbuffer, target.depth, table, counts, params,
             tile_h=tile_h, tile_w=tile_w, max_per_tile=max_lights_per_tile,
@@ -135,7 +135,7 @@ class DeferredLightingPlugin(Plugin):
             raise RuntimeError("DeferredLightingPlugin requires RenderPlugin")
         app.world.register_component(PointLight)
         store = app.world.state["res"][RenderTarget.RESOURCE]
-        store["gbuffer"] = jnp.zeros((10, rp.height, rp.width), jnp.float32)
+        store["gbuffer"] = jnp.zeros((12, rp.height, rp.width), jnp.float32)
         app.world.structure_version += 1
         app.add_systems(Render, clear_gbuffer, in_set=CLEAR_SET)
         app.add_systems(Render,

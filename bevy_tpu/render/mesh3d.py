@@ -189,7 +189,8 @@ def _near_clip(cc, cn, valid, eps=1e-3):
 
 def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                    target, stats, *, width, height, tile_h, tile_w,
-                   pairs_per_tri, max_per_tile, interpret, deferred=False):
+                   pairs_per_tri, max_per_tile, interpret, deferred=False,
+                   met_i=None, rgh_i=None):
     """Shared gather-free raster tail for batched-uniform geometry (plain
     meshes AND skinned meshes): clip (Ni, VC, 4) clip-space positions,
     nrm (Ni, VC, 3) world normals, triangles (TC, 3) STATIC numpy indices,
@@ -237,8 +238,17 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
     emissive = jnp.tile(
         jnp.broadcast_to(emi_i[:, None, :], (ni, tc, 3)).reshape(t_half, 3),
         (2, 1))
+
+    def _tile_scalar(x, default):
+        if x is None:
+            return jnp.full(t_all, default, jnp.float32)
+        return jnp.tile(jnp.broadcast_to(x[:, None], (ni, tc)
+                                         ).reshape(t_half), (2,))
+
+    metallic = _tile_scalar(met_i, 0.0)
+    roughness = _tile_scalar(rgh_i, 0.5)
     table = pack_tri_planes(cxy, depth_c, invw_c, area2, valid,
-                            normals_c, colors, emissive)
+                            normals_c, colors, emissive, metallic, roughness)
     fb_in = target.gbuffer if deferred else target.color
     # the clip-quad half (slots T..2T) is almost entirely degenerate —
     # budget pairs on the REAL triangle count plus a small clip allowance
@@ -316,7 +326,9 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                 directional_light_vec(light, amb), target, stats,
                 width=width, height=height, tile_h=tile_h, tile_w=tile_w,
                 pairs_per_tri=pairs_per_tri, max_per_tile=max_per_tile,
-                interpret=interpret, deferred=deferred)
+                interpret=interpret, deferred=deferred,
+                met_i=q.mesh_material.metallic[rows],
+                rgh_i=q.mesh_material.perceptual_roughness[rows])
             return
         if uni is not None:
             # uniform-mesh fast path: all instances share one mesh, so the

@@ -1,0 +1,128 @@
+"""Text rendering (reference twin: bevy_text — font assets, glyph atlases
+`src/font_atlas*.rs`, layout pipeline; parley shaping is replaced by simple
+monospace layout of a bitmap font).
+
+Two tiers:
+  * static text: host-side `spawn_text` bakes a string to one glyph-sprite
+    per character (re-spawn to change — the reference also relayouts).
+  * dynamic numbers: `DigitText` slots select glyph uv rects IN-JIT from a
+    numeric resource each frame (no host round trip) — the TPU-native way
+    to render counters like the FPS overlay.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from bevy_tpu.app.main_schedule import Update
+from bevy_tpu.ecs.component import component, field
+from bevy_tpu.ecs.query import Query, Res
+from bevy_tpu.ecs.system import system
+from bevy_tpu.render.sprite import Sprite
+from bevy_tpu.transform import GlobalTransform, Transform
+
+ASCII_START, ASCII_END = 32, 127
+
+
+class FontAtlas:
+    """Glyph atlas from PIL's built-in bitmap font (host bake)."""
+
+    def __init__(self, builder, scale: int = 2):
+        from PIL import Image, ImageDraw, ImageFont
+        font = ImageFont.load_default()
+        self.handles: Dict[str, dict] = {}
+        self.scale = scale
+        for code in range(ASCII_START, ASCII_END):
+            ch = chr(code)
+            box = font.getbbox(ch)
+            w = max(box[2], 1)
+            h = max(box[3], 1)
+            img = Image.new("L", (w, h), 0)
+            ImageDraw.Draw(img).text((0, 0), ch, fill=255, font=font)
+            a = np.asarray(img, np.float32) / 255.0
+            if scale != 1:
+                a = np.repeat(np.repeat(a, scale, 0), scale, 1)
+            rgba = np.ones(a.shape + (4,), np.float32)
+            rgba[..., 3] = a
+            self.handles[ch] = builder.add(rgba, f"glyph:{ch}", srgb=False)
+        self.char_w = self.handles["M"]["size"][0]
+        self.char_h = self.handles["M"]["size"][1]
+
+
+def spawn_text(world, font: FontAtlas, text: str, pos=(0.0, 0.0), z=10.0,
+               color=(1.0, 1.0, 1.0, 1.0), size=None):
+    """Bake a string to glyph sprites (monospace advance). Returns rows."""
+    rows = []
+    cw = size or font.char_w
+    ch_h = cw * font.char_h / font.char_w
+    x, y = float(pos[0]), float(pos[1])
+    for ch in text:
+        if ch == "\n":
+            y -= ch_h * 1.2
+            x = float(pos[0])
+            continue
+        if ch != " " and ch in font.handles:
+            h = font.handles[ch]
+            rows.append(world.spawn(
+                Sprite(size=(cw, ch_h), color=color,
+                       uv_min=h["uv_min"], uv_max=h["uv_max"], tex=h["tex"]),
+                Transform(translation=(x + cw / 2, y - ch_h / 2, z)),
+                GlobalTransform(translation=(x + cw / 2, y - ch_h / 2, z))))
+        x += cw
+    return rows
+
+
+@component
+class DigitText:
+    """One digit slot of an in-jit counter: shows digit k of the value in
+    the `source` resource field (value read as int32)."""
+    slot = field((), jnp.int32)       # 0 = least significant
+    num_slots = field((), jnp.int32, default=5)
+
+
+def make_digit_system(font: FontAtlas, source_res: str, source_field: str):
+    """Updates DigitText sprites' uv rects from a numeric resource."""
+    uv0 = np.stack([font.handles[str(d)]["uv_min"] for d in range(10)])
+    uv1 = np.stack([font.handles[str(d)]["uv_max"] for d in range(10)])
+    tex = font.handles["0"]["tex"]
+
+    @system(name=f"digit_text_{source_res}_{source_field}")
+    def digit_text(q=Query(Sprite, DigitText), src=Res(source_res)):
+        value = jnp.asarray(getattr(src, source_field)).astype(jnp.int32)
+        value = jnp.maximum(value, 0)
+        slot = q.digit_text.slot
+        digit = (value // (10 ** slot)) % 10
+        # leading-zero blanking: alpha 0 above the top significant digit
+        sig = value < (10 ** slot)
+        show = (slot == 0) | ~sig
+        u0 = jnp.asarray(uv0)[digit]
+        u1 = jnp.asarray(uv1)[digit]
+        q.sprite.uv_min = jnp.where(q.mask[:, None], u0, q.sprite.uv_min)
+        q.sprite.uv_max = jnp.where(q.mask[:, None], u1, q.sprite.uv_max)
+        q.sprite.tex = jnp.where(q.mask, tex, q.sprite.tex)
+        alpha = jnp.where(show, 1.0, 0.0)
+        q.sprite.color = jnp.where(
+            q.mask[:, None], q.sprite.color.at[:, 3].set(alpha),
+            q.sprite.color)
+
+    return digit_text
+
+
+def spawn_digit_counter(world, font: FontAtlas, num_digits=5, pos=(0.0, 0.0),
+                        z=10.0, color=(1.0, 1.0, 1.0, 1.0), size=None):
+    """Fixed digit slots, most significant on the left."""
+    cw = size or font.char_w
+    ch_h = cw * font.char_h / font.char_w
+    rows = []
+    for i in range(num_digits):
+        slot = num_digits - 1 - i
+        x = pos[0] + i * cw + cw / 2
+        rows.append(world.spawn(
+            Sprite(size=(cw, ch_h), color=color),
+            DigitText(slot=slot, num_slots=num_digits),
+            Transform(translation=(x, pos[1] - ch_h / 2, z)),
+            GlobalTransform(translation=(x, pos[1] - ch_h / 2, z))))
+    return rows

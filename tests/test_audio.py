@@ -1,0 +1,64 @@
+"""Audio tests (ref model: bevy_audio playback semantics — mixing, loop,
+pause, spatial falloff)."""
+
+import wave
+
+import numpy as np
+
+from bevy_tpu.audio import (
+    AudioMixer, AudioSource, PlaybackSettings,
+)
+
+
+def test_wav_roundtrip(tmp_path):
+    path = tmp_path / "tone.wav"
+    tone = (np.sin(2 * np.pi * 440 * np.arange(4410) / 44100) *
+            32000).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(tone.tobytes())
+    src = AudioSource.from_wav(path)
+    assert abs(src.duration - 0.1) < 1e-3
+    assert abs(src.samples.max() - tone.max() / 32768.0) < 1e-3
+
+
+def test_mixer_mixes_and_finishes():
+    mixer = AudioMixer()
+    s1 = AudioSource.sine(440, seconds=0.01)
+    s2 = AudioSource.sine(880, seconds=0.01)
+    mixer.play(s1, PlaybackSettings(volume=0.5))
+    mixer.play(s2, PlaybackSettings(volume=0.5))
+    out = mixer.render(441)
+    assert np.abs(out).max() > 0.1
+    mixer.render(10000)   # drain past both sources
+    out2 = mixer.render(100)
+    assert np.allclose(out2, 0.0)
+    assert not mixer.sinks
+
+
+def test_loop_and_pause():
+    mixer = AudioMixer()
+    sink = mixer.play(AudioSource.sine(440, seconds=0.001),
+                      PlaybackSettings(looped=True))
+    mixer.render(10000)
+    assert not sink.finished          # looped sounds never drain
+    sink.pause()
+    out = mixer.render(100)
+    assert np.allclose(out, 0.0)      # paused contributes silence
+    sink.stop()
+    mixer.render(1)
+    assert sink.finished
+
+
+def test_spatial_falloff():
+    near = AudioMixer()
+    far = AudioMixer()
+    near.play(AudioSource.sine(440, 0.01),
+              PlaybackSettings(spatial=True, position=(1.0, 0, 0)))
+    far.play(AudioSource.sine(440, 0.01),
+             PlaybackSettings(spatial=True, position=(50.0, 0, 0)))
+    a = np.abs(near.render(441)).max()
+    b = np.abs(far.render(441)).max()
+    assert a > b * 5
