@@ -105,7 +105,15 @@ class System:
 
     def run(self, state, world):
         """Run the system against a state pytree (traced or concrete),
-        returning the new state."""
+        returning the new state. Wrapped in a jax named scope so per-system
+        cost shows up in profiler traces (ref: the per-system tracing spans,
+        multi_threaded.rs:15)."""
+        import jax
+
+        with jax.named_scope(f"system:{self.name}"):
+            return self._run_inner(state, world)
+
+    def _run_inner(self, state, world):
         sysctx = {"id": self.id}
         views = {}
         for pname, p in self.params.items():

@@ -1,0 +1,169 @@
+"""Remote protocol (reference twin: bevy_remote — BRP, JSON-RPC 2.0 over
+HTTP `src/http.rs`, builtin methods `src/builtin_methods.rs:45`: world.query,
+world.get_components, world.insert_components, world.spawn_entity,
+world.despawn_entity, world.list_components, rpc.discover).
+
+Host-side: reads answer from the world snapshot immediately; mutations
+queue and apply between frames on the main thread (the reference's
+command-queue position), with the HTTP thread blocking on the result.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from bevy_tpu.app.plugin import Plugin
+from bevy_tpu.ecs.component import ComponentInstance, _REGISTRY
+
+
+class _Pending:
+    def __init__(self, fn):
+        self.fn = fn
+        self.done = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class RemoteServer:
+    def __init__(self, app, port: int = 15702):
+        self.app = app
+        self.port = port
+        self.queue: list[_Pending] = []
+        self.lock = threading.Lock()
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    req = json.loads(self.rfile.read(length))
+                    result = server.dispatch(req.get("method", ""),
+                                             req.get("params") or {})
+                    body = {"jsonrpc": "2.0", "id": req.get("id"),
+                            "result": result}
+                except Exception as e:  # noqa: BLE001 — reported to client
+                    body = {"jsonrpc": "2.0", "id": None,
+                            "error": {"code": -32603, "message": str(e)}}
+                data = json.dumps(body).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.port = self.httpd.server_address[1]
+        self.thread = threading.Thread(target=self.httpd.serve_forever,
+                                       daemon=True)
+        self.thread.start()
+
+    # -- main-thread pump (frame hook) -----------------------------------
+    def pump(self):
+        with self.lock:
+            pending, self.queue = self.queue, []
+        for p in pending:
+            try:
+                p.result = p.fn()
+            except Exception as e:  # noqa: BLE001
+                p.error = e
+            p.done.set()
+
+    def _on_main(self, fn, timeout=10.0):
+        p = _Pending(fn)
+        with self.lock:
+            self.queue.append(p)
+        if not p.done.wait(timeout):
+            raise TimeoutError("main thread did not pump remote queue")
+        if p.error:
+            raise p.error
+        return p.result
+
+    # -- methods (ref: builtin_methods.rs) --------------------------------
+    def dispatch(self, method: str, params: dict):
+        world = self.app.world
+        if method == "rpc.discover":
+            return {"methods": ["world.query", "world.get_components",
+                                "world.insert_components",
+                                "world.spawn_entity", "world.despawn_entity",
+                                "world.list_components", "rpc.discover"]}
+        if method == "world.list_components":
+            return sorted(world.specs.keys())
+        if method == "world.query":
+            comps = params.get("components", [])
+            rows = world.query_rows(*[self._spec(world, c) for c in comps]) \
+                if comps else np.flatnonzero(world._sync() or world._host_alive)
+            out = []
+            for row in rows.tolist():
+                entry = {"entity": int(row)}
+                if params.get("fetch", True):
+                    entry["components"] = {
+                        c: self._get(world, row, c) for c in comps}
+                out.append(entry)
+            return out
+        if method == "world.get_components":
+            row = int(params["entity"])
+            return {c: self._get(world, row, c)
+                    for c in params["components"]}
+        if method == "world.insert_components":
+            row = int(params["entity"])
+
+            def do():
+                for name, fields in params["components"].items():
+                    spec = self._spec(self.app.world, name)
+                    self.app.world.insert(row, ComponentInstance(spec, {
+                        f: np.asarray(v) for f, v in fields.items()}))
+                return True
+            return self._on_main(do)
+        if method == "world.spawn_entity":
+            def do():
+                insts = []
+                for name, fields in params.get("components", {}).items():
+                    spec = self._spec(self.app.world, name)
+                    insts.append(ComponentInstance(spec, {
+                        f: np.asarray(v) for f, v in fields.items()}))
+                e = self.app.world.spawn(*insts)
+                return {"entity": e.index, "generation": e.generation}
+            return self._on_main(do)
+        if method == "world.despawn_entity":
+            return self._on_main(
+                lambda: bool(self.app.world.despawn(int(params["entity"]))))
+        raise ValueError(f"unknown method '{method}'")
+
+    @staticmethod
+    def _spec(world, name: str):
+        if name in world.specs:
+            return world.specs[name]
+        for cls, s in _REGISTRY.items():
+            if s.name == name:
+                return world.register_component(s)
+        raise KeyError(f"unknown component '{name}'")
+
+    @staticmethod
+    def _get(world, row: int, name: str):
+        import jax
+        store = world.state["comp"][name]["f"]
+        return {f: np.asarray(jax.device_get(a[row])).tolist()
+                for f, a in store.items()}
+
+    def shutdown(self):
+        self.httpd.shutdown()
+
+
+class RemotePlugin(Plugin):
+    """ref: RemotePlugin + RemoteHttpPlugin (default port 15702; pass 0 for
+    an ephemeral port — read it from `app.remote.port`)."""
+
+    def __init__(self, port: int = 15702):
+        self.port = port
+
+    def build(self, app):
+        server = RemoteServer(app, self.port)
+        app.remote = server
+        app.add_frame_hook(lambda a: server.pump())
