@@ -250,11 +250,14 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
     table = pack_tri_planes(cxy, depth_c, invw_c, area2, valid,
                             normals_c, colors, emissive, metallic, roughness)
     fb_in = target.gbuffer if deferred else target.color
-    # the clip-quad half (slots T..2T) is almost entirely degenerate —
-    # budget pairs on the REAL triangle count plus a small clip allowance
+    # pair capacity ∝ every cost in binning (scan/gather/sort all run over
+    # capacity, not actual work). Budget on the REALISTIC pair rate —
+    # ~half the tris are backface-culled and most hit one tile — instead of
+    # the worst case; overflow is counted in render_stats, never silent.
+    # (`pairs_per_tri` remains the per-tri worst-case knob for the budget.)
     hp_t = (height + tile_h - 1) // tile_h
     wp_t = (width + tile_w - 1) // tile_w
-    budget = t_half * pairs_per_tri + hp_t * wp_t + 8192
+    budget = int(t_half * min(pairs_per_tri, 2) * 0.4) + hp_t * wp_t + 8192
     fb, dep, st = raster_tris_pallas(
         fb_in, target.depth, table, valid, aabb, light_vec,
         tile_h=tile_h, tile_w=tile_w, pairs_per_tri=pairs_per_tri,
