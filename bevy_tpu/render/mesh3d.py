@@ -76,9 +76,17 @@ def _rebuild_expansion(world, pool_host, plugin):
     rows = world.query_rows(Mesh3d)
     mesh_ids = np.asarray(jax.device_get(world.column(Mesh3d, "mesh")))[rows] \
         if len(rows) else np.zeros(0, np.int32)
-    if len(rows) and (mesh_ids == mesh_ids[0]).all():
-        plugin._uniform = {"rows": rows.astype(np.int32),
-                           "mesh": int(mesh_ids[0])}
+    # group instances per mesh: each group renders as a uniform batch
+    # (zero per-vertex gathers); mixed-mesh scenes become a few batches
+    # (ref: the per-pipeline bins of queue_material_meshes)
+    plugin._groups = [
+        {"rows": rows[mesh_ids == mid].astype(np.int32), "mesh": int(mid)}
+        for mid in np.unique(mesh_ids)
+    ]
+    plugin._uniform = plugin._groups[0] if len(plugin._groups) == 1 else None
+    if plugin._groups and getattr(plugin, "_resolved_backend", "pallas") == "pallas":
+        # pallas renders per-group uniform batches; the expanded tables are
+        # only needed by the XLA reference backend
         world.state["res"][EXPANSION] = {
             "vert_inst": jnp.zeros(3, jnp.int32),
             "vert_pool": jnp.zeros(3, jnp.int32),
@@ -87,7 +95,6 @@ def _rebuild_expansion(world, pool_host, plugin):
         }
         world.structure_version += 1
         return
-    plugin._uniform = None
     v_off = np.asarray([m.num_vertices for m in pool_host.meshes]).cumsum() - \
         np.asarray([m.num_vertices for m in pool_host.meshes])
     vert_inst, vert_pool, tri_inst, tri_verts = [], [], [], []
@@ -284,6 +291,8 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
     interpret = backend == "pallas_interpret"
     if interpret:
         backend = "pallas"
+    if plugin is not None:
+        plugin._resolved_backend = backend
 
     @system(name="mesh_pass")
     def mesh_pass(q=Query(Read(Mesh3d), Read(MeshMaterial), Read(GlobalTransform)),
@@ -302,37 +311,41 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
             cam.camera3d.fov[ci], width / height, cam.camera3d.near[ci])
         vp = proj @ view
 
-        uni = plugin._uniform if plugin is not None else None
-        if deferred and not (uni is not None and backend == "pallas"):
+        groups = plugin._groups if plugin is not None else None
+        if deferred and not (groups and backend == "pallas"):
             raise RuntimeError(
-                "deferred lighting currently requires the uniform-mesh "
-                "pallas path (all Mesh3d instances sharing one mesh)")
-        if uni is not None and backend == "pallas":
-            # gather-free fast path (see raster_batched)
-            m = plugin.pool.meshes[uni["mesh"]]
-            vc = m.num_vertices
-            rows = jnp.asarray(uni["rows"])
-            gt_r = q.global_transform.rotation[rows]
-            mats = trs_to_mat4(TRS(translation=q.global_transform.translation[rows],
-                                   rotation=gt_r,
-                                   scale=q.global_transform.scale[rows]))
-            mvp = jnp.einsum("ij,njk->nik", vp, mats)
-            ph = jnp.concatenate([jnp.asarray(m.positions),
-                                  jnp.ones((vc, 1), jnp.float32)], 1)
-            clip = jnp.einsum("nij,vj->nvi", mvp, ph)          # (Ni, VC, 4)
-            nrm = quat_rotate_vec3(gt_r[:, None, :],
-                                   jnp.asarray(m.normals)[None])  # (Ni, VC, 3)
-            raster_batched(
-                clip, nrm, m.triangles, q.mask[rows] & has_cam,
-                q.mesh_material.base_color[rows],
-                q.mesh_material.emissive[rows],
-                directional_light_vec(light, amb), target, stats,
-                width=width, height=height, tile_h=tile_h, tile_w=tile_w,
-                pairs_per_tri=pairs_per_tri, max_per_tile=max_per_tile,
-                interpret=interpret, deferred=deferred,
-                met_i=q.mesh_material.metallic[rows],
-                rgh_i=q.mesh_material.perceptual_roughness[rows])
+                "deferred lighting requires the pallas backend")
+        if groups is not None and backend == "pallas":
+            # gather-free per-mesh uniform batches (see raster_batched);
+            # mixed scenes render as a few sequential batches sharing the
+            # depth buffer (ref: queue_material_meshes per-pipeline bins)
+            lv = directional_light_vec(light, amb)
+            for grp in groups:
+                m = plugin.pool.meshes[grp["mesh"]]
+                vc = m.num_vertices
+                rows = jnp.asarray(grp["rows"])
+                gt_r = q.global_transform.rotation[rows]
+                mats = trs_to_mat4(TRS(
+                    translation=q.global_transform.translation[rows],
+                    rotation=gt_r, scale=q.global_transform.scale[rows]))
+                mvp = jnp.einsum("ij,njk->nik", vp, mats)
+                ph = jnp.concatenate([jnp.asarray(m.positions),
+                                      jnp.ones((vc, 1), jnp.float32)], 1)
+                clip = jnp.einsum("nij,vj->nvi", mvp, ph)       # (Ni, VC, 4)
+                nrm = quat_rotate_vec3(gt_r[:, None, :],
+                                       jnp.asarray(m.normals)[None])
+                raster_batched(
+                    clip, nrm, m.triangles, q.mask[rows] & has_cam,
+                    q.mesh_material.base_color[rows],
+                    q.mesh_material.emissive[rows],
+                    lv, target, stats,
+                    width=width, height=height, tile_h=tile_h, tile_w=tile_w,
+                    pairs_per_tri=pairs_per_tri, max_per_tile=max_per_tile,
+                    interpret=interpret, deferred=deferred,
+                    met_i=q.mesh_material.metallic[rows],
+                    rgh_i=q.mesh_material.perceptual_roughness[rows])
             return
+        uni = plugin._uniform if plugin is not None else None
         if uni is not None:
             # uniform-mesh fast path: all instances share one mesh, so the
             # vertex stage is (Ni,4,4)@(VC,4) batched matmuls — zero
@@ -440,6 +453,7 @@ class Mesh3dPlugin(Plugin):
                  deferred=False):
         self.pool = pool or MeshPool()
         self._uniform = None
+        self._groups = None
         self.cfg = dict(tile_h=tile_h, tile_w=tile_w,
                         pairs_per_tri=pairs_per_tri,
                         max_per_tile=max_per_tile, backend=backend,

@@ -111,6 +111,23 @@ def test_pallas_parity_interpret():
     assert frac < 0.005, f"{frac:.4%} of pixels differ (max {diff.max()})"
 
 
+def test_mixed_meshes_pallas_groups():
+    """Mixed-mesh scenes render as per-mesh uniform batches on the kernel
+    path (and may be combined with deferred lighting)."""
+    app = _cube_app(backend="pallas_interpret")
+    sphere = app._plugins[-1].add_mesh(uv_sphere(0.6, sectors=12, stacks=6))
+    app.world.spawn(Mesh3d(mesh=sphere),
+                    MeshMaterial(base_color=(0.1, 1.0, 0.1, 1.0)),
+                    *transform_bundle(translation=(1.5, 0.0, 0.0)))
+    app.update(dt=1 / 60)
+    img = frame_image(app)
+    h, w = img.shape[:2]
+    c = img[h // 2, w // 2]
+    s = img[h // 2, w // 2 + 30]
+    assert c[0] > c[1] + 20, f"cube missing: {c}"
+    assert s[1] > s[0] + 20, f"sphere missing: {s}"
+
+
 def test_mesh_pool_primitives():
     for mesh in (cuboid(), uv_sphere(sectors=8, stacks=4), plane()):
         assert mesh.num_triangles > 0
