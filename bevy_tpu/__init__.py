@@ -14,8 +14,8 @@ from bevy_tpu.app.main_schedule import (  # noqa: F401
 )
 from bevy_tpu.ecs import (  # noqa: F401
     component, field, resource, World, system, host_system, Schedule, Query,
-    Read, Res, ResMut, Local, With, Without, Changed, Added, Commands,
-    Entity, message, MessageReader, MessageWriter,
+    Read, Res, ResMut, Local, With, Without, Changed, Added, Removed,
+    Commands, Entity, message, MessageReader, MessageWriter,
 )
 from bevy_tpu.ecs.observer import On, Trigger, event  # noqa: F401
 from bevy_tpu.state import (  # noqa: F401

@@ -39,3 +39,11 @@ class With:  # noqa: F811
 class Without:
     def __init__(self, comp):
         self.comp = comp
+
+
+class Removed:
+    """Matches entities whose component was removed since the system last
+    ran (ref: RemovedComponents, bevy_ecs removal_detection)."""
+
+    def __init__(self, comp):
+        self.comp = comp

@@ -100,13 +100,18 @@ class CommandsView:
                 _, mask, specs = op
                 for spec in specs:
                     store = state["comp"][spec.name]
-                    state = set_in(state, ("comp", spec.name),
-                                   dict(store, has=store["has"] & ~mask))
+                    state = set_in(
+                        state, ("comp", spec.name),
+                        dict(store, has=store["has"] & ~mask,
+                             removed=jnp.where(
+                                 mask & store["has"], state["tick"],
+                                 store["removed"])))
         return state
 
 
 def _apply_despawn(state, mask):
     mask = mask & state["ent"]["alive"]
+    tick = state["tick"]
     ent = {
         "alive": state["ent"]["alive"] & ~mask,
         "generation": state["ent"]["generation"] + mask.astype(jnp.int32),
@@ -114,7 +119,9 @@ def _apply_despawn(state, mask):
     state = set_in(state, ("ent",), ent)
     comp = {}
     for name, store in state["comp"].items():
-        comp[name] = dict(store, has=store["has"] & ~mask)
+        comp[name] = dict(
+            store, has=store["has"] & ~mask,
+            removed=jnp.where(mask & store["has"], tick, store["removed"]))
     return set_in(state, ("comp",), comp)
 
 
@@ -139,6 +146,7 @@ def _apply_spawn(state, components, count, budget, tick):
             "has": store["has"].at[rows].set(True, mode="drop"),
             "added": store["added"].at[rows].set(tick, mode="drop"),
             "changed": store["changed"].at[rows].set(tick, mode="drop"),
+            "removed": store["removed"],
             "f": new_fields,
         }
         state = set_in(state, ("comp", spec.name), new_store)
@@ -161,6 +169,7 @@ def _apply_insert(state, mask, components, tick):
             "has": store["has"] | mask,
             "added": jnp.where(mask & ~store["has"], tick, store["added"]),
             "changed": jnp.where(mask, tick, store["changed"]),
+            "removed": store["removed"],
             "f": new_fields,
         }
         state = set_in(state, ("comp", spec.name), new_store)

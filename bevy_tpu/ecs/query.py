@@ -27,13 +27,15 @@ class Read:
 
 
 class Query:
-    def __init__(self, *comps, with_=(), without=(), changed=(), added=()):
+    def __init__(self, *comps, with_=(), without=(), changed=(), added=(),
+                 removed=()):
         self.comps = []
         self.read_only = set()
         self.with_ = [get_spec(c) for c in with_]
         self.without = [get_spec(c) for c in without]
         self.changed = [get_spec(c) for c in changed]
         self.added = [get_spec(c) for c in added]
+        self.removed = [get_spec(c) for c in removed]
         for c in comps:
             # Accept bevy-style positional filters (With/Without/Changed/Added)
             tname = type(c).__name__
@@ -49,6 +51,9 @@ class Query:
             if tname == "Added":
                 self.added.append(get_spec(c.comp))
                 continue
+            if tname == "Removed":
+                self.removed.append(get_spec(c.comp))
+                continue
             if isinstance(c, Read):
                 spec = get_spec(c.comp)
                 self.read_only.add(spec.name)
@@ -59,14 +64,16 @@ class Query:
     # -- access sets for ambiguity analysis (ref: FilteredAccessSet) -----
     def reads(self):
         out = {f"comp:{s.name}" for s in self.comps if s.name in self.read_only}
-        out |= {f"comp:{s.name}" for s in self.with_ + self.without + self.changed + self.added}
+        out |= {f"comp:{s.name}" for s in self.with_ + self.without
+                + self.changed + self.added + self.removed}
         return out
 
     def writes(self):
         return {f"comp:{s.name}" for s in self.comps if s.name not in self.read_only}
 
     def build(self, state, world, sysctx):
-        for spec in (*self.comps, *self.with_, *self.without, *self.changed, *self.added):
+        for spec in (*self.comps, *self.with_, *self.without, *self.changed,
+                     *self.added, *self.removed):
             if spec.name not in state["comp"]:
                 # Component never stored: empty query (mask all-false) —
                 # handled by registering storage host-side ahead of trace.
@@ -85,6 +92,17 @@ class Query:
         for spec in self.added:
             c = state["comp"][spec.name]
             mask = mask & c["has"] & (c["added"] > last_run)
+        for spec in self.removed:
+            # removal detection (ref: RemovedComponents): rows whose
+            # component vanished since this system last ran. Note: the
+            # entity itself may be despawned; `mask` intentionally does not
+            # AND alive for pure-Removed queries to keep despawn visible.
+            c = state["comp"][spec.name]
+            rm = ~c["has"] & (c["removed"] > last_run)
+            if not self.comps and not self.with_:
+                mask = rm
+            else:
+                mask = mask & rm
         return QueryView(self, state, mask)
 
 

@@ -95,6 +95,7 @@ class World:
             "has": jnp.zeros(n, jnp.bool_),
             "added": jnp.zeros(n, jnp.int32),
             "changed": jnp.zeros(n, jnp.int32),
+            "removed": jnp.zeros(n, jnp.int32),
             "f": {
                 fname: jnp.zeros((n,) + fld.shape, fld.dtype)
                 for fname, fld in spec.fields.items()
@@ -209,6 +210,7 @@ class World:
                 "has": pad0(c["has"]),
                 "added": pad0(c["added"]),
                 "changed": pad0(c["changed"]),
+                "removed": pad0(c["removed"]),
                 "f": {f: pad0(a) for f, a in c["f"].items()},
             }
             for name, c in self.state["comp"].items()
@@ -263,6 +265,7 @@ class World:
                 "has": store["has"].at[jrows].set(True),
                 "added": store["added"].at[jrows].set(tick),
                 "changed": store["changed"].at[jrows].set(tick),
+                "removed": store["removed"],
                 "f": new_fields,
             }
         return rows
@@ -286,6 +289,7 @@ class World:
                 "has": store["has"].at[jrow].set(True),
                 "added": store["added"].at[jrow].set(tick),
                 "changed": store["changed"].at[jrow].set(tick),
+                "removed": store["removed"],
                 "f": new_fields,
             }
 
@@ -298,7 +302,8 @@ class World:
             self._host_has[spec.name][row] = False
             store = self.state["comp"][spec.name]
             self.state["comp"][spec.name] = dict(
-                store, has=store["has"].at[row].set(False))
+                store, has=store["has"].at[row].set(False),
+                removed=store["removed"].at[row].set(self.state["tick"]))
 
     def despawn(self, entity: Union[Entity, int]):
         row = entity.index if isinstance(entity, Entity) else int(entity)

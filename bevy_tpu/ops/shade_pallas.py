@@ -23,7 +23,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from bevy_tpu.ops.binning import expand_runs
 
-LF = 8  # light record: x y z r g b range pad
+LF = 16  # light record: x y z  r g b  range  pad | dir xyz  cos_outer
+         # inv(cos_inner - cos_outer)  pad×3 — point lights use the
+         # sentinel cos_outer=-2, inv=1 so the cone term clips to 1
 
 
 def _pad_to(x, m):
@@ -173,6 +175,12 @@ def _shade_kernel(counts_ref, params_ref,
         rng2 = jnp.maximum(d(6) * d(6), 1e-9)
         win = jnp.clip(1.0 - (d2 / rng2) * (d2 / rng2), 0.0, 1.0)
         atten = win * win / (d2 + 1.0)
+        # spot cone (ref: spot_light_attenuation): smooth edge between
+        # outer and inner half-angle cosines; point lights pass
+        # cos_outer = -1 so the term is identically 1
+        cos_to = -(dx * inv_d * d(8) + dy * inv_d * d(9) + dz * inv_d * d(10))
+        cone = jnp.clip((cos_to - d(11)) * d(12), 0.0, 1.0)
+        atten = atten * cone * cone
         pr, pg, pb = shade_light(dx * inv_d, dy * inv_d, dz * inv_d,
                                  d(3) * atten, d(4) * atten, d(5) * atten)
         return (r + pr, g + pg, b + pb)

@@ -35,6 +35,17 @@ class PointLight:
     range = field((), jnp.float32, default=20.0)
 
 
+@component
+class SpotLight:
+    """ref: SpotLight — cone along the entity's -Z axis; angles are
+    half-angles in radians (inner fully lit, smooth falloff to outer)."""
+    color = field(3, default=(1.0, 1.0, 1.0))
+    intensity = field((), jnp.float32, default=1.0)
+    range = field((), jnp.float32, default=20.0)
+    inner_angle = field((), jnp.float32, default=0.3)
+    outer_angle = field((), jnp.float32, default=0.5)
+
+
 @system(name="clear_gbuffer")
 def clear_gbuffer(target=ResMut(RenderTarget.RESOURCE)):
     target.gbuffer = jnp.zeros_like(target.gbuffer)
@@ -55,6 +66,7 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
                            dlight=Query(Read(DirectionalLight),
                                         Read(GlobalTransform)),
                            plight=Query(Read(PointLight), Read(GlobalTransform)),
+                           slight=Query(Read(SpotLight), Read(GlobalTransform)),
                            amb=Res(AmbientLight),
                            clear=Res(ClearColor),
                            target=ResMut(RenderTarget.RESOURCE),
@@ -71,11 +83,36 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
         vp = proj @ view
         inv_vp = jnp.linalg.inv(vp)
 
-        # --- light records + conservative screen AABBs ---
-        pos = plight.global_transform.translation            # (N, 3)
-        rng = plight.point_light.range
-        col = plight.point_light.color * \
-            plight.point_light.intensity[:, None]
+        # --- unified point+spot records (LF=16, see shade_pallas) ---
+        np_ = plight.mask.shape[0]
+        p_pos = plight.global_transform.translation
+        p_rng = plight.point_light.range
+        p_col = plight.point_light.color * plight.point_light.intensity[:, None]
+        p_rec = jnp.concatenate([
+            p_pos, p_col, p_rng[:, None], jnp.zeros((np_, 1)),
+            jnp.zeros((np_, 3)), jnp.full((np_, 1), -2.0),
+            jnp.ones((np_, 1)), jnp.zeros((np_, 3))], axis=1)
+
+        ns = slight.mask.shape[0]
+        s_pos = slight.global_transform.translation
+        s_rng = slight.spot_light.range
+        s_col = slight.spot_light.color * slight.spot_light.intensity[:, None]
+        s_dir = quat_rotate_vec3(slight.global_transform.rotation,
+                                 jnp.asarray([0.0, 0.0, -1.0]))
+        cos_o = jnp.cos(slight.spot_light.outer_angle)
+        inv_co = 1.0 / jnp.maximum(
+            jnp.cos(slight.spot_light.inner_angle) - cos_o, 1e-4)
+        s_rec = jnp.concatenate([
+            s_pos, s_col, s_rng[:, None], jnp.zeros((ns, 1)),
+            s_dir, cos_o[:, None], inv_co[:, None],
+            jnp.zeros((ns, 3))], axis=1)
+
+        records = jnp.concatenate([p_rec, s_rec])
+        pos = jnp.concatenate([p_pos, s_pos])
+        rng = jnp.concatenate([p_rng, s_rng])
+        lmask = jnp.concatenate([plight.mask, slight.mask])
+
+        # --- conservative screen AABBs ---
         ph = jnp.concatenate([pos, jnp.ones((pos.shape[0], 1))], 1)
         vz = -(view[2] @ ph.T)                                # view depth >0 ahead
         clip = (vp @ ph.T).T
@@ -90,10 +127,7 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
         r_px = jnp.where(engulf, big, r_px)
         cx = jnp.where(engulf, width * 0.5, cx)
         cy = jnp.where(engulf, height * 0.5, cy)
-        active = plight.mask & has_cam & (vz + rng > near)
-        records = jnp.concatenate([
-            pos, col, rng[:, None],
-            jnp.zeros((pos.shape[0], 1), jnp.float32)], axis=1)
+        active = lmask & has_cam & (vz + rng > near)
 
         hp = (height + tile_h - 1) // tile_h
         wp = (width + tile_w - 1) // tile_w
@@ -134,6 +168,7 @@ class DeferredLightingPlugin(Plugin):
         if rp is None:
             raise RuntimeError("DeferredLightingPlugin requires RenderPlugin")
         app.world.register_component(PointLight)
+        app.world.register_component(SpotLight)
         store = app.world.state["res"][RenderTarget.RESOURCE]
         store["gbuffer"] = jnp.zeros((12, rp.height, rp.width), jnp.float32)
         app.world.structure_version += 1

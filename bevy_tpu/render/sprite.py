@@ -130,6 +130,40 @@ def make_sprite_pass(width, height, tile_h=32, tile_w=128,
     return sprite_pass
 
 
+@component
+class AtlasAnimation:
+    """Cycles a sprite through atlas frames in-jit (ref: the sprite-sheet
+    animation pattern of bevy's sprite_sheet example — TextureAtlas index
+    advanced by a timer)."""
+    frame = field((), jnp.float32)
+    fps = field((), jnp.float32, default=10.0)
+    first = field((), jnp.int32)
+    count = field((), jnp.int32, default=1)
+
+
+def make_atlas_animation_system(frames):
+    """`frames`: list of atlas handles (e.g. AtlasBuilder.grid(...) rects) —
+    becomes a constant uv table indexed on device."""
+    uv0 = jnp.asarray([f["uv_min"] for f in frames], jnp.float32)
+    uv1 = jnp.asarray([f["uv_max"] for f in frames], jnp.float32)
+    tex = int(frames[0]["tex"])
+    n_table = len(frames)
+
+    @system(name="animate_atlas_sprites")
+    def animate_atlas_sprites(q=Query(Sprite, AtlasAnimation), time=Res("time")):
+        a = q.atlas_animation
+        frame = a.frame + time.delta * a.fps
+        cnt = jnp.maximum(a.count.astype(jnp.float32), 1.0)
+        frame = jnp.where(q.mask, frame % cnt, a.frame)
+        a.frame = frame
+        idx = jnp.clip(a.first + frame.astype(jnp.int32), 0, n_table - 1)
+        q.sprite.uv_min = jnp.where(q.mask[:, None], uv0[idx], q.sprite.uv_min)
+        q.sprite.uv_max = jnp.where(q.mask[:, None], uv1[idx], q.sprite.uv_max)
+        q.sprite.tex = jnp.where(q.mask, tex, q.sprite.tex)
+
+    return animate_atlas_sprites
+
+
 class SpritePlugin(Plugin):
     """ref: SpritePlugin + SpriteRenderPlugin. Raster shape knobs surface
     here (the reference's equivalents are pipeline specialization keys)."""
