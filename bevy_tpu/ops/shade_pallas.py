@@ -75,10 +75,10 @@ def bin_lights(pos_view_z, center_px, radius_px, active, nty, ntx,
 
 def _shade_kernel(counts_ref, params_ref,
                   light_table_ref,
-                  gbuf_ref, dep_ref,
+                  gbuf_ref, dep_ref, shadow_ref,
                   col_out_ref,
                   lights_ref, sem,
-                  *, tile_h, tile_w, max_per_tile):
+                  *, tile_h, tile_w, max_per_tile, spot):
     i = pl.program_id(0)
     j = pl.program_id(1)
     ntx = pl.num_programs(1)
@@ -154,11 +154,12 @@ def _shade_kernel(counts_ref, params_ref,
         return ((dr + sr) * cr * nol, (dg + sg) * cg * nol,
                 (db + sb) * cb * nol)
 
-    # directional + ambient
+    # directional (shadowed) + ambient
+    lit = shadow_ref[:]
     drr, drg, drb = shade_light(-p(16), -p(17), -p(18), p(19), p(20), p(21))
-    acc_r = ar * p(22) + drr
-    acc_g = ag * p(23) + drg
-    acc_b = ab * p(24) + drb
+    acc_r = ar * p(22) + drr * lit
+    acc_g = ag * p(23) + drg * lit
+    acc_b = ab * p(24) + drb * lit
 
     dma.wait()
 
@@ -175,12 +176,15 @@ def _shade_kernel(counts_ref, params_ref,
         rng2 = jnp.maximum(d(6) * d(6), 1e-9)
         win = jnp.clip(1.0 - (d2 / rng2) * (d2 / rng2), 0.0, 1.0)
         atten = win * win / (d2 + 1.0)
-        # spot cone (ref: spot_light_attenuation): smooth edge between
-        # outer and inner half-angle cosines; point lights pass
-        # cos_outer = -1 so the term is identically 1
-        cos_to = -(dx * inv_d * d(8) + dy * inv_d * d(9) + dz * inv_d * d(10))
-        cone = jnp.clip((cos_to - d(11)) * d(12), 0.0, 1.0)
-        atten = atten * cone * cone
+        if spot:
+            # spot cone (ref: spot_light_attenuation): smooth edge between
+            # outer and inner half-angle cosines; point lights pass the
+            # sentinel cos_outer=-2 so the term clips to 1. Worlds with no
+            # SpotLight rows trace the cone-free variant (spot=False).
+            cos_to = -(dx * inv_d * d(8) + dy * inv_d * d(9) +
+                       dz * inv_d * d(10))
+            cone = jnp.clip((cos_to - d(11)) * d(12), 0.0, 1.0)
+            atten = atten * cone * cone
         pr, pg, pb = shade_light(dx * inv_d, dy * inv_d, dz * inv_d,
                                  d(3) * atten, d(4) * atten, d(5) * atten)
         return (r + pr, g + pg, b + pb)
@@ -199,12 +203,14 @@ def _shade_kernel(counts_ref, params_ref,
 
 
 @partial(jax.jit, static_argnames=("tile_h", "tile_w", "max_per_tile",
-                                   "interpret"))
+                                   "interpret", "spot"))
 def deferred_shade(gbuffer, depth, light_table, tile_counts, params,
-                   *, tile_h=32, tile_w=128, max_per_tile=256,
-                   interpret=False):
+                   shadow=None, *, tile_h=32, tile_w=128, max_per_tile=256,
+                   interpret=False, spot=True):
     """gbuffer (12,H,W), depth (H,W); light_table (num_tiles, 8, mpt) from
-    bin_lights; params (40,) f32 (see _shade_kernel). Returns color (4,H,W)."""
+    bin_lights; params (40,) f32 (see _shade_kernel); shadow (H,W) lit
+    factor for the directional light (None = fully lit).
+    Returns color (4,H,W)."""
     _, H, W = gbuffer.shape
     max_per_tile = _pad_to(max_per_tile, 128)
     hp, wp = _pad_to(H, tile_h), _pad_to(W, tile_w)
@@ -212,6 +218,8 @@ def deferred_shade(gbuffer, depth, light_table, tile_counts, params,
 
     gb = jnp.pad(gbuffer, ((0, 0), (0, hp - H), (0, wp - W)))
     dp = jnp.pad(depth, ((0, hp - H), (0, wp - W)))
+    sh = jnp.ones((hp, wp), jnp.float32) if shadow is None else \
+        jnp.pad(shadow, ((0, hp - H), (0, wp - W)), constant_values=1.0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -222,20 +230,22 @@ def deferred_shade(gbuffer, depth, light_table, tile_counts, params,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM),      # shadow factor
         ],
         out_specs=pl.BlockSpec((4, tile_h, tile_w), lambda i, j, *_: (0, i, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.SMEM((LF, max_per_tile), jnp.float32),
+            pltpu.SMEM((int(light_table.shape[1]), max_per_tile), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     kernel = partial(_shade_kernel, tile_h=tile_h, tile_w=tile_w,
-                     max_per_tile=max_per_tile)
+                     max_per_tile=max_per_tile, spot=spot)
     col = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
         interpret=interpret,
-    )(tile_counts, params, light_table, gb, dp)
+    )(tile_counts, params, light_table, gb, dp, sh)
     return col[:, :H, :W]

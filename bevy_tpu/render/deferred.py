@@ -53,7 +53,7 @@ def clear_gbuffer(target=ResMut(RenderTarget.RESOURCE)):
 
 def make_deferred_shade(width, height, tile_h=32, tile_w=128,
                         pairs_per_light=4, max_lights_per_tile=256,
-                        backend="auto"):
+                        backend="auto", world=None):
     from bevy_tpu.transform import GlobalTransform
 
     if backend == "auto":
@@ -83,34 +83,42 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
         vp = proj @ view
         inv_vp = jnp.linalg.inv(vp)
 
-        # --- unified point+spot records (LF=16, see shade_pallas) ---
+        # --- light records (see shade_pallas LF layout). TRACE-TIME
+        # specialization: worlds with no SpotLight rows build 8-field
+        # records and the cone-free kernel (the 0→nonzero transition bumps
+        # structure_version, retracing into the full path) ---
+        has_spots = world is None or world.component_rows(SpotLight) > 0
         np_ = plight.mask.shape[0]
         p_pos = plight.global_transform.translation
         p_rng = plight.point_light.range
         p_col = plight.point_light.color * plight.point_light.intensity[:, None]
-        p_rec = jnp.concatenate([
-            p_pos, p_col, p_rng[:, None], jnp.zeros((np_, 1)),
-            jnp.zeros((np_, 3)), jnp.full((np_, 1), -2.0),
-            jnp.ones((np_, 1)), jnp.zeros((np_, 3))], axis=1)
-
-        ns = slight.mask.shape[0]
-        s_pos = slight.global_transform.translation
-        s_rng = slight.spot_light.range
-        s_col = slight.spot_light.color * slight.spot_light.intensity[:, None]
-        s_dir = quat_rotate_vec3(slight.global_transform.rotation,
-                                 jnp.asarray([0.0, 0.0, -1.0]))
-        cos_o = jnp.cos(slight.spot_light.outer_angle)
-        inv_co = 1.0 / jnp.maximum(
-            jnp.cos(slight.spot_light.inner_angle) - cos_o, 1e-4)
-        s_rec = jnp.concatenate([
-            s_pos, s_col, s_rng[:, None], jnp.zeros((ns, 1)),
-            s_dir, cos_o[:, None], inv_co[:, None],
-            jnp.zeros((ns, 3))], axis=1)
-
-        records = jnp.concatenate([p_rec, s_rec])
-        pos = jnp.concatenate([p_pos, s_pos])
-        rng = jnp.concatenate([p_rng, s_rng])
-        lmask = jnp.concatenate([plight.mask, slight.mask])
+        if has_spots:
+            p_rec = jnp.concatenate([
+                p_pos, p_col, p_rng[:, None], jnp.zeros((np_, 1)),
+                jnp.zeros((np_, 3)), jnp.full((np_, 1), -2.0),
+                jnp.ones((np_, 1)), jnp.zeros((np_, 3))], axis=1)
+            ns = slight.mask.shape[0]
+            s_pos = slight.global_transform.translation
+            s_rng = slight.spot_light.range
+            s_col = slight.spot_light.color * \
+                slight.spot_light.intensity[:, None]
+            s_dir = quat_rotate_vec3(slight.global_transform.rotation,
+                                     jnp.asarray([0.0, 0.0, -1.0]))
+            cos_o = jnp.cos(slight.spot_light.outer_angle)
+            inv_co = 1.0 / jnp.maximum(
+                jnp.cos(slight.spot_light.inner_angle) - cos_o, 1e-4)
+            s_rec = jnp.concatenate([
+                s_pos, s_col, s_rng[:, None], jnp.zeros((ns, 1)),
+                s_dir, cos_o[:, None], inv_co[:, None],
+                jnp.zeros((ns, 3))], axis=1)
+            records = jnp.concatenate([p_rec, s_rec])
+            pos = jnp.concatenate([p_pos, s_pos])
+            rng = jnp.concatenate([p_rng, s_rng])
+            lmask = jnp.concatenate([plight.mask, slight.mask])
+        else:
+            records = jnp.concatenate([
+                p_pos, p_col, p_rng[:, None], jnp.zeros((np_, 1))], axis=1)
+            pos, rng, lmask = p_pos, p_rng, plight.mask
 
         # --- conservative screen AABBs ---
         ph = jnp.concatenate([pos, jnp.ones((pos.shape[0], 1))], 1)
@@ -144,10 +152,34 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
             inv_vp.reshape(16), ldir, lcol, amb.color * amb.brightness,
             jnp.asarray([width, height], jnp.float32), clear.color,
             cam_gt.translation[ci], jnp.zeros(6, jnp.float32)])
+
+        # directional shadow factor (when a ShadowPlugin installed a map):
+        # reconstruct world positions in XLA and do the one H×W map gather
+        # here; the kernel consumes the factor as a plane
+        shadow = None
+        try:
+            shadow_depth = target.shadow_depth
+            shadow_vp = target.shadow_vp
+        except AttributeError:
+            shadow_depth = None
+        if shadow_depth is not None:
+            from bevy_tpu.render.shadow import shadow_factor
+            ys = (jnp.arange(height, dtype=jnp.float32) + 0.5)[:, None]
+            xs = (jnp.arange(width, dtype=jnp.float32) + 0.5)[None, :]
+            ndx = 2.0 * xs / width - 1.0
+            ndy = 1.0 - 2.0 * ys / height
+            z = target.depth
+            ndc = jnp.stack([jnp.broadcast_to(ndx, z.shape),
+                             jnp.broadcast_to(ndy, z.shape), z,
+                             jnp.ones_like(z)], -1)
+            wh = jnp.einsum("ij,hwj->hwi", inv_vp, ndc)
+            world_pos = wh[..., :3] / jnp.where(
+                jnp.abs(wh[..., 3:4]) > 1e-9, wh[..., 3:4], 1.0)
+            shadow = shadow_factor(world_pos, shadow_depth, shadow_vp)
         target.color = deferred_shade(
-            target.gbuffer, target.depth, table, counts, params,
+            target.gbuffer, target.depth, table, counts, params, shadow,
             tile_h=tile_h, tile_w=tile_w, max_per_tile=max_lights_per_tile,
-            interpret=interpret)
+            interpret=interpret, spot=has_spots)
         stats.pair_overflow = stats.pair_overflow + lstats["light_pair_overflow"]
         stats.tile_overflow = stats.tile_overflow + lstats["light_tile_overflow"]
 
@@ -174,5 +206,6 @@ class DeferredLightingPlugin(Plugin):
         app.world.structure_version += 1
         app.add_systems(Render, clear_gbuffer, in_set=CLEAR_SET)
         app.add_systems(Render,
-                        make_deferred_shade(rp.width, rp.height, **self.cfg),
+                        make_deferred_shade(rp.width, rp.height,
+                                            world=app.world, **self.cfg),
                         in_set=SHADE_SET)
