@@ -123,28 +123,67 @@ class AnimationClip:
 
 @component
 class AnimationPlayer:
-    """ref: AnimationPlayer (lib.rs:735) — single active clip + speed;
-    graph blending enters as a second clip/weight later."""
+    """ref: AnimationPlayer (lib.rs:735) + AnimationTransitions
+    (transition.rs): the active clip crossfades from `prev_clip` while
+    `blend` ramps 0→1 at `blend_rate` per second. `start_transition`
+    (or in-jit writes) switch clips."""
     clip = field((), jnp.int32)
     time = field((), jnp.float32)
     speed = field((), jnp.float32, default=1.0)
     playing = field((), jnp.bool_, default=True)
+    prev_clip = field((), jnp.int32)
+    prev_time = field((), jnp.float32)
+    blend = field((), jnp.float32, default=1.0)      # 1 = fully on `clip`
+    blend_rate = field((), jnp.float32, default=4.0)  # 1/seconds
+
+
+def start_transition(world, entity, clip: int, duration: float = 0.25):
+    """Host helper: crossfade the player to `clip` over `duration` seconds
+    (ref: AnimationTransitions::play)."""
+    cur = world.get(entity, AnimationPlayer)
+    world.insert(entity, AnimationPlayer(
+        clip=clip, time=0.0, speed=float(cur.speed),
+        playing=bool(cur.playing),
+        prev_clip=int(cur.clip), prev_time=float(cur.time),
+        blend=0.0, blend_rate=1.0 / max(duration, 1e-3)))
 
 
 def advance_players(durations):
-    """Update-system factory: advance & wrap player clocks (ref:
-    advance_animations)."""
+    """Update-system factory: advance & wrap player clocks + blend ramps
+    (ref: advance_animations + advance_transitions)."""
     durs = jnp.asarray(durations, jnp.float32)
 
     @system(name="advance_animations")
     def advance_animations(q=Query(AnimationPlayer), time=Res(Time)):
-        dt = jnp.where(q.animation_player.playing, time.delta, 0.0)
-        t = q.animation_player.time + dt * q.animation_player.speed
-        d = durs[jnp.clip(q.animation_player.clip, 0, durs.shape[0] - 1)]
-        q.animation_player.time = jnp.where(q.mask, t % jnp.maximum(d, 1e-6),
-                                            q.animation_player.time)
+        p = q.animation_player
+        dt = jnp.where(p.playing, time.delta, 0.0) * p.speed
+
+        def adv(t, clip):
+            d = durs[jnp.clip(clip, 0, durs.shape[0] - 1)]
+            return (t + dt) % jnp.maximum(d, 1e-6)
+
+        p.time = jnp.where(q.mask, adv(p.time, p.clip), p.time)
+        p.prev_time = jnp.where(q.mask, adv(p.prev_time, p.prev_clip),
+                                p.prev_time)
+        p.blend = jnp.where(q.mask,
+                            jnp.minimum(p.blend + time.delta * p.blend_rate,
+                                        1.0), p.blend)
 
     return advance_animations
+
+
+def sample_pose_blended(clip_data, counts, rates, player):
+    """Crossfaded pose: nlerp(prev, cur, blend) (ref: blend graph's 2-node
+    case). `player` carries (Ni,) columns."""
+    cur = sample_pose(clip_data, counts, rates, player["clip"],
+                      player["time"])
+    prev = sample_pose(clip_data, counts, rates, player["prev_clip"],
+                       player["prev_time"])
+    b = player["blend"][:, None, None]
+    return TRS(
+        translation=prev["translation"] * (1 - b) + cur["translation"] * b,
+        rotation=quat_nlerp(prev["rotation"], cur["rotation"], b),
+        scale=prev["scale"] * (1 - b) + cur["scale"] * b)
 
 
 def bake_clips(clips: List[AnimationClip]):

@@ -16,7 +16,7 @@ import numpy as np
 
 from bevy_tpu.animation import (
     AnimationPlayer, advance_players, bake_clips, compose_joints,
-    sample_pose, skin_matrices,
+    sample_pose_blended, skin_matrices,
 )
 from bevy_tpu.app.main_schedule import Render, Update
 from bevy_tpu.app.plugin import Plugin
@@ -127,10 +127,14 @@ class SkinnedMeshPlugin(Plugin):
                 cam.camera3d.fov[ci], width / height, cam.camera3d.near[ci])
             vp = proj @ view
 
-            # animation sampling + joint composition (Ni, J, …)
-            local = sample_pose(clips.data, clips.counts, clips.rates,
-                                q.animation_player.clip[rows],
-                                q.animation_player.time[rows])
+            # animation sampling (crossfaded) + joint composition (Ni, J, …)
+            ap = q.animation_player
+            local = sample_pose_blended(
+                clips.data, clips.counts, clips.rates,
+                {"clip": ap.clip[rows], "time": ap.time[rows],
+                 "prev_clip": ap.prev_clip[rows],
+                 "prev_time": ap.prev_time[rows],
+                 "blend": ap.blend[rows]})
             global_trs = compose_joints(skeleton, local)
             joints = skin_matrices(skeleton, global_trs)   # (Ni, J, 4, 4)
 

@@ -98,3 +98,54 @@ def test_many_foxes_end_to_end():
     for _ in range(11):
         app2.update(dt=1 / 60)
     assert np.array_equal(img1, frame_image(app2))
+
+
+def test_transition_crossfades():
+    """start_transition blends poses over the configured duration."""
+    import jax.numpy as jnp
+    from bevy_tpu.animation import (
+        AnimationClip, bake_clips, sample_pose_blended, start_transition,
+    )
+    sk = _chain()
+
+    def pose_at(y):
+        def pose(t):
+            tr = sk.rest_t.copy()
+            tr[1, 1] = y
+            return {"translation": tr,
+                    "rotation": np.tile([0, 0, 0, 1.0], (2, 1))}
+        return pose
+
+    clip_a = AnimationClip(1.0, pose_at(0.0), rate=10.0)
+    clip_b = AnimationClip(1.0, pose_at(2.0), rate=10.0)
+    data, counts, rates = bake_clips([clip_a, clip_b])
+
+    def blended(blend):
+        player = {"clip": jnp.asarray([1]), "time": jnp.zeros(1),
+                  "prev_clip": jnp.asarray([0]), "prev_time": jnp.zeros(1),
+                  "blend": jnp.asarray([blend], jnp.float32)}
+        p = sample_pose_blended(data, counts, rates, player)
+        return float(np.asarray(p["translation"])[0, 1, 1])
+
+    assert abs(blended(0.0) - 0.0) < 1e-5   # fully on prev clip
+    assert abs(blended(0.5) - 1.0) < 1e-5   # halfway
+    assert abs(blended(1.0) - 2.0) < 1e-5   # fully on new clip
+
+
+def test_transition_in_app():
+    import many_foxes
+    from bevy_tpu.animation import AnimationPlayer, start_transition
+    from bevy_tpu.render.plugin import frame_image
+
+    app = many_foxes.build_app(n_foxes=4, width=128, height=64, capacity=32,
+                               camera=(0.0, 2.0, 8.0), camera_pitch=-0.2)
+    app.update(dt=1 / 60)
+    rows = app.world.query_rows(AnimationPlayer)
+    start_transition(app.world, int(rows[0]), clip=0, duration=0.2)
+    img0 = frame_image(app)
+    for _ in range(5):
+        app.update(dt=1 / 60)
+    img1 = frame_image(app)
+    assert (img0 != img1).any()
+    p = app.world.get(int(rows[0]), AnimationPlayer)
+    assert 0.0 < float(p.blend) <= 1.0
