@@ -20,6 +20,7 @@ class Camera2d:
     breaks ties when several cameras exist (ref: Camera::order)."""
     scale = field((), jnp.float32, default=1.0)
     order = field((), jnp.int32, default=0)
+    layers = field((), jnp.int32, default=1)  # ref: RenderLayers bitmask
 
 
 class OrthographicProjection:
@@ -70,6 +71,7 @@ class Camera3d:
     fov = field((), jnp.float32, default=0.7853981634)   # π/4 vertical
     near = field((), jnp.float32, default=0.1)
     order = field((), jnp.int32, default=0)
+    layers = field((), jnp.int32, default=1)  # ref: RenderLayers bitmask
 
 
 def perspective_infinite_reverse(fov, aspect, near):

@@ -36,6 +36,7 @@ from bevy_tpu.render.plugin import PASS_SET, RenderTarget
 class Mesh3d:
     """Handle into the MeshPool slab (ref: Mesh3d component + Handle<Mesh>)."""
     mesh = field((), jnp.int32)
+    layers = field((), jnp.int32, default=1)  # ref: RenderLayers bitmask
 
 
 @component
@@ -334,8 +335,10 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                 clip = jnp.einsum("nij,vj->nvi", mvp, ph)       # (Ni, VC, 4)
                 nrm = quat_rotate_vec3(gt_r[:, None, :],
                                        jnp.asarray(m.normals)[None])
+                vis = (q.mesh3d.layers[rows] &
+                       cam.camera3d.layers[ci]) != 0
                 raster_batched(
-                    clip, nrm, m.triangles, q.mask[rows] & has_cam,
+                    clip, nrm, m.triangles, q.mask[rows] & has_cam & vis,
                     q.mesh_material.base_color[rows],
                     q.mesh_material.emissive[rows],
                     lv, target, stats,

@@ -45,6 +45,7 @@ class Sprite:
     uv_min = field(2, default=(0.0, 0.0))
     uv_max = field(2, default=(1.0, 1.0))
     tex = field((), jnp.int32, default=-1)
+    layers = field((), jnp.int32, default=1)  # ref: RenderLayers bitmask
 
 
 def sprite_from_handle(handle, color=(1.0, 1.0, 1.0, 1.0), size=None,
@@ -108,7 +109,9 @@ def make_sprite_pass(width, height, tile_h=32, tile_w=128,
         packed = pack_sprite_instances(
             center=center_px, half=half_px, rot=rot_screen,
             color=q.sprite.color, uv_min=q.sprite.uv_min, uv_max=q.sprite.uv_max,
-            tex=q.sprite.tex, z=t[:, 2], active=q.mask & has_cam)
+            tex=q.sprite.tex, z=t[:, 2],
+            active=q.mask & has_cam &
+            ((q.sprite.layers & cam.camera2d.layers[cam_idx]) != 0))
         if backend == "pallas":
             from bevy_tpu.ops.raster2d_pallas import raster_sprites_pallas
             fb, st = raster_sprites_pallas(
