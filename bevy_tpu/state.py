@@ -20,6 +20,24 @@ from bevy_tpu.ecs.query import Res, ResMut
 from bevy_tpu.ecs.system import System, system
 
 
+from bevy_tpu.ecs.component import component, field
+
+_STATE_IDS: dict = {}
+
+
+@component
+class StateScoped:
+    """Entities despawned when their state value is exited (ref:
+    StateScoped, bevy_state/src/state_scoped.rs). Use
+    `state_scoped(name, value)` to construct."""
+    state_id = field((), jnp.int32)
+    value = field((), jnp.int32)
+
+
+def state_scoped(state_name: str, value: int) -> StateScoped:
+    return StateScoped(state_id=_STATE_IDS[state_name], value=int(value))
+
+
 def OnEnter(state_name: str, value: int) -> ScheduleLabel:
     """Schedule label run when `state_name` enters `value` (ref: OnEnter)."""
     return ScheduleLabel(f"OnEnter({state_name},{int(value)})")
@@ -38,6 +56,10 @@ class _TransitionSystem(System):
         self.app = app
         self.state_name = state_name
         self.values = list(values)
+        # StateScoped cleanup despawns on every execution — the App must
+        # invalidate the host liveness mirror after running us (the same
+        # contract as Commands systems)
+        self.has_commands = True
 
     def init_state(self, world):
         super().init_state(world)
@@ -52,6 +74,16 @@ class _TransitionSystem(System):
         cur = state["res"][rname]["current"]
         nxt = state["res"][rname]["next"]
         changed = (nxt >= 0) & (nxt != cur)
+
+        # StateScoped cleanup on exit (ref: clear_state_scoped_entities)
+        if "state_scoped" in state["comp"]:
+            from bevy_tpu.ecs.commands import _apply_despawn
+            ss = state["comp"]["state_scoped"]
+            sid = _STATE_IDS[self.state_name]
+            doomed = changed & ss["has"] & (ss["f"]["state_id"] == sid) & \
+                (ss["f"]["value"] == cur)
+            state = _apply_despawn(state, doomed)
+            world.mark_device_dirty()
 
         def run_label(label, state):
             sched = self.app.schedules.get(label)
@@ -84,6 +116,9 @@ class _TransitionSystem(System):
 
 def add_state(app, state_name: str, initial: int, values):
     """Register a state machine (ref: App::init_state)."""
+    if state_name not in _STATE_IDS:
+        _STATE_IDS[state_name] = len(_STATE_IDS)
+    app.world.register_component(StateScoped)
     app.insert_resource(f"state_{state_name}", {
         "current": jnp.asarray(int(initial), jnp.int32),
         "next": jnp.asarray(-1, jnp.int32),

@@ -82,3 +82,31 @@ def test_in_state_run_condition():
     app.update(dt=1 / 60)   # transition happened before this Update
     app.update(dt=1 / 60)
     assert int(app.world.resource(Log).updates) == 2
+
+
+def test_state_scoped_cleanup():
+    """StateScoped entities despawn when their state value is exited."""
+    from bevy_tpu.state import state_scoped
+    from bevy_tpu import component as _component, field as _field
+    import jax.numpy as jnp
+
+    @_component
+    class MenuItem:
+        pass
+
+    app = _app()
+
+    @system
+    def to_playing(ns=NextState("game")):
+        ns.set(GameState.PLAYING)
+
+    app.world.register_component(MenuItem)
+    e = app.world.spawn(MenuItem(), state_scoped("game", GameState.MENU))
+    keeper = app.world.spawn(MenuItem())
+    app.add_systems(Update, to_playing)
+    app.update(dt=1 / 60)   # still MENU during this frame's transition
+    assert app.world.entity_count(MenuItem) == 2
+    app.update(dt=1 / 60)   # transition MENU→PLAYING fires cleanup
+    assert app.world.entity_count(MenuItem) == 1
+    assert not app.world.is_alive(e)
+    assert app.world.is_alive(keeper)
