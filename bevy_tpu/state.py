@@ -74,6 +74,9 @@ class _TransitionSystem(System):
         cur = state["res"][rname]["current"]
         nxt = state["res"][rname]["next"]
         changed = (nxt >= 0) & (nxt != cur)
+        # record the pre-transition value for sub-states (ref: the
+        # transition event's `exited` field)
+        state = set_in(state, ("res", rname, "prev"), cur)
 
         # StateScoped cleanup on exit (ref: clear_state_scoped_entities)
         if "state_scoped" in state["comp"]:
@@ -122,10 +125,97 @@ def add_state(app, state_name: str, initial: int, values):
     app.insert_resource(f"state_{state_name}", {
         "current": jnp.asarray(int(initial), jnp.int32),
         "next": jnp.asarray(-1, jnp.int32),
+        "prev": jnp.asarray(int(initial), jnp.int32),
+        "exists": jnp.asarray(True),
     })
     from bevy_tpu.ecs.schedule import SystemEntry
     app.schedule(StateTransition).entries.append(
         SystemEntry(_TransitionSystem(app, state_name, values)))
+    app._plan_cache.clear()
+    return app
+
+
+class _SubStateSystem(_TransitionSystem):
+    """Child machine alive only while parent == parent_value (ref:
+    SubStates, bevy_state/src/state/sub_states.rs): (re)initializes on
+    parent entry (running OnEnter(initial)), tears down on parent exit
+    (running OnExit(current)), and applies its own transitions while
+    active."""
+
+    def __init__(self, app, state_name, values, initial, parent, parent_value):
+        super().__init__(app, state_name, values)
+        self.initial = int(initial)
+        self.parent = parent
+        self.parent_value = int(parent_value)
+
+    def run(self, state, world):
+        rname = f"state_{self.state_name}"
+        pname = f"state_{self.parent}"
+        p_cur = state["res"][pname]["current"]
+        p_prev = state["res"][pname]["prev"]
+        active = p_cur == self.parent_value
+        was = p_prev == self.parent_value
+        entered = active & ~was
+        exited = ~active & was
+
+        cur = state["res"][rname]["current"]
+        nxt = state["res"][rname]["next"]
+        own = active & (nxt >= 0) & (nxt != cur)
+
+        def run_label(label, state):
+            sched = self.app.schedules.get(label)
+            if sched is None or not sched.entries:
+                return state
+            return sched.run_traced(state, world)
+
+        # parent exit: OnExit(current) + StateScoped cleanup
+        if "state_scoped" in state["comp"]:
+            from bevy_tpu.ecs.commands import _apply_despawn
+            ss = state["comp"]["state_scoped"]
+            sid = _STATE_IDS[self.state_name]
+            doomed = (exited | own) & ss["has"] & \
+                (ss["f"]["state_id"] == sid) & (ss["f"]["value"] == cur)
+            state = _apply_despawn(state, doomed)
+        for v in self.values:
+            lbl = OnExit(self.state_name, v)
+            if lbl in self.app.schedules and self.app.schedules[lbl].entries:
+                state = jax.lax.cond(
+                    (exited | own) & (cur == v),
+                    lambda s, l=lbl: run_label(l, s), lambda s: s, state)
+        # parent entry re-initializes; own transitions pick `next`
+        target = jnp.where(entered, self.initial, nxt)
+        fire_enter = entered | own
+        for v in self.values:
+            lbl = OnEnter(self.state_name, v)
+            if lbl in self.app.schedules and self.app.schedules[lbl].entries:
+                state = jax.lax.cond(
+                    fire_enter & (target == v),
+                    lambda s, l=lbl: run_label(l, s), lambda s: s, state)
+        state = set_in(state, ("res", rname, "prev"), cur)
+        state = set_in(state, ("res", rname, "current"),
+                       jnp.where(fire_enter, target, cur))
+        state = set_in(state, ("res", rname, "next"), jnp.full_like(nxt, -1))
+        state = set_in(state, ("res", rname, "exists"), active)
+        return state
+
+
+def add_sub_state(app, state_name: str, initial: int, values,
+                  parent: str, parent_value: int):
+    """Register a sub-state machine (ref: App::add_sub_state). Must be
+    called AFTER add_state(parent) so the parent's transition applies
+    first each frame."""
+    if state_name not in _STATE_IDS:
+        _STATE_IDS[state_name] = len(_STATE_IDS)
+    app.insert_resource(f"state_{state_name}", {
+        "current": jnp.asarray(int(initial), jnp.int32),
+        "next": jnp.asarray(-1, jnp.int32),
+        "prev": jnp.asarray(int(initial), jnp.int32),
+        "exists": jnp.asarray(False),
+    })
+    from bevy_tpu.ecs.schedule import SystemEntry
+    app.schedule(StateTransition).entries.append(
+        SystemEntry(_SubStateSystem(app, state_name, values, initial,
+                                    parent, parent_value)))
     app._plan_cache.clear()
     return app
 
@@ -154,10 +244,11 @@ class CurrentState(Res):
 
 
 def in_state(state_name: str, value: int) -> System:
-    """Run condition (ref: in_state)."""
+    """Run condition (ref: in_state) — false while a sub-state's parent
+    value is inactive (`exists`)."""
 
     @system(name=f"in_state_{state_name}_{value}")
     def cond(s=Res(f"state_{state_name}")):
-        return s.current == value
+        return s.exists & (s.current == value)
 
     return cond

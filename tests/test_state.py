@@ -110,3 +110,68 @@ def test_state_scoped_cleanup():
     assert app.world.entity_count(MenuItem) == 1
     assert not app.world.is_alive(e)
     assert app.world.is_alive(keeper)
+
+
+def test_sub_states():
+    from bevy_tpu.state import add_sub_state
+
+    class Battle:
+        SELECT = 0
+        ATTACK = 1
+
+    app = _app()
+    add_sub_state(app, "battle", Battle.SELECT,
+                  [Battle.SELECT, Battle.ATTACK],
+                  parent="game", parent_value=GameState.PLAYING)
+
+    @system
+    def on_enter_select(log=ResMut(Log)):
+        log.enters = log.enters + 1
+
+    @system
+    def on_exit_battle_any(log=ResMut(Log)):
+        log.exits = log.exits + 1
+
+    app.add_systems(OnEnter("battle", Battle.SELECT), on_enter_select)
+    app.add_systems(OnExit("battle", Battle.SELECT), on_exit_battle_any)
+
+    @system
+    def count_in_attack(log=ResMut(Log)):
+        log.updates = log.updates + 1
+
+    app.add_systems(Update, count_in_attack,
+                    run_if=in_state("battle", Battle.SELECT))
+
+    # while parent is MENU, the sub-state does not exist
+    app.update(dt=1 / 60)
+    assert int(app.world.resource(Log).updates) == 0
+    assert not bool(app.world.resource("state_battle").exists)
+
+    # enter PLAYING → sub-state initializes to SELECT, OnEnter fires once
+    @system
+    def to_playing(ns=NextState("game")):
+        ns.set(GameState.PLAYING)
+
+    app.add_systems(Update, to_playing)
+    app.update(dt=1 / 60)  # transition applies next frame's StateTransition
+    app.update(dt=1 / 60)
+    log = app.world.resource(Log)
+    assert bool(app.world.resource("state_battle").exists)
+    assert int(log.enters) == 1
+    assert int(app.world.resource(Log).updates) >= 1
+
+    # own transition within the sub-state fires OnExit(SELECT)
+    @system
+    def to_attack(ns=NextState("battle")):
+        ns.set(Battle.ATTACK)
+
+    app.schedules[Update].entries = [
+        e for e in app.schedules[Update].entries
+        if e.system.name not in ("to_playing",)]
+    app.schedules[Update]._order = None
+    app._plan_cache.clear()
+    app.add_systems(Update, to_attack)
+    app.update(dt=1 / 60)
+    app.update(dt=1 / 60)
+    assert int(app.world.resource("state_battle").current) == Battle.ATTACK
+    assert int(app.world.resource(Log).exits) == 1
