@@ -34,9 +34,13 @@ from bevy_tpu.render.plugin import PASS_SET, RenderTarget
 
 @component
 class Mesh3d:
-    """Handle into the MeshPool slab (ref: Mesh3d component + Handle<Mesh>)."""
+    """Handle into the MeshPool slab (ref: Mesh3d component + Handle<Mesh>).
+    lod_near/lod_far bound the camera-distance band in which the instance
+    renders (ref: VisibilityRange, bevy_camera/src/visibility/range.rs)."""
     mesh = field((), jnp.int32)
     layers = field((), jnp.int32, default=1)  # ref: RenderLayers bitmask
+    lod_near = field((), jnp.float32, default=0.0)
+    lod_far = field((), jnp.float32, default=3.4e38)
 
 
 @component
@@ -337,6 +341,12 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                                        jnp.asarray(m.normals)[None])
                 vis = (q.mesh3d.layers[rows] &
                        cam.camera3d.layers[ci]) != 0
+                # LOD band (ref: check_visibility_ranges)
+                dist = jnp.linalg.norm(
+                    q.global_transform.translation[rows] -
+                    cam_gt.translation[ci], axis=-1)
+                vis = vis & (dist >= q.mesh3d.lod_near[rows]) & \
+                    (dist < q.mesh3d.lod_far[rows])
                 raster_batched(
                     clip, nrm, m.triangles, q.mask[rows] & has_cam & vis,
                     q.mesh_material.base_color[rows],

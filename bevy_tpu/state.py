@@ -243,6 +243,77 @@ class CurrentState(Res):
         super().__init__(f"state_{state_name}")
 
 
+class _ComputedStateSystem(_TransitionSystem):
+    """State derived from other states each frame (ref: ComputedStates,
+    bevy_state/src/state/computed_states.rs): `compute(sources) -> value`
+    re-evaluates after source transitions; OnEnter/OnExit fire on change.
+    compute receives {name: current} traced values and must return a traced
+    int32 (use jnp.where, not python if)."""
+
+    def __init__(self, app, state_name, values, sources, compute):
+        super().__init__(app, state_name, values)
+        self.sources = list(sources)
+        self.compute = compute
+
+    def run(self, state, world):
+        rname = f"state_{self.state_name}"
+        cur = state["res"][rname]["current"]
+        srcs = {s: state["res"][f"state_{s}"]["current"]
+                for s in self.sources}
+        new = jnp.asarray(self.compute(srcs), jnp.int32)
+        changed = new != cur
+
+        def run_label(label, state):
+            sched = self.app.schedules.get(label)
+            if sched is None or not sched.entries:
+                return state
+            return sched.run_traced(state, world)
+
+        if "state_scoped" in state["comp"]:
+            from bevy_tpu.ecs.commands import _apply_despawn
+            ss = state["comp"]["state_scoped"]
+            sid = _STATE_IDS[self.state_name]
+            doomed = changed & ss["has"] & \
+                (ss["f"]["state_id"] == sid) & (ss["f"]["value"] == cur)
+            state = _apply_despawn(state, doomed)
+        for v in self.values:
+            lbl = OnExit(self.state_name, v)
+            if lbl in self.app.schedules and self.app.schedules[lbl].entries:
+                state = jax.lax.cond(changed & (cur == v),
+                                     lambda s, l=lbl: run_label(l, s),
+                                     lambda s: s, state)
+        for v in self.values:
+            lbl = OnEnter(self.state_name, v)
+            if lbl in self.app.schedules and self.app.schedules[lbl].entries:
+                state = jax.lax.cond(changed & (new == v),
+                                     lambda s, l=lbl: run_label(l, s),
+                                     lambda s: s, state)
+        state = set_in(state, ("res", rname, "prev"), cur)
+        state = set_in(state, ("res", rname, "current"), new)
+        return state
+
+
+def add_computed_state(app, state_name: str, values, sources, compute,
+                       initial: int = 0):
+    """Register a derived state (ref: App::add_computed_state). `sources`
+    are existing state names whose transition systems run first (add order
+    matters)."""
+    if state_name not in _STATE_IDS:
+        _STATE_IDS[state_name] = len(_STATE_IDS)
+    app.insert_resource(f"state_{state_name}", {
+        "current": jnp.asarray(int(initial), jnp.int32),
+        "next": jnp.asarray(-1, jnp.int32),
+        "prev": jnp.asarray(int(initial), jnp.int32),
+        "exists": jnp.asarray(True),
+    })
+    from bevy_tpu.ecs.schedule import SystemEntry
+    app.schedule(StateTransition).entries.append(
+        SystemEntry(_ComputedStateSystem(app, state_name, values, sources,
+                                         compute)))
+    app._plan_cache.clear()
+    return app
+
+
 def in_state(state_name: str, value: int) -> System:
     """Run condition (ref: in_state) — false while a sub-state's parent
     value is inactive (`exists`)."""

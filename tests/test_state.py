@@ -175,3 +175,66 @@ def test_sub_states():
     app.update(dt=1 / 60)
     assert int(app.world.resource("state_battle").current) == Battle.ATTACK
     assert int(app.world.resource(Log).exits) == 1
+
+
+def test_computed_state():
+    """A derived 'paused-or-menu' overlay state recomputes from its source
+    and fires enter/exit on change."""
+    import jax.numpy as jnp
+    from bevy_tpu.state import add_computed_state
+
+    app = _app()
+
+    # overlay = 1 when game is not PLAYING
+    add_computed_state(
+        app, "overlay", values=[0, 1], sources=["game"],
+        compute=lambda s: jnp.where(s["game"] == GameState.PLAYING, 0, 1),
+        initial=1)
+
+    @system
+    def on_overlay_off(log=ResMut(Log)):
+        log.exits = log.exits + 1
+
+    app.add_systems(OnExit("overlay", 1), on_overlay_off)
+
+    @system
+    def to_playing(ns=NextState("game")):
+        ns.set(GameState.PLAYING)
+
+    app.add_systems(Update, to_playing)
+    app.update(dt=1 / 60)
+    assert int(app.world.resource("state_overlay").current) == 1
+    app.update(dt=1 / 60)   # game→PLAYING, overlay recomputes to 0
+    assert int(app.world.resource("state_overlay").current) == 0
+    assert int(app.world.resource(Log).exits) == 1
+    app.update(dt=1 / 60)   # stable: no refire
+    assert int(app.world.resource(Log).exits) == 1
+
+
+def test_lod_visibility_range():
+    import numpy as np
+    from bevy_tpu.render import RenderPlugin
+    from bevy_tpu.render.camera import Camera3d
+    from bevy_tpu.render.mesh import cuboid
+    from bevy_tpu.render.mesh3d import (
+        DirectionalLight, Mesh3d, MeshMaterial, Mesh3dPlugin,
+    )
+    from bevy_tpu.render.plugin import frame_image
+    from bevy_tpu.transform import TransformPlugin, transform_bundle
+
+    def scene(lod_far):
+        app = App(capacity=16)
+        plugin = Mesh3dPlugin(backend="pallas_interpret")
+        cube = plugin.add_mesh(cuboid(1.0, 1.0, 1.0))
+        app.add_plugins(TimePlugin(), TransformPlugin(),
+                        RenderPlugin(width=96, height=64), plugin)
+        app.world.spawn(Camera3d(), *transform_bundle(translation=(0, 0, 5)))
+        app.world.spawn(DirectionalLight(), *transform_bundle())
+        app.world.spawn(Mesh3d(mesh=cube, lod_far=lod_far), MeshMaterial(),
+                        *transform_bundle())
+        app.update(dt=1 / 60)
+        img = frame_image(app)
+        return img[32, 48, 0] > 100   # cube visible at center?
+
+    assert bool(scene(lod_far=100.0))       # within range → visible
+    assert not bool(scene(lod_far=2.0))     # camera at 5 > far 2 → culled
