@@ -11,8 +11,7 @@ the listener like the reference's spatial scale.
 from __future__ import annotations
 
 import wave
-from pathlib import Path
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -8,7 +8,6 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
-import jax.numpy as jnp
 import numpy as np
 
 from bevy_tpu.app.main_schedule import Update
@@ -29,7 +28,7 @@ class FpsOverlayPlugin(Plugin):
         from bevy_tpu.render.plugin import RenderPlugin
         from bevy_tpu.render.sprite import Sprite  # noqa: F401
         from bevy_tpu.render.text import (
-            DigitText, FontAtlas, make_digit_system, spawn_digit_counter,
+            FontAtlas, make_digit_system, spawn_digit_counter,
         )
         from bevy_tpu.render.texture import AtlasBuilder, TextureAtlas
 

@@ -12,7 +12,7 @@ time — the same deferred semantics as the reference.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Any, List
 
 import jax.numpy as jnp
 

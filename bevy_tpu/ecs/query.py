@@ -11,7 +11,7 @@ stamp change ticks — the TPU equivalent of `Mut` deref tick stamping
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Dict
 
 import jax.numpy as jnp
 

@@ -13,7 +13,7 @@ insertion order (Kahn), cycle check included (ref: tarjan_scc).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dfield
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 from bevy_tpu.ecs.system import System

@@ -14,7 +14,6 @@ import numpy as np
 
 from bevy_tpu.math.affine import TRS, trs_to_mat4
 from bevy_tpu.math.quat import quat_rotate_vec3
-from bevy_tpu.render.camera import view_matrix
 from bevy_tpu.render.mesh3d import Mesh3d
 from bevy_tpu.transform import GlobalTransform
 

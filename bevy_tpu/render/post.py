@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from bevy_tpu.app.main_schedule import Render
 from bevy_tpu.app.plugin import Plugin
-from bevy_tpu.ecs.query import Res, ResMut
+from bevy_tpu.ecs.query import ResMut
 from bevy_tpu.ecs.system import system
 from bevy_tpu.render.plugin import POST_SET, RenderTarget
 

@@ -17,7 +17,6 @@ from typing import Dict
 import jax.numpy as jnp
 import numpy as np
 
-from bevy_tpu.app.main_schedule import Update
 from bevy_tpu.ecs.component import component, field
 from bevy_tpu.ecs.query import Query, Res
 from bevy_tpu.ecs.system import system

@@ -9,7 +9,7 @@ at build time (shelf packing, like the reference's TextureAtlasBuilder).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np
