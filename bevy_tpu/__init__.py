@@ -17,7 +17,9 @@ from bevy_tpu.ecs import (  # noqa: F401
     Read, Res, ResMut, Local, With, Without, Changed, Added, Removed,
     Commands, Entity, message, MessageReader, MessageWriter,
 )
-from bevy_tpu.ecs.observer import On, Trigger, event  # noqa: F401
+from bevy_tpu.ecs.observer import (  # noqa: F401
+    LifecycleMask, On, OnAdd, OnInsert, OnRemove, Trigger, event,
+)
 from bevy_tpu.state import (  # noqa: F401
     CurrentState, NextState, OnEnter, OnExit, add_state, in_state,
 )

@@ -55,6 +55,7 @@ class App:
         # see _thunk) and written into the 'frame_input' resource in-jit
         self._input_channels: Dict[str, object] = {}
         self._observers: Dict[str, List] = {}
+        self._lifecycle_observers: List = []  # spliced after Commands items
         self._frame_hooks: List = []    # host callbacks after each update
         self.max_fixed_steps_per_frame = 8  # safety clamp alongside max_delta
         self.time_strategy: Optional[float] = None  # None=wall clock, float=manual dt
@@ -131,10 +132,30 @@ class App:
         """Register a push-reaction to an event (ref: App::add_observer).
         The observer system runs in every schedule that contains a system
         with a Trigger(ev) param, immediately after that schedule's systems
-        (trace-time splicing; see ecs/observer.py)."""
-        from bevy_tpu.ecs.observer import register_event_storage
+        (trace-time splicing; see ecs/observer.py).
+
+        `ev` may also be a lifecycle trigger — OnAdd(C)/OnInsert(C)/
+        OnRemove(C) (ref: lifecycle observers, bevy_ecs/src/lifecycle.rs).
+        Lifecycle observers splice after frame start (host-tier spawns
+        between frames) and after every Commands-bearing system (device-tier
+        structural changes), reading fresh events via a LifecycleMask
+        param's tick window."""
+        from bevy_tpu.ecs.observer import (LifecycleTrigger,
+                                           register_event_storage)
         from bevy_tpu.ecs.schedule import SystemEntry
 
+        if isinstance(ev, LifecycleTrigger):
+            observer_system.init_state(self.world)
+            # start the tick window NOW: rows that existed before
+            # registration don't fire (ref: observers see only subsequent
+            # lifecycle events), but spawns after this call do. int() forces
+            # a fresh buffer — aliasing state["tick"] would donate the same
+            # buffer twice in the jitted segment.
+            self.world.state["sys"][observer_system.id]["last_run"] = \
+                jnp.asarray(int(self.world.state["tick"]), jnp.int32)
+            self._lifecycle_observers.append(SystemEntry(observer_system))
+            self._plan_cache.clear()
+            return self
         spec = register_event_storage(self.world, ev, capacity)
         self._observers.setdefault(spec.name, []).append(
             SystemEntry(observer_system))
@@ -173,7 +194,23 @@ class App:
                 items.append(("fixed",))
         if include_frame_end:
             items.append(("frame_end",))
+        if self._lifecycle_observers:
+            items = self._splice_lifecycle(items)
         return items
+
+    def _splice_lifecycle(self, items):
+        """Insert lifecycle observers after frame start (host-tier
+        structural changes land between frames) and after every
+        Commands-bearing item, so each splice point observes the fresh
+        add/insert/remove tick window (see App.add_observer)."""
+        for obs in self._lifecycle_observers:
+            obs.system.init_state(self.world)  # last_run set at add_observer
+        out = []
+        for it in items:
+            out.append(it)
+            if it[0] == "frame_begin" or self._item_has_commands(it):
+                out += [("sys", obs) for obs in self._lifecycle_observers]
+        return out
 
     def register_frame_input(self, name: str, initial, fn):
         """Add a host→device per-frame input channel (ref: the winit→bevy

@@ -113,6 +113,76 @@ class OnView:
         return state
 
 
+class LifecycleTrigger:
+    """Lifecycle observer trigger (ref: the Add/Insert/Remove lifecycle
+    events, bevy_ecs/src/lifecycle.rs — OnAdd/OnInsert/OnRemove observers).
+    Construct via OnAdd(Comp) / OnInsert(Comp) / OnRemove(Comp)."""
+
+    def __init__(self, kind: str, comp):
+        self.kind = kind
+        self.spec = get_spec(comp)
+
+
+def OnAdd(comp) -> LifecycleTrigger:
+    """Fires for rows that newly gained `comp` (spawn or 0→1 insert)."""
+    return LifecycleTrigger("add", comp)
+
+
+def OnInsert(comp) -> LifecycleTrigger:
+    """Fires for rows whose `comp` data was written. NOTE: a superset of the
+    reference's OnInsert — in SoA column storage a re-insert and a query
+    mutation both stamp the `changed` tick, so this also fires on Mut
+    writes (the reference distinguishes them via archetype moves)."""
+    return LifecycleTrigger("insert", comp)
+
+
+def OnRemove(comp) -> LifecycleTrigger:
+    """Fires for rows that lost `comp` (remove or despawn) since this
+    observer last ran. The row may already be dead; its column data is
+    still readable (despawn clears `has`, not the fields)."""
+    return LifecycleTrigger("remove", comp)
+
+
+class LifecycleMask:
+    """System param for lifecycle observer bodies: `.mask` is the bool
+    (capacity,) row mask of entities the trigger fired for since this
+    system's last run (same tick semantics as the Added/Changed/Removed
+    query filters — each splice point sees only fresh events, so an
+    observer spliced N times per frame never double-fires)."""
+
+    def __init__(self, trigger: LifecycleTrigger):
+        self.trigger = trigger
+
+    def reads(self):
+        return {f"comp:{self.trigger.spec.name}"}
+
+    def writes(self):
+        return set()
+
+    def build(self, state, world, sysctx):
+        c = state["comp"][self.trigger.spec.name]
+        last_run = state["sys"][sysctx["id"]]["last_run"]
+        k = self.trigger.kind
+        if k == "add":
+            mask = c["has"] & (c["added"] > last_run)
+        elif k == "insert":
+            mask = c["has"] & (c["changed"] > last_run)
+        else:  # remove
+            mask = ~c["has"] & (c["removed"] > last_run)
+        return _LifecycleView(mask)
+
+
+class _LifecycleView:
+    def __init__(self, mask):
+        self.mask = mask
+
+    def count(self):
+        return jnp.sum(self.mask.astype(jnp.int32))
+
+    def merge(self, state, tick):
+        return state
+
+
 def register_event_storage(world, ev, capacity: int = 64):
     spec = get_spec(ev)
     if "obs" not in world.state:

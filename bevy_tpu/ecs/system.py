@@ -26,10 +26,10 @@ from bevy_tpu.ecs._state import set_in
 from bevy_tpu.ecs.commands import Commands
 from bevy_tpu.ecs.query import Local, Query, Res, ResMut
 from bevy_tpu.ecs.message import MessageReader, MessageWriter
-from bevy_tpu.ecs.observer import On, Trigger
+from bevy_tpu.ecs.observer import LifecycleMask, On, Trigger
 
 PARAM_TYPES = (Query, Res, ResMut, Commands, Local, MessageReader,
-               MessageWriter, Trigger, On)
+               MessageWriter, Trigger, On, LifecycleMask)
 
 
 def register_param_type(cls):
@@ -91,6 +91,8 @@ class System:
             elif isinstance(p, Commands):
                 for spec in p.spawn_comps:
                     world.register_component(spec)
+            elif isinstance(p, LifecycleMask):
+                world.register_component(p.trigger.spec)
         if self.id not in world.state["sys"]:
             local = {
                 pname: jnp.asarray(p.default) if not isinstance(p.default, dict)

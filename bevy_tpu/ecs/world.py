@@ -177,10 +177,12 @@ class World:
     def _sync(self):
         if not self._device_dirty:
             return
-        self._host_alive = np.asarray(self.state["ent"]["alive"])
-        self._host_gen = np.asarray(self.state["ent"]["generation"])
+        # np.array (copy) NOT np.asarray: device_get buffers are read-only
+        # and the host mirrors are mutated by spawn/despawn/insert/remove
+        self._host_alive = np.array(self.state["ent"]["alive"])
+        self._host_gen = np.array(self.state["ent"]["generation"])
         for name in self.specs:
-            self._host_has[name] = np.asarray(self.state["comp"][name]["has"])
+            self._host_has[name] = np.array(self.state["comp"][name]["has"])
         self._device_dirty = False
 
     @property
@@ -241,7 +243,11 @@ class World:
         rows = free[:count]
         self._host_alive[rows] = True
         jrows = jnp.asarray(rows, jnp.int32)
-        tick = self.state["tick"]
+        # advance the tick: host structural ops must stamp STRICTLY after
+        # any last_run snapshot taken at the same tick (lifecycle observers
+        # registered this tick would otherwise miss these rows)
+        tick = self.state["tick"] + 1
+        self.state["tick"] = tick
 
         ent = self.state["ent"]
         self.state["ent"] = {
@@ -273,7 +279,8 @@ class World:
     def insert(self, entity: Union[Entity, int], *components: ComponentInstance):
         row = entity.index if isinstance(entity, Entity) else int(entity)
         jrow = jnp.asarray([row], jnp.int32)
-        tick = self.state["tick"]
+        tick = self.state["tick"] + 1  # see spawn_batch
+        self.state["tick"] = tick
         for inst in components:
             spec = self.register_component(inst.spec)
             if not self._host_has[spec.name].any():
@@ -295,6 +302,8 @@ class World:
 
     def remove(self, entity: Union[Entity, int], *comps):
         row = entity.index if isinstance(entity, Entity) else int(entity)
+        tick = self.state["tick"] + 1  # see spawn_batch
+        self.state["tick"] = tick
         for comp in comps:
             spec = get_spec(comp)
             if spec.name not in self.specs:
@@ -303,7 +312,7 @@ class World:
             store = self.state["comp"][spec.name]
             self.state["comp"][spec.name] = dict(
                 store, has=store["has"].at[row].set(False),
-                removed=store["removed"].at[row].set(self.state["tick"]))
+                removed=store["removed"].at[row].set(tick))
 
     def despawn(self, entity: Union[Entity, int]):
         row = entity.index if isinstance(entity, Entity) else int(entity)
@@ -317,12 +326,18 @@ class World:
             "alive": ent["alive"].at[row].set(False),
             "generation": ent["generation"].at[row].add(1),
         }
+        tick = self.state["tick"] + 1  # see spawn_batch
+        self.state["tick"] = tick
         for name in self.specs:
             if self._host_has[name][row]:
                 self._host_has[name][row] = False
                 store = self.state["comp"][name]
+                # stamp removal so Removed filters / OnRemove observers see
+                # host-tier despawns too (ref: RemovedComponents covers
+                # despawn, bevy_ecs/src/removal_detection.rs)
                 self.state["comp"][name] = dict(
-                    store, has=store["has"].at[row].set(False))
+                    store, has=store["has"].at[row].set(False),
+                    removed=store["removed"].at[row].set(tick))
         return True
 
     # ------------------------------------------------------------------

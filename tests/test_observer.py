@@ -56,3 +56,101 @@ def test_buffer_clears_between_frames():
     tally = app.world.resource(Tally)
     assert float(tally.total) == 30.0          # no event carry-over
     assert int(tally.frames_seen) == 3
+
+
+# ---------------------------------------------------------------------------
+# lifecycle observers (ref model: OnAdd/OnInsert/OnRemove observers,
+# bevy_ecs/src/lifecycle.rs)
+
+@component
+class Enemy:
+    hp = field((), jnp.float32, default=3.0)
+
+
+@resource
+class LifeTally:
+    added = field((), jnp.int32)
+    removed = field((), jnp.int32)
+
+
+def test_lifecycle_onadd_device_spawn_same_frame():
+    from bevy_tpu import Commands, LifecycleMask, OnAdd
+
+    app = App(capacity=16)
+    app.add_plugins(TimePlugin())
+    app.insert_resource(LifeTally())
+    app.world.register_component(Enemy)
+
+    @system
+    def spawner(res=Res("time"), cmd=Commands(spawn_comps=[Enemy], budget=2)):
+        cmd.spawn(Enemy(hp=5.0), count=2)
+
+    @system
+    def on_enemy_added(life=LifecycleMask(OnAdd(Enemy)), t=ResMut(LifeTally)):
+        t.added = t.added + life.count()
+
+    app.add_systems(Update, spawner)
+    app.add_observer(OnAdd(Enemy), on_enemy_added)
+
+    app.update(dt=1 / 60)
+    assert int(app.world.resource(LifeTally).added) == 2  # same frame
+    app.update(dt=1 / 60)
+    assert int(app.world.resource(LifeTally).added) == 4  # no double-count
+
+
+def test_lifecycle_onremove_despawn_and_host_spawn():
+    from bevy_tpu import Commands, LifecycleMask, OnAdd, OnRemove
+
+    app = App(capacity=16)
+    app.add_plugins(TimePlugin())
+    app.insert_resource(LifeTally())
+    app.world.register_component(Enemy)
+
+    @system
+    def reaper(q=Query(Enemy), cmd=Commands()):
+        cmd.despawn(q.mask & (q.enemy.hp <= 0.0))
+
+    @system
+    def on_removed(life=LifecycleMask(OnRemove(Enemy)), t=ResMut(LifeTally)):
+        t.removed = t.removed + life.count()
+
+    @system
+    def on_added(life=LifecycleMask(OnAdd(Enemy)), t=ResMut(LifeTally)):
+        t.added = t.added + life.count()
+
+    app.add_systems(Update, reaper)
+    app.add_observer(OnRemove(Enemy), on_removed)
+    app.add_observer(OnAdd(Enemy), on_added)
+
+    # host-tier spawns land between frames -> seen at next frame start
+    app.world.spawn(Enemy(hp=0.0))
+    app.world.spawn(Enemy(hp=9.0))
+    app.update(dt=1 / 60)
+    t = app.world.resource(LifeTally)
+    assert int(t.added) == 2
+    assert int(t.removed) == 1     # hp<=0 reaped, observed same frame
+    app.update(dt=1 / 60)
+    t = app.world.resource(LifeTally)
+    assert int(t.added) == 2       # no re-fire
+    assert int(t.removed) == 1
+
+
+def test_lifecycle_no_retroactive_fire():
+    from bevy_tpu import LifecycleMask, OnAdd
+
+    app = App(capacity=16)
+    app.add_plugins(TimePlugin())
+    app.insert_resource(LifeTally())
+    app.world.spawn(Enemy(hp=1.0))   # exists BEFORE the observer registers
+    app.update(dt=1 / 60)
+
+    @system
+    def on_added(life=LifecycleMask(OnAdd(Enemy)), t=ResMut(LifeTally)):
+        t.added = t.added + life.count()
+
+    app.add_observer(OnAdd(Enemy), on_added)
+    app.update(dt=1 / 60)
+    assert int(app.world.resource(LifeTally).added) == 0
+    app.world.spawn(Enemy(hp=2.0))   # new spawns after registration DO fire
+    app.update(dt=1 / 60)
+    assert int(app.world.resource(LifeTally).added) == 1
