@@ -70,7 +70,11 @@ class App:
             self.schedules[label] = Schedule(label)
         return self.schedules[label]
 
-    def add_systems(self, label, systems, **cfg):
+    def add_systems(self, label, systems, *more, **cfg):
+        """ref: App::add_systems — accepts one system, a list/tuple, or
+        bevy-style varargs: add_systems(Update, a, b, c)."""
+        if more:
+            systems = [systems, *more]
         self.schedule(label).add_systems(systems, **cfg)
         self._plan_cache.clear()
         return self

@@ -26,7 +26,8 @@ def _pad_to(x, m):
     return (x + m - 1) // m * m
 
 
-def triangle_setup(clip, tri_verts, tri_active, width, height):
+def triangle_setup(clip, tri_verts, tri_active, width, height,
+                   viewport=None):
     """Clip-space verts (V,4) + tris (T,3) → screen-space setup.
 
     Returns dict of per-tri arrays: screen corners (T,3,2), corner depths
@@ -39,8 +40,15 @@ def triangle_setup(clip, tri_verts, tri_active, width, height):
     safe_w = jnp.where(w_ok, w, 1.0)
     inv_w = 1.0 / safe_w
     ndc = clip[:, :3] * inv_w[:, None]
-    sx = (ndc[:, 0] * 0.5 + 0.5) * width
-    sy = (0.5 - ndc[:, 1] * 0.5) * height
+    # NDC maps onto the viewport pixel rect (ref: Camera::viewport,
+    # bevy_render/src/camera.rs — defaults to the whole target)
+    if viewport is None:
+        vx0, vy0, vw, vh = 0.0, 0.0, width, height
+    else:
+        vx0, vy0, vx1, vy1 = viewport
+        vw, vh = vx1 - vx0, vy1 - vy0
+    sx = vx0 + (ndc[:, 0] * 0.5 + 0.5) * vw
+    sy = vy0 + (0.5 - ndc[:, 1] * 0.5) * vh
     sdepth = ndc[:, 2]
 
     i0, i1, i2 = tri_verts[:, 0], tri_verts[:, 1], tri_verts[:, 2]
@@ -69,6 +77,7 @@ def triangle_setup(clip, tri_verts, tri_active, width, height):
 
 
 def raster_triangles(fb_color, fb_depth, setup, varyings, shade_fn=None,
+                     scissor=None,
                      *, tile_h=32, tile_w=128, pairs_per_tri=4,
                      max_per_tile=256, num_varyings=0):
     """Rasterize set-up triangles with a z-buffer.
@@ -126,6 +135,9 @@ def raster_triangles(fb_color, fb_depth, setup, varyings, shade_fn=None,
         t_x = tile_idx % ntx
         px = px_l + (t_x * tile_w).astype(jnp.float32)
         py = py_l + (t_y * tile_h).astype(jnp.float32)
+        sciss = ((px >= scissor[0]) & (py >= scissor[1]) &
+                 (px < scissor[2]) & (py < scissor[3])) \
+            if scissor is not None else True
         start = tile_starts[tile_idx]
         end = tile_ends[tile_idx]
 
@@ -147,7 +159,7 @@ def raster_triangles(fb_color, fb_depth, setup, varyings, shade_fn=None,
             b1 = e1 * inv_a
             b2 = e2 * inv_a
             z = b0 * depths[ti, 0] + b1 * depths[ti, 1] + b2 * depths[ti, 2]
-            zpass = inside & (z > dep)  # reverse-z GREATER
+            zpass = sciss & inside & (z > dep)  # reverse-z GREATER
             iw = b0 * inv_ws[ti, 0] + b1 * inv_ws[ti, 1] + b2 * inv_ws[ti, 2]
             iw = jnp.maximum(iw, 1e-12)
             vy = varyings[ti]        # (3, K)

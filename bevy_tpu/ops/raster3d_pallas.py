@@ -108,7 +108,7 @@ def _plane_kernel(counts_ref, light_ref,
                   col_in_ref, dep_in_ref,
                   col_out_ref, dep_out_ref,
                   tris_ref, sem,
-                  *, tile_h, tile_w, max_per_tile):
+                  *, tile_h, tile_w, max_per_tile, use_scissor=False):
     i = pl.program_id(0)
     j = pl.program_id(1)
     ntx = pl.num_programs(1)
@@ -124,6 +124,11 @@ def _plane_kernel(counts_ref, light_ref,
     px = fiota((tile_h, tile_w), 1) + (j * tile_w).astype(jnp.float32) + 0.5
     py = fiota((tile_h, tile_w), 0) + (i * tile_h).astype(jnp.float32) + 0.5
     ldx, ldy, ldz = light_ref[0], light_ref[1], light_ref[2]
+    # viewport scissor (ref: Camera::viewport) — hoisted per tile, one mask
+    # statically compiled out for full-frame passes (single camera)
+    sciss = ((px >= light_ref[9]) & (py >= light_ref[10]) &
+             (px < light_ref[11]) & (py < light_ref[12])) if use_scissor \
+        else True
 
     dma.wait()
 
@@ -136,7 +141,7 @@ def _plane_kernel(counts_ref, light_ref,
                  (d(3) * px + d(4) * py + d(5) <= 0) & \
                  (d(6) * px + d(7) * py + d(8) <= 0)
         z = d(9) * px + d(10) * py + d(11)
-        zpass = inside & (z > dep)
+        zpass = sciss & inside & (z > dep)
         iw = jnp.maximum(d(12) * px + d(13) * py + d(14), 1e-12)
         nx = (d(15) * px + d(16) * py + d(17)) / iw
         ny = (d(18) * px + d(19) * py + d(20)) / iw
@@ -168,7 +173,7 @@ def _plane_kernel_gbuf(counts_ref, light_ref,
                        g_in_ref, dep_in_ref,
                        g_out_ref, dep_out_ref,
                        tris_ref, sem,
-                       *, tile_h, tile_w, max_per_tile):
+                       *, tile_h, tile_w, max_per_tile, use_scissor=False):
     """G-buffer variant of _plane_kernel (ref: the deferred prepass,
     bevy_core_pipeline/src/deferred/): writes albedo(0:3), alpha(3),
     world normal(4:7), emissive(7:10), metallic(10), roughness(11) + depth;
@@ -187,6 +192,10 @@ def _plane_kernel_gbuf(counts_ref, light_ref,
 
     px = fiota((tile_h, tile_w), 1) + (j * tile_w).astype(jnp.float32) + 0.5
     py = fiota((tile_h, tile_w), 0) + (i * tile_h).astype(jnp.float32) + 0.5
+    # statically compiled out for full-frame passes (single camera)
+    sciss = ((px >= light_ref[9]) & (py >= light_ref[10]) &
+             (px < light_ref[11]) & (py < light_ref[12])) if use_scissor \
+        else True
 
     dma.wait()
 
@@ -199,7 +208,7 @@ def _plane_kernel_gbuf(counts_ref, light_ref,
                  (d(3) * px + d(4) * py + d(5) <= 0) & \
                  (d(6) * px + d(7) * py + d(8) <= 0)
         z = d(9) * px + d(10) * py + d(11)
-        zpass = inside & (z > dep)
+        zpass = sciss & inside & (z > dep)
         iw = jnp.maximum(d(12) * px + d(13) * py + d(14), 1e-12)
         nx = (d(15) * px + d(16) * py + d(17)) / iw
         ny = (d(18) * px + d(19) * py + d(20)) / iw
@@ -232,7 +241,7 @@ def _kernel(counts_ref, light_ref,         # scalar prefetch (SMEM)
             col_in_ref, dep_in_ref,        # VMEM blocks (aliased)
             col_out_ref, dep_out_ref,
             tris_ref, sem,                 # SMEM scratch + DMA sem
-            *, tile_h, tile_w, max_per_tile):
+            *, tile_h, tile_w, max_per_tile, use_scissor=False):
     i = pl.program_id(0)
     j = pl.program_id(1)
     ntx = pl.num_programs(1)
@@ -249,8 +258,12 @@ def _kernel(counts_ref, light_ref,         # scalar prefetch (SMEM)
     py = fiota((tile_h, tile_w), 0) + (i * tile_h).astype(jnp.float32) + 0.5
 
     # directional light (ref: bevy_light DirectionalLight + AmbientLight):
-    # light_ref = [dir xyz, light rgb, ambient rgb, pad...]
+    # light_ref = [dir xyz, light rgb, ambient rgb, scissor x0 y0 x1 y1, pad]
     ldx, ldy, ldz = light_ref[0], light_ref[1], light_ref[2]
+    # statically compiled out for full-frame passes (single camera)
+    sciss = ((px >= light_ref[9]) & (py >= light_ref[10]) &
+             (px < light_ref[11]) & (py < light_ref[12])) if use_scissor \
+        else True
 
     dma.wait()
 
@@ -267,7 +280,7 @@ def _kernel(counts_ref, light_ref,         # scalar prefetch (SMEM)
         inv_a = d(12)
         b0, b1, b2 = e0 * inv_a, e1 * inv_a, e2 * inv_a
         z = b0 * d(6) + b1 * d(7) + b2 * d(8)
-        zpass = inside & (z > dep)
+        zpass = sciss & inside & (z > dep)
         iw = jnp.maximum(b0 * d(9) + b1 * d(10) + b2 * d(11), 1e-12)
         nx = (b0 * d(13) + b1 * d(16) + b2 * d(19)) / iw
         ny = (b0 * d(14) + b1 * d(17) + b2 * d(20)) / iw
@@ -298,6 +311,7 @@ def _kernel(counts_ref, light_ref,         # scalar prefetch (SMEM)
     "tile_h", "tile_w", "pairs_per_tri", "max_per_tile", "interpret",
     "layout", "pair_budget"))
 def raster_tris_pallas(fb_planar, depth, tri_table, valid, aabb, light,
+                       scissor=None,
                        *, tile_h=32, tile_w=128, pairs_per_tri=2,
                        max_per_tile=256, interpret=False, layout="corners",
                        pair_budget=None):
@@ -308,6 +322,14 @@ def raster_tris_pallas(fb_planar, depth, tri_table, valid, aabb, light,
     screen x0 y0 x1 y1; light (16,) f32 [dir xyz, light rgb, ambient rgb].
     Returns (fb_planar, depth, stats)."""
     nplanes, H, W = fb_planar.shape
+    # scissor rides the light vector's padding (slots 9..12): traced pixel
+    # rect [x0, y0, x1, y1); None = the whole target (ref: Camera::viewport)
+    use_scissor = scissor is not None
+    if scissor is None:
+        sc = jnp.asarray([0.0, 0.0, float(W), float(H)], jnp.float32)
+    else:
+        sc = jnp.stack([jnp.asarray(s, jnp.float32) for s in scissor])
+    light = jnp.concatenate([light[:9], sc, light[13:]])
     t = tri_table.shape[0]
     max_per_tile = _pad_to(max_per_tile, 128)
     hp, wp = _pad_to(H, tile_h), _pad_to(W, tile_w)
@@ -372,7 +394,7 @@ def raster_tris_pallas(fb_planar, depth, tri_table, valid, aabb, light,
     kernels = {"planes": _plane_kernel, "planes_gbuf": _plane_kernel_gbuf,
                "corners": _kernel}
     kernel = partial(kernels[layout], tile_h=tile_h, tile_w=tile_w,
-                     max_per_tile=max_per_tile)
+                     max_per_tile=max_per_tile, use_scissor=use_scissor)
     col, dep = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -67,11 +67,15 @@ def quat_z_angle(q):
 class Camera3d:
     """3D perspective camera (ref: Camera3d + PerspectiveProjection,
     bevy_camera/src/projection.rs — fov default π/4, near 0.1, reverse-z
-    infinite far)."""
+    infinite far). vp_min/vp_max: viewport rect as target-size fractions
+    (ref: Camera::viewport, bevy_render/src/camera/camera.rs — split-screen
+    and picture-in-picture); cameras render in ascending `order`."""
     fov = field((), jnp.float32, default=0.7853981634)   # π/4 vertical
     near = field((), jnp.float32, default=0.1)
     order = field((), jnp.int32, default=0)
     layers = field((), jnp.int32, default=1)  # ref: RenderLayers bitmask
+    vp_min = field((2,), jnp.float32, default=(0.0, 0.0))
+    vp_max = field((2,), jnp.float32, default=(1.0, 1.0))
 
 
 def perspective_infinite_reverse(fov, aspect, near):

@@ -81,6 +81,18 @@ def _rebuild_expansion(world, pool_host, plugin):
     rows = world.query_rows(Mesh3d)
     mesh_ids = np.asarray(jax.device_get(world.column(Mesh3d, "mesh")))[rows] \
         if len(rows) else np.zeros(0, np.int32)
+    # camera count is structural: one raster pass per camera traces in
+    # (ref: Camera::viewport split-screen; single camera = zero overhead)
+    cam_rows = world.query_rows(Camera3d)
+    plugin._num_cameras = max(1, len(cam_rows))
+    # scissor compiles out of the kernels when every camera is full-frame
+    custom_vp = False
+    if len(cam_rows):
+        vmn = np.asarray(jax.device_get(world.column(Camera3d, "vp_min")))
+        vmx = np.asarray(jax.device_get(world.column(Camera3d, "vp_max")))
+        custom_vp = bool(np.any(vmn[cam_rows] != 0.0) or
+                         np.any(vmx[cam_rows] != 1.0))
+    plugin._use_viewports = plugin._num_cameras > 1 or custom_vp
     # group instances per mesh: each group renders as a uniform batch
     # (zero per-vertex gathers); mixed-mesh scenes become a few batches
     # (ref: the per-pipeline bins of queue_material_meshes)
@@ -202,7 +214,7 @@ def _near_clip(cc, cn, valid, eps=1e-3):
 def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                    target, stats, *, width, height, tile_h, tile_w,
                    pairs_per_tri, max_per_tile, interpret, deferred=False,
-                   met_i=None, rgh_i=None):
+                   met_i=None, rgh_i=None, viewport=None):
     """Shared gather-free raster tail for batched-uniform geometry (plain
     meshes AND skinned meshes): clip (Ni, VC, 4) clip-space positions,
     nrm (Ni, VC, 3) world normals, triangles (TC, 3) STATIC numpy indices,
@@ -230,8 +242,14 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
 
     w = cc[..., 3]
     inv_w = 1.0 / jnp.maximum(w, 1e-6)
-    sx = (cc[..., 0] * inv_w * 0.5 + 0.5) * width
-    sy = (0.5 - cc[..., 1] * inv_w * 0.5) * height
+    # NDC maps onto the camera's viewport pixel rect; the kernels scissor
+    # edge-straddling triangles per pixel (ref: Camera::viewport)
+    scissor = viewport
+    if viewport is None:
+        viewport = (0.0, 0.0, float(width), float(height))
+    vx0, vy0, vx1, vy1 = viewport
+    sx = vx0 + (cc[..., 0] * inv_w * 0.5 + 0.5) * (vx1 - vx0)
+    sy = vy0 + (0.5 - cc[..., 1] * inv_w * 0.5) * (vy1 - vy0)
     cxy = jnp.stack([sx, sy], axis=-1)                 # (2T, 3, 2)
     depth_c = cc[..., 2] * inv_w
     invw_c = inv_w
@@ -272,6 +290,7 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
     budget = int(t_half * min(pairs_per_tri, 2) * 0.4) + hp_t * wp_t + 8192
     fb, dep, st = raster_tris_pallas(
         fb_in, target.depth, table, valid, aabb, light_vec,
+        scissor=scissor,
         tile_h=tile_h, tile_w=tile_w, pairs_per_tri=pairs_per_tri,
         max_per_tile=max_per_tile, interpret=interpret,
         layout="planes_gbuf" if deferred else "planes",
@@ -308,150 +327,180 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                   exp=Res(EXPANSION),
                   target=ResMut(RenderTarget.RESOURCE),
                   stats=ResMut("render_stats")):
-        ci, has_cam = pick_camera(cam.mask)
-        cam_gt = cam.global_transform
-        view = view_matrix(cam_gt.translation[ci], cam_gt.rotation[ci],
-                           cam_gt.scale[ci])
-        proj = perspective_infinite_reverse(
-            cam.camera3d.fov[ci], width / height, cam.camera3d.near[ci])
-        vp = proj @ view
+        def render_view(ci, has_cam):
+            cam_gt = cam.global_transform
+            # viewport pixel rect + aspect from this camera's rect
+            # fractions; full-frame single-camera apps keep viewport=None so
+            # the kernels' scissor test compiles out entirely
+            if plugin is not None and getattr(plugin, "_use_viewports", False):
+                vx0 = cam.camera3d.vp_min[ci, 0] * width
+                vy0 = cam.camera3d.vp_min[ci, 1] * height
+                vx1 = cam.camera3d.vp_max[ci, 0] * width
+                vy1 = cam.camera3d.vp_max[ci, 1] * height
+                viewport = (vx0, vy0, vx1, vy1)
+                aspect = (vx1 - vx0) / jnp.maximum(vy1 - vy0, 1e-6)
+            else:
+                viewport = None
+                aspect = width / height
+            view = view_matrix(cam_gt.translation[ci], cam_gt.rotation[ci],
+                               cam_gt.scale[ci])
+            proj = perspective_infinite_reverse(
+                cam.camera3d.fov[ci], aspect, cam.camera3d.near[ci])
+            vp = proj @ view
+            # per-row visibility for this camera: RenderLayers bitmask +
+            # LOD distance band (ref: check_visibility / RenderLayers)
+            distr = jnp.linalg.norm(
+                q.global_transform.translation - cam_gt.translation[ci],
+                axis=-1)
+            visrow = ((q.mesh3d.layers & cam.camera3d.layers[ci]) != 0) & \
+                (distr >= q.mesh3d.lod_near) & (distr < q.mesh3d.lod_far)
 
-        groups = plugin._groups if plugin is not None else None
-        if deferred and not (groups and backend == "pallas"):
-            raise RuntimeError(
-                "deferred lighting requires the pallas backend")
-        if groups is not None and backend == "pallas":
-            # gather-free per-mesh uniform batches (see raster_batched);
-            # mixed scenes render as a few sequential batches sharing the
-            # depth buffer (ref: queue_material_meshes per-pipeline bins)
-            lv = directional_light_vec(light, amb)
-            for grp in groups:
-                m = plugin.pool.meshes[grp["mesh"]]
-                vc = m.num_vertices
-                rows = jnp.asarray(grp["rows"])
+            groups = plugin._groups if plugin is not None else None
+            if deferred and not (groups and backend == "pallas"):
+                raise RuntimeError(
+                    "deferred lighting requires the pallas backend")
+            if groups is not None and backend == "pallas":
+                # gather-free per-mesh uniform batches (see raster_batched);
+                # mixed scenes render as a few sequential batches sharing the
+                # depth buffer (ref: queue_material_meshes per-pipeline bins)
+                lv = directional_light_vec(light, amb)
+                for grp in groups:
+                    m = plugin.pool.meshes[grp["mesh"]]
+                    vc = m.num_vertices
+                    rows = jnp.asarray(grp["rows"])
+                    gt_r = q.global_transform.rotation[rows]
+                    mats = trs_to_mat4(TRS(
+                        translation=q.global_transform.translation[rows],
+                        rotation=gt_r, scale=q.global_transform.scale[rows]))
+                    mvp = jnp.einsum("ij,njk->nik", vp, mats)
+                    ph = jnp.concatenate([jnp.asarray(m.positions),
+                                          jnp.ones((vc, 1), jnp.float32)], 1)
+                    clip = jnp.einsum("nij,vj->nvi", mvp, ph)       # (Ni, VC, 4)
+                    nrm = quat_rotate_vec3(gt_r[:, None, :],
+                                           jnp.asarray(m.normals)[None])
+                    vis = visrow[rows]  # layers bitmask + LOD band
+                    raster_batched(
+                        clip, nrm, m.triangles, q.mask[rows] & has_cam & vis,
+                        q.mesh_material.base_color[rows],
+                        q.mesh_material.emissive[rows],
+                        lv, target, stats,
+                        width=width, height=height, tile_h=tile_h, tile_w=tile_w,
+                        pairs_per_tri=pairs_per_tri, max_per_tile=max_per_tile,
+                        interpret=interpret, deferred=deferred,
+                        met_i=q.mesh_material.metallic[rows],
+                        rgh_i=q.mesh_material.perceptual_roughness[rows],
+                        viewport=viewport)
+                return
+            uni = plugin._uniform if plugin is not None else None
+            if uni is not None:
+                # uniform-mesh fast path: all instances share one mesh, so the
+                # vertex stage is (Ni,4,4)@(VC,4) batched matmuls — zero
+                # per-vertex gathers (ref: the instanced draw this mirrors)
+                m = plugin.pool.meshes[uni["mesh"]]
+                vc, tc = m.num_vertices, m.num_triangles
+                rows = jnp.asarray(uni["rows"])
+                ni = rows.shape[0]
+                gt_t = q.global_transform.translation[rows]
                 gt_r = q.global_transform.rotation[rows]
-                mats = trs_to_mat4(TRS(
-                    translation=q.global_transform.translation[rows],
-                    rotation=gt_r, scale=q.global_transform.scale[rows]))
+                gt_s = q.global_transform.scale[rows]
+                mats = trs_to_mat4(TRS(translation=gt_t, rotation=gt_r, scale=gt_s))
                 mvp = jnp.einsum("ij,njk->nik", vp, mats)
-                ph = jnp.concatenate([jnp.asarray(m.positions),
-                                      jnp.ones((vc, 1), jnp.float32)], 1)
-                clip = jnp.einsum("nij,vj->nvi", mvp, ph)       # (Ni, VC, 4)
+                mesh_pos = jnp.asarray(m.positions)
+                ph = jnp.concatenate([mesh_pos, jnp.ones((vc, 1), jnp.float32)], 1)
+                clip = jnp.einsum("nij,vj->nvi", mvp, ph).reshape(ni * vc, 4)
                 nrm = quat_rotate_vec3(gt_r[:, None, :],
-                                       jnp.asarray(m.normals)[None])
-                vis = (q.mesh3d.layers[rows] &
-                       cam.camera3d.layers[ci]) != 0
-                # LOD band (ref: check_visibility_ranges)
-                dist = jnp.linalg.norm(
-                    q.global_transform.translation[rows] -
-                    cam_gt.translation[ci], axis=-1)
-                vis = vis & (dist >= q.mesh3d.lod_near[rows]) & \
-                    (dist < q.mesh3d.lod_far[rows])
-                raster_batched(
-                    clip, nrm, m.triangles, q.mask[rows] & has_cam & vis,
-                    q.mesh_material.base_color[rows],
-                    q.mesh_material.emissive[rows],
-                    lv, target, stats,
-                    width=width, height=height, tile_h=tile_h, tile_w=tile_w,
+                                       jnp.asarray(m.normals)[None]).reshape(ni * vc, 3)
+                tri_verts = (jnp.asarray(m.triangles, jnp.int32)[None] +
+                             (jnp.arange(ni, dtype=jnp.int32) * vc)[:, None, None]
+                             ).reshape(ni * tc, 3)
+                tri_rows = jnp.repeat(rows, tc)
+                tri_active = q.mask[tri_rows] & visrow[tri_rows] & has_cam
+                colors = q.mesh_material.base_color[tri_rows]
+                emissive = q.mesh_material.emissive[tri_rows]
+            else:
+                # general path: expanded gathers (mixed meshes)
+                mats = trs_to_mat4(TRS(translation=q.global_transform.translation,
+                                       rotation=q.global_transform.rotation,
+                                       scale=q.global_transform.scale))
+                mvp = jnp.einsum("ij,njk->nik", vp, mats)
+                vi = exp.vert_inst
+                pos = pool.positions[exp.vert_pool]
+                ph = jnp.concatenate([pos, jnp.ones((pos.shape[0], 1), jnp.float32)], 1)
+                clip = jnp.einsum("vij,vj->vi", mvp[vi], ph)
+                # world-space normals (uniform-scale assumption; ref: inverse
+                # transpose for non-uniform, mesh.rs MeshUniform inverse_transpose)
+                nrm = quat_rotate_vec3(q.global_transform.rotation[vi],
+                                       pool.normals[exp.vert_pool])
+                tri_verts = exp.tri_verts
+                tri_active = q.mask[exp.tri_inst] & visrow[exp.tri_inst] & has_cam
+                colors = q.mesh_material.base_color[exp.tri_inst]
+                emissive = q.mesh_material.emissive[exp.tri_inst]
+
+            setup = triangle_setup(clip, tri_verts, tri_active, width,
+                                   height, viewport=viewport)
+            corner_n = nrm[tri_verts]                     # (T, 3, 3)
+
+            li, has_light = pick_camera(light.mask)
+            ldir = quat_rotate_vec3(light.global_transform.rotation[li],
+                                    jnp.asarray([0.0, 0.0, -1.0]))
+            lcol = light.directional_light.color[li] * \
+                light.directional_light.illuminance[li] * has_light
+            light_vec = jnp.concatenate([
+                ldir, lcol, amb.color * amb.brightness,
+                jnp.zeros(7, jnp.float32)])
+
+            if backend == "pallas":
+                from bevy_tpu.ops.raster3d_pallas import (
+                    pack_tri_table, raster_tris_pallas)
+                table = pack_tri_table(setup, corner_n, colors, emissive)
+                fb, dep, st = raster_tris_pallas(
+                    target.color, target.depth, table, setup["valid"],
+                    setup["aabb"], light_vec, scissor=viewport,
+                    tile_h=tile_h, tile_w=tile_w,
                     pairs_per_tri=pairs_per_tri, max_per_tile=max_per_tile,
-                    interpret=interpret, deferred=deferred,
-                    met_i=q.mesh_material.metallic[rows],
-                    rgh_i=q.mesh_material.perceptual_roughness[rows])
-            return
-        uni = plugin._uniform if plugin is not None else None
-        if uni is not None:
-            # uniform-mesh fast path: all instances share one mesh, so the
-            # vertex stage is (Ni,4,4)@(VC,4) batched matmuls — zero
-            # per-vertex gathers (ref: the instanced draw this mirrors)
-            m = plugin.pool.meshes[uni["mesh"]]
-            vc, tc = m.num_vertices, m.num_triangles
-            rows = jnp.asarray(uni["rows"])
-            ni = rows.shape[0]
-            gt_t = q.global_transform.translation[rows]
-            gt_r = q.global_transform.rotation[rows]
-            gt_s = q.global_transform.scale[rows]
-            mats = trs_to_mat4(TRS(translation=gt_t, rotation=gt_r, scale=gt_s))
-            mvp = jnp.einsum("ij,njk->nik", vp, mats)
-            mesh_pos = jnp.asarray(m.positions)
-            ph = jnp.concatenate([mesh_pos, jnp.ones((vc, 1), jnp.float32)], 1)
-            clip = jnp.einsum("nij,vj->nvi", mvp, ph).reshape(ni * vc, 4)
-            nrm = quat_rotate_vec3(gt_r[:, None, :],
-                                   jnp.asarray(m.normals)[None]).reshape(ni * vc, 3)
-            tri_verts = (jnp.asarray(m.triangles, jnp.int32)[None] +
-                         (jnp.arange(ni, dtype=jnp.int32) * vc)[:, None, None]
-                         ).reshape(ni * tc, 3)
-            tri_rows = jnp.repeat(rows, tc)
-            tri_active = q.mask[tri_rows] & has_cam
-            colors = q.mesh_material.base_color[tri_rows]
-            emissive = q.mesh_material.emissive[tri_rows]
+                    interpret=interpret)
+            else:
+                from bevy_tpu.ops.raster3d import raster_triangles
+                varyings = jnp.concatenate(
+                    [corner_n,
+                     jnp.broadcast_to(colors[:, None, :], colors.shape[:1] + (3, 4)),
+                     jnp.broadcast_to(emissive[:, None, :], emissive.shape[:1] + (3, 3)),
+                     ], axis=2)                            # (T, 3, 10)
+
+                def shade(interp, ti, bary):
+                    n = interp[..., 0:3]
+                    n = n * jax.lax.rsqrt(jnp.maximum(
+                        jnp.sum(n * n, -1, keepdims=True), 1e-12))
+                    lam = jnp.maximum(0.0, -jnp.sum(n * light_vec[:3], -1))
+                    rgb = interp[..., 3:6] * (light_vec[6:9] +
+                                              light_vec[3:6] * lam[..., None]) \
+                        + interp[..., 7:10]
+                    return jnp.concatenate([rgb, interp[..., 6:7]], -1)
+
+                fbi, dep, st = raster_triangles(
+                    target.color.transpose(1, 2, 0), target.depth, setup,
+                    varyings, shade, scissor=viewport,
+                    tile_h=tile_h, tile_w=tile_w,
+                    pairs_per_tri=pairs_per_tri, max_per_tile=max_per_tile,
+                    num_varyings=10)
+                fb = fbi.transpose(2, 0, 1)
+            target.color = fb
+            target.depth = dep
+            stats.pair_overflow = stats.pair_overflow + st["pair_overflow"]
+            stats.tile_overflow = stats.tile_overflow + st["tile_overflow"]
+
+        # one pass per camera, ascending `order` (ref: camera driver
+        # sorted_camera_index_for_target); camera count is structural —
+        # the prepare hook re-counts and retraces on change
+        n_cams = getattr(plugin, "_num_cameras", 1) if plugin is not None else 1
+        if n_cams > 1:
+            okey = jnp.where(cam.mask, cam.camera3d.order, jnp.int32(2 ** 30))
+            cam_rows = jnp.argsort(okey)
+            for k in range(n_cams):
+                render_view(cam_rows[k], cam.mask[cam_rows[k]])
         else:
-            # general path: expanded gathers (mixed meshes)
-            mats = trs_to_mat4(TRS(translation=q.global_transform.translation,
-                                   rotation=q.global_transform.rotation,
-                                   scale=q.global_transform.scale))
-            mvp = jnp.einsum("ij,njk->nik", vp, mats)
-            vi = exp.vert_inst
-            pos = pool.positions[exp.vert_pool]
-            ph = jnp.concatenate([pos, jnp.ones((pos.shape[0], 1), jnp.float32)], 1)
-            clip = jnp.einsum("vij,vj->vi", mvp[vi], ph)
-            # world-space normals (uniform-scale assumption; ref: inverse
-            # transpose for non-uniform, mesh.rs MeshUniform inverse_transpose)
-            nrm = quat_rotate_vec3(q.global_transform.rotation[vi],
-                                   pool.normals[exp.vert_pool])
-            tri_verts = exp.tri_verts
-            tri_active = q.mask[exp.tri_inst] & has_cam
-            colors = q.mesh_material.base_color[exp.tri_inst]
-            emissive = q.mesh_material.emissive[exp.tri_inst]
-
-        setup = triangle_setup(clip, tri_verts, tri_active, width, height)
-        corner_n = nrm[tri_verts]                     # (T, 3, 3)
-
-        li, has_light = pick_camera(light.mask)
-        ldir = quat_rotate_vec3(light.global_transform.rotation[li],
-                                jnp.asarray([0.0, 0.0, -1.0]))
-        lcol = light.directional_light.color[li] * \
-            light.directional_light.illuminance[li] * has_light
-        light_vec = jnp.concatenate([
-            ldir, lcol, amb.color * amb.brightness,
-            jnp.zeros(7, jnp.float32)])
-
-        if backend == "pallas":
-            from bevy_tpu.ops.raster3d_pallas import (
-                pack_tri_table, raster_tris_pallas)
-            table = pack_tri_table(setup, corner_n, colors, emissive)
-            fb, dep, st = raster_tris_pallas(
-                target.color, target.depth, table, setup["valid"],
-                setup["aabb"], light_vec, tile_h=tile_h, tile_w=tile_w,
-                pairs_per_tri=pairs_per_tri, max_per_tile=max_per_tile,
-                interpret=interpret)
-        else:
-            from bevy_tpu.ops.raster3d import raster_triangles
-            varyings = jnp.concatenate(
-                [corner_n,
-                 jnp.broadcast_to(colors[:, None, :], colors.shape[:1] + (3, 4)),
-                 jnp.broadcast_to(emissive[:, None, :], emissive.shape[:1] + (3, 3)),
-                 ], axis=2)                            # (T, 3, 10)
-
-            def shade(interp, ti, bary):
-                n = interp[..., 0:3]
-                n = n * jax.lax.rsqrt(jnp.maximum(
-                    jnp.sum(n * n, -1, keepdims=True), 1e-12))
-                lam = jnp.maximum(0.0, -jnp.sum(n * light_vec[:3], -1))
-                rgb = interp[..., 3:6] * (light_vec[6:9] +
-                                          light_vec[3:6] * lam[..., None]) \
-                    + interp[..., 7:10]
-                return jnp.concatenate([rgb, interp[..., 6:7]], -1)
-
-            fbi, dep, st = raster_triangles(
-                target.color.transpose(1, 2, 0), target.depth, setup,
-                varyings, shade, tile_h=tile_h, tile_w=tile_w,
-                pairs_per_tri=pairs_per_tri, max_per_tile=max_per_tile,
-                num_varyings=10)
-            fb = fbi.transpose(2, 0, 1)
-        target.color = fb
-        target.depth = dep
-        stats.pair_overflow = stats.pair_overflow + st["pair_overflow"]
-        stats.tile_overflow = stats.tile_overflow + st["tile_overflow"]
+            ci0, has0 = pick_camera(cam.mask)
+            render_view(ci0, has0)
 
     return mesh_pass
 
