@@ -14,6 +14,7 @@ from bevy_tpu.app.main_schedule import (  # noqa: F401
 )
 from bevy_tpu.ecs import (  # noqa: F401
     component, field, resource, World, system, host_system, Schedule, Query,
+    QueryBuilder,
     Read, Res, ResMut, Local, With, Without, Changed, Added, Removed,
     Commands, Entity, message, MessageReader, MessageWriter,
 )

@@ -9,7 +9,9 @@ from bevy_tpu.ecs.component import (  # noqa: F401
 )
 from bevy_tpu.ecs.entity import Entity, NULL_ENTITY  # noqa: F401
 from bevy_tpu.ecs.world import World  # noqa: F401
-from bevy_tpu.ecs.query import Query, Read, Res, ResMut, Local  # noqa: F401
+from bevy_tpu.ecs.query import (  # noqa: F401
+    Query, QueryBuilder, Read, Res, ResMut, Local,
+)
 from bevy_tpu.ecs.system import system, host_system, System  # noqa: F401
 from bevy_tpu.ecs.schedule import Schedule  # noqa: F401
 from bevy_tpu.ecs.commands import Commands  # noqa: F401

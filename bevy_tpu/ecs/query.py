@@ -26,6 +26,54 @@ class Read:
         self.comp = comp
 
 
+class QueryBuilder:
+    """Runtime-composed query (ref: QueryBuilder,
+    bevy_ecs/src/query/builder.rs): accumulate terms from data unknown at
+    authoring time — component lists from config, plugins, or reflection —
+    then `.build()` a Query usable as a system param.
+
+        q = QueryBuilder().data(Pos).ref_(Vel).with_(Alive).build()
+    """
+
+    def __init__(self):
+        self._comps = []
+        self._kw = {"with_": [], "without": [], "changed": [],
+                    "added": [], "removed": []}
+
+    def data(self, comp):
+        """Mutable access (ref: builder.data::<&mut T>())."""
+        self._comps.append(comp)
+        return self
+
+    def ref_(self, comp):
+        """Read-only access (ref: builder.data::<&T>())."""
+        self._comps.append(Read(comp))
+        return self
+
+    def with_(self, comp):
+        self._kw["with_"].append(comp)
+        return self
+
+    def without(self, comp):
+        self._kw["without"].append(comp)
+        return self
+
+    def changed(self, comp):
+        self._kw["changed"].append(comp)
+        return self
+
+    def added(self, comp):
+        self._kw["added"].append(comp)
+        return self
+
+    def removed(self, comp):
+        self._kw["removed"].append(comp)
+        return self
+
+    def build(self) -> "Query":
+        return Query(*self._comps, **self._kw)
+
+
 class Query:
     def __init__(self, *comps, with_=(), without=(), changed=(), added=(),
                  removed=()):

@@ -366,6 +366,29 @@ class World:
         """Whole field column (device array, capacity rows)."""
         return self.state["comp"][get_spec(comp).name]["f"][fname]
 
+    def clone_entity(self, entity: Union[Entity, int],
+                     without=()) -> Entity:
+        """Host-tier entity clone (ref: EntityCloner /
+        EntityWorldMut::clone_and_spawn, bevy_ecs/src/entity/clone_entities.rs):
+        spawns a new entity carrying copies of every component on the
+        source, minus `without`. One gathered device read per component —
+        a between-frames tool, not a per-frame op."""
+        self._sync()
+        row = entity.index if isinstance(entity, Entity) else int(entity)
+        if not self._host_alive[row]:
+            raise ValueError(
+                f"clone_entity: entity row {row} is not alive")
+        skip = {get_spec(c).name for c in without}
+        insts = []
+        for name, spec in self.specs.items():
+            if name in skip or not self._host_has[name][row]:
+                continue
+            store = self.state["comp"][name]
+            vals = {f: np.asarray(jax.device_get(a[row]))
+                    for f, a in store["f"].items()}
+            insts.append(ComponentInstance(spec, vals))
+        return self.spawn(*insts)
+
     def mask_of(self, *comps) -> jnp.ndarray:
         m = self.state["ent"]["alive"]
         for comp in comps:

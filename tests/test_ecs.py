@@ -293,3 +293,49 @@ def test_marker_component_filtering():
     w.state = sched.run_traced(w.state, w)
     np.testing.assert_allclose(w.get(0, Pos).value, [10.0, 0.0])
     np.testing.assert_allclose(w.get(1, Pos).value, [2.0, 0.0])
+
+
+def test_clone_entity():
+    w = World(capacity=16)
+    e = w.spawn(Pos(value=(3.0, 4.0)), Vel(value=(1.0, 0.0)))
+    c = w.clone_entity(e)
+    assert c.index != e.index
+    got = w.get(c, Pos)
+    assert got.value.tolist() == [3.0, 4.0]
+    assert w.has(c, Vel)
+    # clone minus a component
+    c2 = w.clone_entity(e, without=[Vel])
+    assert w.has(c2, Pos) and not w.has(c2, Vel)
+    # clones are independent rows
+    w.despawn(e)
+    assert w.is_alive(c) and w.is_alive(c2)
+
+
+def test_query_builder():
+    from bevy_tpu import QueryBuilder
+
+    w = World(capacity=16)
+    w.spawn(Pos(value=(1.0, 0.0)), Vel(value=(0.5, 0.0)))
+    w.spawn(Pos(value=(2.0, 0.0)))
+
+    q = QueryBuilder().data(Pos).ref_(Vel).build()
+
+    @system
+    def integrate(q=q):
+        q.pos.value = q.pos.value + q.vel.value
+
+    sched = Schedule("t")
+    sched.add_systems(integrate)
+    sched.init_systems(w)
+    w.state = jax.jit(lambda s: sched.run_traced(s, w))(w.state)
+    xs = np.asarray(jax.device_get(w.column(Pos, "value")))[:, 0]
+    rows = w.query_rows(Pos)
+    assert 1.5 in xs[rows] and 2.0 in xs[rows]
+
+
+def test_clone_despawned_raises():
+    w = World(capacity=16)
+    e = w.spawn(Pos(value=(1.0, 1.0)))
+    w.despawn(e)
+    with pytest.raises(ValueError):
+        w.clone_entity(e)

@@ -141,3 +141,29 @@ def test_frustum_aabb_batched():
 def _rand_quat(rng):
     v = rng.normal(size=4).astype(np.float32)
     return v / np.linalg.norm(v)
+
+
+def test_oklab_roundtrip_and_mix():
+    import numpy as np
+    from bevy_tpu.color import (
+        linear_to_oklab, mix, oklab_to_linear, oklaba, oklcha, srgba,
+    )
+
+    rgb = np.asarray([[0.2, 0.5, 0.8], [1.0, 0.0, 0.0], [0.0, 0.0, 0.0],
+                      [1.0, 1.0, 1.0]], np.float32)
+    back = np.asarray(oklab_to_linear(linear_to_oklab(rgb)))
+    assert np.abs(back - rgb).max() < 1e-4
+    # white: L=1, a=b=0 (the Oklab normalization)
+    lab_w = np.asarray(linear_to_oklab(np.ones(3, np.float32)))
+    assert abs(lab_w[0] - 1.0) < 1e-3 and np.abs(lab_w[1:]).max() < 1e-3
+    # oklch hue 0/360 agree
+    assert np.allclose(np.asarray(oklcha(0.7, 0.1, 0.0)),
+                       np.asarray(oklcha(0.7, 0.1, 360.0)), atol=1e-5)
+    assert np.allclose(np.asarray(oklaba(1.0, 0.0, 0.0))[:3], 1.0, atol=1e-3)
+    # mixing endpoints returns the endpoints
+    c0, c1 = srgba(1.0, 0.0, 0.0), srgba(0.0, 0.0, 1.0)
+    assert np.allclose(np.asarray(mix(c0, c1, 0.0)), np.asarray(c0), atol=1e-4)
+    assert np.allclose(np.asarray(mix(c0, c1, 1.0)), np.asarray(c1), atol=1e-4)
+    # midpoint stays a sane color (no channel blowup)
+    mid = np.asarray(mix(c0, c1, 0.5))
+    assert (mid[:3] > -0.01).all() and (mid[:3] < 1.2).all()
