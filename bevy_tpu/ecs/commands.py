@@ -62,11 +62,17 @@ class CommandsView:
             raise ValueError("Commands.spawn needs a positive budget "
                              "(declare via Commands(budget=N) or spawn(budget=N))")
         count = budget if count is None else count
-        self._ops.append(("spawn", components, count, budget))
+        from bevy_tpu.ecs.component import expand_required
+        self._ops.append(("spawn", expand_required(components), count, budget))
 
     def insert(self, mask, *components: ComponentInstance):
-        """Add/overwrite components on all rows where mask is True."""
-        self._ops.append(("insert", mask, components))
+        """Add/overwrite components on all rows where mask is True. Required
+        components (ref: #[require]) are added only to rows lacking them."""
+        from bevy_tpu.ecs.component import expand_required
+        expanded = expand_required(components)
+        self._ops.append(("insert", mask, tuple(expanded[:len(components)])))
+        for inst in expanded[len(components):]:
+            self._ops.append(("insert_missing", mask, (inst,)))
 
     def remove(self, mask, *comps):
         self._ops.append(("remove", mask, [get_spec(c) for c in comps]))
@@ -96,6 +102,12 @@ class CommandsView:
             elif kind == "insert":
                 _, mask, components = op
                 state = _apply_insert(state, mask, components, tick)
+            elif kind == "insert_missing":
+                # auto-required component: don't clobber rows that have it
+                _, mask, components = op
+                for inst in components:
+                    have = state["comp"][inst.spec.name]["has"]
+                    state = _apply_insert(state, mask & ~have, [inst], tick)
             elif kind == "remove":
                 _, mask, specs = op
                 for spec in specs:

@@ -61,12 +61,16 @@ def field(shape=(), dtype=jnp.float32, default=None, entity_ref=False):
 class ComponentSpec:
     """Registered metadata for one component type (ref: ComponentInfo)."""
 
-    def __init__(self, cls, name: str, fields: Dict[str, Field], sparse_capacity=None):
+    def __init__(self, cls, name: str, fields: Dict[str, Field], sparse_capacity=None,
+                 requires=()):
         self.cls = cls
         self.name = name
         self.fields = fields
         # Reserved: per-component pool capacity for rare components.
         self.sparse_capacity = sparse_capacity
+        # required components (ref: #[require]): classes or
+        # ComponentInstances auto-inserted at spawn when absent
+        self.requires = tuple(requires)
 
     def __repr__(self):
         return f"ComponentSpec({self.name}, fields={list(self.fields)})"
@@ -101,12 +105,17 @@ class ComponentInstance:
         return f"{self.spec.name}({self.values})"
 
 
-def component(cls=None, *, name: Optional[str] = None):
+def component(cls=None, *, name: Optional[str] = None, requires=()):
     """Class decorator registering a component type.
 
     The decorated class becomes a factory: calling it returns a
     `ComponentInstance` holding field values (defaults applied at spawn).
     The class object itself is the handle used in queries.
+
+    `requires` (ref: #[require], bevy_ecs/src/component/require.rs): other
+    component classes — or ComponentInstances carrying constructor values —
+    auto-inserted (transitively) whenever this component is spawned or
+    inserted on an entity that lacks them. Explicit values always win.
     """
 
     def wrap(cls):
@@ -114,7 +123,8 @@ def component(cls=None, *, name: Optional[str] = None):
         for key, val in list(vars(cls).items()):
             if isinstance(val, Field):
                 fields[key] = val
-        spec = ComponentSpec(cls, name or _snake(cls.__name__), fields)
+        spec = ComponentSpec(cls, name or _snake(cls.__name__), fields,
+                             requires=requires)
         _REGISTRY[cls] = spec
 
         def __new__(klass, **kwargs):
@@ -130,6 +140,28 @@ def component(cls=None, *, name: Optional[str] = None):
     if cls is not None:
         return wrap(cls)
     return wrap
+
+
+def expand_required(components):
+    """Instances + transitively required components not already present
+    (ref: the require-graph walk at insert, bevy_ecs component/require.rs).
+    Order: explicit components first, then requirements breadth-first."""
+    out = list(components)
+    present = set()
+    queue = []
+    for inst in components:
+        spec = inst.spec if isinstance(inst, ComponentInstance) else get_spec(inst)
+        present.add(spec.name)
+        queue.extend(spec.requires)
+    while queue:
+        req = queue.pop(0)
+        inst = req if isinstance(req, ComponentInstance) else req()
+        if inst.spec.name in present:
+            continue
+        present.add(inst.spec.name)
+        out.append(inst)
+        queue.extend(inst.spec.requires)
+    return out
 
 
 def resource(cls=None, *, name: Optional[str] = None):

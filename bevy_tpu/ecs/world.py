@@ -104,6 +104,10 @@ class World:
         self.state["comp"][spec.name] = store
         self._host_has[spec.name] = np.zeros(n, bool)
         self.structure_version += 1
+        # required components get storage too (ref: #[require] registration)
+        for req in spec.requires:
+            self.register_component(
+                req.spec if isinstance(req, ComponentInstance) else req)
         return spec
 
     def add_message(self, msg, capacity: int = 1024) -> ComponentSpec:
@@ -235,6 +239,8 @@ class World:
         """Bulk spawn `count` entities sharing a component set; field values
         may be scalars (broadcast) or (count, *shape) arrays. Returns row
         indices. (ref: World::spawn_batch)"""
+        from bevy_tpu.ecs.component import expand_required
+        components = expand_required(components)
         self._sync()
         free = np.flatnonzero(~self._host_alive)
         if len(free) < count:
@@ -277,7 +283,13 @@ class World:
         return rows
 
     def insert(self, entity: Union[Entity, int], *components: ComponentInstance):
+        from bevy_tpu.ecs.component import expand_required
         row = entity.index if isinstance(entity, Entity) else int(entity)
+        expanded = expand_required(components)
+        # auto-required components never clobber existing values
+        components = list(components) + [
+            inst for inst in expanded[len(components):]
+            if not self.has(row, inst.spec)]
         jrow = jnp.asarray([row], jnp.int32)
         tick = self.state["tick"] + 1  # see spawn_batch
         self.state["tick"] = tick

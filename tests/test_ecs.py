@@ -339,3 +339,61 @@ def test_clone_despawned_raises():
     w.despawn(e)
     with pytest.raises(ValueError):
         w.clone_entity(e)
+
+
+def test_required_components():
+    from bevy_tpu import component, field
+
+    @component
+    class Shield:
+        hp = field((), jnp.float32, default=10.0)
+
+    @component(requires=[Shield])
+    class Armor:
+        thickness = field((), jnp.float32, default=2.0)
+
+    @component(requires=[Armor])   # transitive: Knight -> Armor -> Shield
+    class Knight:
+        pass
+
+    w = World(capacity=16)
+    e = w.spawn(Knight())
+    assert w.has(e, Armor) and w.has(e, Shield)
+    assert float(w.get(e, Shield).hp) == 10.0
+    # explicit value wins over the required default
+    e2 = w.spawn(Knight(), Shield(hp=99.0))
+    assert float(w.get(e2, Shield).hp) == 99.0
+    # insert on an entity that already has the requirement: value preserved
+    e3 = w.spawn(Shield(hp=55.0))
+    w.insert(e3, Armor())
+    assert float(w.get(e3, Shield).hp) == 55.0
+
+
+def test_required_components_device_spawn():
+    from bevy_tpu import component, field
+
+    @component
+    class Engine:
+        power = field((), jnp.float32, default=3.0)
+
+    @component(requires=[Engine])
+    class Ship:
+        pass
+
+    w = World(capacity=16)
+    w.register_component(Ship)
+
+    @system
+    def launcher(cmd=Commands(spawn_comps=[Ship], budget=2)):
+        cmd.spawn(Ship(), count=2)
+
+    sched = Schedule("t")
+    sched.add_systems(launcher)
+    sched.init_systems(w)
+    w.state = jax.jit(lambda s: sched.run_traced(s, w))(w.state)
+    w.mark_device_dirty()
+    assert w.entity_count(Ship) == 2
+    assert w.entity_count(Engine) == 2
+    rows = w.query_rows(Engine)
+    pw = np.asarray(jax.device_get(w.column(Engine, "power")))[rows]
+    assert (pw == 3.0).all()
