@@ -108,6 +108,31 @@ class App:
     def is_plugin_added(self, name: str) -> bool:
         return name in self._plugin_names
 
+    def set_error_handler(self, handler):
+        """Route system errors (ref: App::set_error_handler,
+        bevy_ecs/src/error/handler.rs — the panic/warn/ignore policies).
+        `handler(exc, system)` is called for exceptions raised — or
+        Exception values returned — by system bodies at trace/host time;
+        the failing system's staged writes are skipped. `None` restores
+        the default panic (re-raise). Shorthands: "warn" logs and
+        continues; "ignore" continues silently.
+
+        Trace semantics: a device system that fails AT TRACE TIME is
+        compiled out of that segment — the handler fires once per trace,
+        not per frame, and the system stays skipped until a retrace.
+        Host systems run eagerly, so their failures route every frame."""
+        if handler == "warn":
+            import logging
+
+            def handler(e, sys_):  # noqa: F811
+                logging.getLogger("bevy_tpu").warning(
+                    "system %s failed: %s", sys_.name, e)
+        elif handler == "ignore":
+            def handler(e, sys_):  # noqa: F811
+                pass
+        self.world.error_handler = handler
+        return self
+
     def insert_resource(self, res, value=None):
         """Insert/overwrite a resource (ref: App::insert_resource)."""
         self.world.insert_resource(res, value)

@@ -200,10 +200,19 @@ def run_host_entry(entry: SystemEntry, world):
     views = {}
     for pname, p in entry.system.params.items():
         views[pname] = p.build(world.state, world, sysctx)
-    if entry.system.wants_world:
-        entry.system.fn(world, **views)
-    else:
-        entry.system.fn(**views)
+    try:
+        result = entry.system.fn(world, **views) if entry.system.wants_world \
+            else entry.system.fn(**views)
+    except Exception as e:  # noqa: BLE001 — see System._run_inner
+        if getattr(world, "error_handler", None) is None:
+            raise
+        world.error_handler(e, entry.system)
+        return
+    if isinstance(result, Exception):
+        if getattr(world, "error_handler", None) is None:
+            raise result
+        world.error_handler(result, entry.system)
+        return
     # Pick up structural edits the body may have made, then merge staged
     # writes (staged writes + capacity growth in one system unsupported).
     state = world.state

@@ -120,10 +120,24 @@ class System:
         views = {}
         for pname, p in self.params.items():
             views[pname] = p.build(state, world, sysctx)
-        if self.wants_world:
-            self.fn(world, **views)
-        else:
-            self.fn(**views)
+        # fallible systems (ref: Result-returning systems routed to the
+        # error handler, bevy_ecs/src/error/handler.rs): exceptions — and
+        # returned Exception values — go to world.error_handler. The
+        # default (None) re-raises (the reference's panic policy); a
+        # handler skips this system's staged writes, leaving state intact.
+        try:
+            result = self.fn(world, **views) if self.wants_world \
+                else self.fn(**views)
+        except Exception as e:  # noqa: BLE001 — routed, not swallowed
+            if getattr(world, "error_handler", None) is None:
+                raise
+            world.error_handler(e, self)
+            return state
+        if isinstance(result, Exception):
+            if getattr(world, "error_handler", None) is None:
+                raise result
+            world.error_handler(result, self)
+            return state
         tick = state["tick"]
         for view in views.values():
             if hasattr(view, "merge"):

@@ -153,3 +153,64 @@ def test_run_if_condition():
     for _ in range(5):
         app.update(dt=0.1)
     assert int(app.world.resource(Hits).n) == 3
+
+
+def test_fallible_systems_error_handler():
+    import jax.numpy as jnp
+    import pytest
+    from bevy_tpu import App, ResMut, Update, field, resource
+    from bevy_tpu.ecs.system import system
+    from bevy_tpu.time import TimePlugin
+
+    @resource
+    class Counter:
+        n = field((), jnp.int32)
+
+    def build(handler=None):
+        app = App(capacity=4)
+        app.add_plugins(TimePlugin())
+        app.insert_resource(Counter())
+
+        @system
+        def broken(c=ResMut(Counter)):
+            raise RuntimeError("boom")
+
+        @system
+        def healthy(c=ResMut(Counter)):
+            c.n = c.n + 1
+
+        app.add_systems(Update, broken, healthy)
+        if handler is not None:
+            app.set_error_handler(handler)
+        return app
+
+    # default: panic (ref: the default GLOBAL_ERROR_HANDLER)
+    with pytest.raises(RuntimeError, match="boom"):
+        build().update(dt=1 / 60)
+
+    # warn: failing system skipped, the rest of the frame still runs
+    app = build("warn")
+    app.update(dt=1 / 60)
+    app.update(dt=1 / 60)
+    assert int(app.world.resource(Counter).n) == 2
+
+    # custom handler receives (exc, system)
+    seen = []
+    app = build(lambda e, s: seen.append((str(e), s.name)))
+    app.update(dt=1 / 60)
+    assert seen and seen[0] == ("boom", "broken")
+
+    # returned-Exception form (the Result::Err twin)
+    app2 = App(capacity=4)
+    app2.add_plugins(TimePlugin())
+    app2.insert_resource(Counter())
+
+    @system
+    def soft_fail(c=ResMut(Counter)):
+        c.n = c.n + 100          # staged write must be DISCARDED
+        return ValueError("nope")
+
+    app2.add_systems(Update, soft_fail)
+    app2.set_error_handler("ignore")
+    app2.update(dt=1 / 60)
+    assert int(app2.world.resource(Counter).n) == 0
