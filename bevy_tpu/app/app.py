@@ -200,7 +200,12 @@ class App:
             items.append(("frame_begin",))
         from bevy_tpu.ecs.observer import Trigger
 
+        stepping = getattr(self, "_stepping", None)
+        stepped = set(stepping.labels) if stepping is not None and \
+            stepping.enabled else set()
         for label in labels:
+            if label in stepped:
+                continue  # pulled out of the frame; run via Stepping.step()
             sched = self.schedules.get(label)
             if sched is not None:
                 sched.init_systems(self.world)
