@@ -199,6 +199,7 @@ class QueryView:
     def __init__(self, query: Query, state, mask):
         self.query = query
         self.mask = mask
+        self._state = state  # whole-state view (alive masks, generations)
         self.entities = jnp.arange(mask.shape[0], dtype=jnp.int32)
         self._views: Dict[str, ComponentView] = {}
         for spec in query.comps:
