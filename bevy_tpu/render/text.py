@@ -51,26 +51,60 @@ class FontAtlas:
         self.char_h = self.handles["M"]["size"][1]
 
 
+def wrap_lines(text: str, chars_per_line: int):
+    """Word wrap at spaces, breaking words longer than a line (ref: the
+    Linebreak::WordBoundary policy, bevy_text/src/text.rs)."""
+    lines = []
+    for raw in text.split("\n"):
+        cur = ""
+        for word in raw.split(" "):
+            while len(word) > chars_per_line:     # unbreakable long word
+                if cur:
+                    lines.append(cur)
+                    cur = ""
+                lines.append(word[:chars_per_line])
+                word = word[chars_per_line:]
+            cand = f"{cur} {word}" if cur else word
+            if len(cand) <= chars_per_line:
+                cur = cand
+            else:
+                lines.append(cur)
+                cur = word
+        lines.append(cur)
+    return lines
+
+
 def spawn_text(world, font: FontAtlas, text: str, pos=(0.0, 0.0), z=10.0,
-               color=(1.0, 1.0, 1.0, 1.0), size=None):
-    """Bake a string to glyph sprites (monospace advance). Returns rows."""
+               color=(1.0, 1.0, 1.0, 1.0), size=None, max_width=None,
+               justify="left"):
+    """Bake a string to glyph sprites (monospace advance). Returns rows.
+    `max_width` wraps at word boundaries (ref: TextLayout::linebreak);
+    `justify` is "left"/"center"/"right" within max_width — or within the
+    widest line when max_width is None (ref: Justify)."""
     rows = []
     cw = size or font.char_w
     ch_h = cw * font.char_h / font.char_w
-    x, y = float(pos[0]), float(pos[1])
-    for ch in text:
-        if ch == "\n":
-            y -= ch_h * 1.2
-            x = float(pos[0])
-            continue
-        if ch != " " and ch in font.handles:
-            h = font.handles[ch]
-            rows.append(world.spawn(
-                Sprite(size=(cw, ch_h), color=color,
-                       uv_min=h["uv_min"], uv_max=h["uv_max"], tex=h["tex"]),
-                Transform(translation=(x + cw / 2, y - ch_h / 2, z)),
-                GlobalTransform(translation=(x + cw / 2, y - ch_h / 2, z))))
-        x += cw
+    if max_width is not None:
+        lines = wrap_lines(text, max(1, int(max_width // cw)))
+        box_w = float(max_width)
+    else:
+        lines = text.split("\n")
+        box_w = max(len(l) for l in lines) * cw if lines else 0.0
+    y = float(pos[1])
+    for line in lines:
+        slack = box_w - len(line) * cw
+        x = float(pos[0]) + {"left": 0.0, "center": slack / 2,
+                             "right": slack}[justify]
+        for ch in line:
+            if ch != " " and ch in font.handles:
+                h = font.handles[ch]
+                rows.append(world.spawn(
+                    Sprite(size=(cw, ch_h), color=color,
+                           uv_min=h["uv_min"], uv_max=h["uv_max"], tex=h["tex"]),
+                    Transform(translation=(x + cw / 2, y - ch_h / 2, z)),
+                    GlobalTransform(translation=(x + cw / 2, y - ch_h / 2, z))))
+            x += cw
+        y -= ch_h * 1.2
     return rows
 
 

@@ -82,3 +82,30 @@ def test_fps_overlay_and_ci_harness(tmp_path):
     img = np.asarray(frame_image(app))
     green = (img[..., 1].astype(int) - img[..., 0].astype(int)) > 40
     assert green.sum() > 10, "fps digits not visible"
+
+
+def test_text_wrapping_and_justify():
+    from bevy_tpu.render.text import wrap_lines
+
+    assert wrap_lines("the quick brown fox", 10) == ["the quick", "brown fox"]
+    assert wrap_lines("hi", 10) == ["hi"]
+    assert wrap_lines("abcdefghij xy", 4) == ["abcd", "efgh", "ij", "xy"]
+    assert wrap_lines("a\nb", 10) == ["a", "b"]
+
+    import numpy as np
+    import jax
+    from bevy_tpu import App, World
+    from bevy_tpu.render.text import FontAtlas, spawn_text
+    from bevy_tpu.render.texture import AtlasBuilder
+    from bevy_tpu.transform import Transform
+
+    w = World(capacity=256)
+    font = FontAtlas(AtlasBuilder(512, 256))
+    rows = spawn_text(w, font, "the quick brown fox", pos=(0.0, 0.0),
+                      size=8.0, max_width=80.0, justify="right")
+    t = np.asarray(jax.device_get(w.column(Transform, "translation")))
+    xs = sorted(t[r.index][0] for r in rows)
+    ys = sorted({round(float(t[r.index][1]), 2) for r in rows})
+    assert len(ys) == 2                      # wrapped to two lines
+    # right-justified: the last glyph of each line ends at x = 80
+    assert max(xs) == 80.0 - 4.0             # center of last 8px glyph
