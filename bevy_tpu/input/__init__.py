@@ -85,6 +85,11 @@ class InputState:
     def set_axis(self, axis, value):
         self.gamepad_axes[axis] = value
 
+    def wheel(self, dx=0.0, dy=0.0):
+        """Set this frame's scroll-wheel delta (sticky until changed;
+        call wheel() again with zeros to stop scrolling)."""
+        self.scroll = np.asarray([dx, dy], np.float32)
+
     def set_gamepad_button(self, button, pressed=True):
         self.gamepad_buttons[button] = pressed
 

@@ -1,13 +1,15 @@
-"""UI (reference twin: bevy_ui — Node style + taffy flexbox layout
-`src/layout/mod.rs:68`, ComputedNode, Interaction `src/focus.rs`; and
-bevy_ui_widgets' button). Round-1 subset: fixed-size flex rows/columns with
-padding/gap, absolute roots, background colors, hover/press interaction.
+"""UI (reference twin: bevy_ui — Node style + taffy flexbox/grid layout
+`src/layout/mod.rs:68`, ComputedNode, Interaction `src/focus.rs`; widgets
+after bevy_ui_widgets' button/checkbox/radio/slider/scrollarea).
 
-Layout runs HOST-side on structural change (the reference also solves
-layout on CPU via taffy) and writes node transforms; interaction updates
-IN-JIT each frame from the mouse resource. UI draws through the sprite
-overlay in screen-aligned world units (assumes the default unscaled 2D
-camera, 1 unit = 1 px).
+Layout runs HOST-side on structural change through the native C++ solver
+(`bevy_tpu/native/flexbox.cpp`, the taffy equivalent) and writes node
+transforms; interaction and widget state update IN-JIT each frame from
+the mouse resource. UI draws through the sprite overlay in
+screen-aligned world units (assumes the default unscaled 2D camera,
+1 unit = 1 px). Scroll containers clip children host-side by shrinking
+their background rects to the visible intersection (axis-aligned rects
+make exact clipping a rect intersection — no scissor kernel needed).
 """
 
 from __future__ import annotations
@@ -17,18 +19,28 @@ from typing import Dict, List, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from bevy_tpu.app.main_schedule import PreUpdate
+from bevy_tpu.app.main_schedule import PreUpdate, Update
 from bevy_tpu.app.plugin import Plugin
 from bevy_tpu.ecs.component import component, field
 from bevy_tpu.ecs.query import Query, Res
 from bevy_tpu.ecs.system import system
+from bevy_tpu.native import layout as nl
 from bevy_tpu.render.sprite import Sprite
 from bevy_tpu.transform import GlobalTransform, Transform
+
+_DIRS = {"row": nl.ROW, "column": nl.COLUMN,
+         "row_reverse": nl.ROW_REVERSE, "column_reverse": nl.COLUMN_REVERSE}
+_JUSTIFY = {"start": nl.START, "end": nl.END, "center": nl.CENTER,
+            "space_between": nl.SPACE_BETWEEN, "space_around": nl.SPACE_AROUND,
+            "space_evenly": nl.SPACE_EVENLY}
+_ALIGN = {"auto": nl.ALIGN_AUTO, "start": nl.ALIGN_START, "end": nl.ALIGN_END,
+          "center": nl.ALIGN_CENTER, "stretch": nl.ALIGN_STRETCH}
+_DISPLAY = {"flex": nl.FLEX, "grid": nl.GRID, "none": nl.NONE}
 
 
 @component
 class UiNode:
-    """Computed layout rect (ref: ComputedNode): center + size in UI px."""
+    """Computed layout rect (ref: ComputedNode): size in UI px."""
     size = field(2)
 
 
@@ -38,20 +50,93 @@ class Interaction:
     state = field((), jnp.int32)
 
 
-class Style:
-    """Host-side node style (ref: Node style fields, taffy subset)."""
+@component
+class Checked:
+    """Checkbox/radio state (ref: bevy_ui_widgets Checked)."""
+    value = field((), jnp.int32)
+    group = field((), jnp.int32)        # radio group id; -1 = checkbox
 
-    def __init__(self, width=0.0, height=0.0, flex_direction="column",
-                 gap=0.0, padding=0.0, left=None, top=None,
-                 background=(0.0, 0.0, 0.0, 0.0)):
+
+@component
+class SliderValue:
+    """Slider 0..1 value + drag-capture flag (ref: ui_widgets slider)."""
+    value = field((), jnp.float32)
+    dragging = field((), jnp.int32)
+
+
+@component
+class ScrollPosition:
+    """Scroll offset in px (ref: bevy_ui ScrollPosition)."""
+    offset = field(2)
+
+
+class Style:
+    """Host-side node style (ref: bevy_ui Node fields / taffy style).
+
+    Sizes (`width`/`height`/`min_*`/`max_*`/`flex_basis`) accept a number
+    (px), "auto"/None, or the `(value, unit)` pairs from
+    `bevy_tpu.native.layout` (`px()`, `pct()`, `fr()` for grid tracks).
+    """
+
+    def __init__(self, width=None, height=None, flex_direction="column",
+                 gap=0.0, padding=0.0, margin=0.0, left=None, top=None,
+                 right=None, bottom=None, background=(0.0, 0.0, 0.0, 0.0),
+                 display="flex", position="relative", flex_wrap=False,
+                 justify_content="start", align_items="auto",
+                 align_self="auto", align_content="start",
+                 flex_grow=0.0, flex_shrink=1.0, flex_basis=None,
+                 min_width=None, min_height=None, max_width=None,
+                 max_height=None, content_size=(0.0, 0.0),
+                 grid_cols=None, grid_rows=None, grid_col=0,
+                 grid_col_span=1, grid_row=0, grid_row_span=1,
+                 overflow="visible"):
         self.width = width
         self.height = height
         self.flex_direction = flex_direction
         self.gap = gap
         self.padding = padding
-        self.left = left      # absolute position for roots (px from left)
-        self.top = top        # px from top
+        self.margin = margin
+        self.left, self.top, self.right, self.bottom = left, top, right, bottom
         self.background = background
+        self.display = display
+        self.position = position
+        self.flex_wrap = flex_wrap
+        self.justify_content = justify_content
+        self.align_items = align_items
+        self.align_self = align_self
+        self.align_content = align_content
+        self.flex_grow = flex_grow
+        self.flex_shrink = flex_shrink
+        self.flex_basis = flex_basis
+        self.min_width, self.min_height = min_width, min_height
+        self.max_width, self.max_height = max_width, max_height
+        self.content_size = content_size
+        self.grid_cols, self.grid_rows = grid_cols, grid_rows
+        self.grid_col, self.grid_col_span = grid_col, grid_col_span
+        self.grid_row, self.grid_row_span = grid_row, grid_row_span
+        self.overflow = overflow            # "visible" | "clip" | "scroll"
+
+    def to_native(self) -> nl.NodeStyle:
+        pos = nl.ABSOLUTE if self.position == "absolute" else nl.RELATIVE
+        # legacy API: roots given left/top stay in-flow at that offset
+        return nl.make_style(
+            display=_DISPLAY[self.display], position=pos,
+            flex_direction=_DIRS[self.flex_direction],
+            flex_wrap=self.flex_wrap,
+            justify_content=_JUSTIFY[self.justify_content],
+            align_items=_ALIGN[self.align_items],
+            align_self=_ALIGN[self.align_self],
+            align_content=_JUSTIFY[self.align_content],
+            flex_grow=self.flex_grow, flex_shrink=self.flex_shrink,
+            flex_basis=self.flex_basis, width=self.width, height=self.height,
+            min_width=self.min_width, min_height=self.min_height,
+            max_width=self.max_width, max_height=self.max_height,
+            padding=self.padding, margin=self.margin,
+            left=self.left, top=self.top, right=self.right,
+            bottom=self.bottom, gap=self.gap, content_size=self.content_size,
+            grid_cols=self.grid_cols, grid_rows=self.grid_rows,
+            grid_col=self.grid_col, grid_col_span=self.grid_col_span,
+            grid_row=self.grid_row, grid_row_span=self.grid_row_span)
 
 
 class _Node:
@@ -59,11 +144,12 @@ class _Node:
         self.style = style
         self.row = row
         self.children: List["_Node"] = []
+        self.parent: Optional["_Node"] = None
 
 
 class UiPlugin(Plugin):
-    """ref: UiPlugin. `spawn_node`/`button` build the tree; layout re-solves
-    on world-structure change."""
+    """ref: UiPlugin. `spawn_node`/widget helpers build the tree; layout
+    re-solves on world-structure change via the native flexbox solver."""
 
     def __init__(self, width=1280, height=720):
         self.width = width
@@ -73,30 +159,43 @@ class UiPlugin(Plugin):
 
     def build(self, app):
         self.app = app
-        app.world.register_component(UiNode)
-        app.world.register_component(Interaction)
-        app.world.register_component(Sprite)
+        for c in (UiNode, Interaction, Checked, SliderValue, ScrollPosition,
+                  Sprite):
+            app.world.register_component(c)
+        # scroll baking: row arrays rebuilt by _layout; the systems read
+        # them at trace time (structure change → re-layout → retrace)
+        self._clip_rows = np.zeros(0, np.int32)
+        self._clip_anchor = np.zeros(0, np.int32)
+        self._clip_base = np.zeros((0, 4), np.float32)   # cx, cy, w, h
+        self._clip_rect = np.zeros((0, 4), np.float32)   # x0, y0, x1, y1
+        self._scroll_rows = np.zeros(0, np.int32)
+        self._scroll_max = np.zeros(0, np.float32)
         app.add_prepare_hook(lambda world: self._layout(world))
         app.add_systems(PreUpdate, make_interaction_system(
             self.width, self.height))
+        app.add_systems(Update, _checkbox_system,
+                        make_slider_system(self.width),
+                        make_scroll_system(self))
         app.ui = self
 
     # -- authoring ------------------------------------------------------
     def spawn_node(self, world, style: Style, parent: Optional[int] = None,
-                   interactive=False):
+                   interactive=False, extra_components=()):
         comps = [
-            UiNode(size=(style.width, style.height)),
+            UiNode(size=(0.0, 0.0)),
             Sprite(size=(1.0, 1.0), color=style.background),
             Transform(), GlobalTransform(),
         ]
         if interactive:
             comps.append(Interaction())
+        comps.extend(extra_components)
         e = world.spawn(*comps)
         node = _Node(style, e.index)
         self._by_row[e.index] = node
         if parent is None:
             self.roots.append(node)
         else:
+            node.parent = self._by_row[parent]
             self._by_row[parent].children.append(node)
         return e.index
 
@@ -104,38 +203,116 @@ class UiPlugin(Plugin):
         """ref: bevy_ui_widgets button — an interactive node."""
         return self.spawn_node(world, style, parent, interactive=True)
 
+    def checkbox(self, world, style: Style, parent=None, checked=False):
+        """Toggles on click release (ref: ui_widgets checkbox)."""
+        return self.spawn_node(
+            world, style, parent, interactive=True,
+            extra_components=[Checked(value=int(checked), group=-1)])
+
+    def radio(self, world, style: Style, group: int, parent=None,
+              checked=False):
+        """Radio button: checking one clears others in `group`."""
+        return self.spawn_node(
+            world, style, parent, interactive=True,
+            extra_components=[Checked(value=int(checked), group=group)])
+
+    def slider(self, world, style: Style, parent=None, value=0.0):
+        """Horizontal slider; drag sets value 0..1 across its width."""
+        return self.spawn_node(
+            world, style, parent, interactive=True,
+            extra_components=[SliderValue(value=float(value), dragging=0)])
+
+    def scroll_area(self, world, style: Style, parent=None):
+        """Scroll container: wheel scrolls content; children clip to it."""
+        style.overflow = "scroll"
+        return self.spawn_node(
+            world, style, parent, interactive=True,
+            extra_components=[ScrollPosition(offset=(0.0, 0.0))])
+
     # -- layout (host, ref position: ui_layout_system) -------------------
     def _layout(self, world):
-        for root in self.roots:
-            x = root.style.left if root.style.left is not None else 0.0
-            y = root.style.top if root.style.top is not None else 0.0
-            self._place(world, root, x, y)
+        nodes: List[_Node] = []
 
-    def _place(self, world, node: _Node, x, y):
-        """(x, y) is the node's top-left in UI px (origin top-left)."""
+        def collect(n):
+            nodes.append(n)
+            for c in n.children:
+                collect(c)
+
+        for r in self.roots:
+            collect(r)
+        if not nodes:
+            return
+        index = {id(n): i for i, n in enumerate(nodes)}
+        styles = [n.style.to_native() for n in nodes]
+        parents = [index[id(n.parent)] if n.parent is not None else -1
+                   for n in nodes]
+        rects = nl.solve(styles, parents, self.width, self.height)
+
+        # content heights for scroll clamping: max child bottom per node
+        content_h = [0.0] * len(nodes)
+        for i, n in enumerate(nodes):
+            if n.parent is not None:
+                p = index[id(n.parent)]
+                rel_bottom = rects[i][1] + rects[i][3] - rects[p][1]
+                content_h[p] = max(content_h[p], rel_bottom)
+
+        # bake scroll/clip tables for the in-jit clip system (ref:
+        # bevy_ui Overflow::clip + ScrollPosition): each clipped node
+        # records its nearest scroll ancestor row, its unscrolled rect,
+        # and the (static) clip rect in centered-world coordinates
+        clip_rows, clip_anchor, clip_base, clip_rect = [], [], [], []
+        scroll_rows, scroll_max_v = [], []
+        for i, n in enumerate(nodes):
+            x, y, w, h = rects[i]
+            self._write(world, n, x, y, w, h)
+            if n.style.overflow == "scroll":
+                scroll_rows.append(n.row)
+                scroll_max_v.append(max(content_h[i] - h, 0.0))
+            clip = None
+            anchor = -1
+            a = n.parent
+            while a is not None:
+                ai = index[id(a)]
+                if a.style.overflow in ("clip", "scroll"):
+                    ax, ay, aw, ah = rects[ai]
+                    if a.style.overflow == "scroll" and anchor < 0:
+                        anchor = a.row
+                    r = (ax, ay, ax + aw, ay + ah)
+                    clip = r if clip is None else (
+                        max(clip[0], r[0]), max(clip[1], r[1]),
+                        min(clip[2], r[2]), min(clip[3], r[3]))
+                a = a.parent
+            if clip is not None:
+                clip_rows.append(n.row)
+                clip_anchor.append(max(anchor, 0))
+                clip_base.append([x + w / 2, y + h / 2, w, h])
+                clip_rect.append(list(clip))
+        self._clip_rows = np.asarray(clip_rows, np.int32)
+        self._clip_anchor = np.asarray(clip_anchor, np.int32)
+        self._clip_base = np.asarray(clip_base, np.float32).reshape(-1, 4)
+        self._clip_rect = np.asarray(clip_rect, np.float32).reshape(-1, 4)
+        self._scroll_rows = np.asarray(scroll_rows, np.int32)
+        self._scroll_max = np.asarray(scroll_max_v, np.float32)
+
+    def _write(self, world, node: _Node, x, y, w, h):
         s = node.style
-        # write world transform: UI px → centered world units, y flip
-        wx = x + s.width / 2 - self.width / 2
-        wy = self.height / 2 - (y + s.height / 2)
-        z = 50.0
+        wx = x + w / 2 - self.width / 2
+        wy = self.height / 2 - (y + h / 2)
+        depth = 0
+        a = node.parent
+        while a is not None:
+            depth += 1
+            a = a.parent
+        z = 50.0 + 0.1 * depth        # children draw over parents
         world.insert(node.row,
                      Transform(translation=(wx, wy, z)),
                      GlobalTransform(translation=(wx, wy, z)),
-                     UiNode(size=(s.width, s.height)))
-        # overwrite sprite size (background rect)
+                     UiNode(size=(w, h)))
         from bevy_tpu.ecs.component import ComponentInstance, get_spec
         spec = get_spec(Sprite)
         world.insert(node.row, ComponentInstance(spec, {
-            "size": np.asarray([s.width, s.height], np.float32),
+            "size": np.asarray([w, h], np.float32),
             "color": np.asarray(s.background, np.float32)}))
-        cx = x + s.padding
-        cy = y + s.padding
-        for child in node.children:
-            self._place(world, child, cx, cy)
-            if s.flex_direction == "row":
-                cx += child.style.width + s.gap
-            else:
-                cy += child.style.height + s.gap
 
 
 def make_interaction_system(width, height):
@@ -154,3 +331,96 @@ def make_interaction_system(width, height):
         q.interaction.state = jnp.where(q.mask, state, q.interaction.state)
 
     return ui_interaction
+
+
+@system(name="ui_checkbox")
+def _checkbox_system(q=Query(Checked, Interaction), mouse=Res("mouse")):
+    """Toggle on release-while-hovered; radios clear their group
+    (ref: ui_widgets checkbox/radio observers)."""
+    released = mouse.just_released[0]
+    over = q.interaction.state >= 1
+    fire = q.mask & (released > 0) & over
+    toggled = jnp.where(fire, 1 - q.checked.value, q.checked.value)
+    # radio: a fired radio sets 1; others in the same group clear
+    is_radio = q.checked.group >= 0
+    fired_radio = fire & is_radio
+    group_fired = jnp.zeros((256,), jnp.int32).at[
+        jnp.clip(q.checked.group, 0, 255)].max(fired_radio.astype(jnp.int32))
+    cleared = is_radio & (group_fired[jnp.clip(q.checked.group, 0, 255)] > 0)
+    q.checked.value = jnp.where(
+        fired_radio, 1,
+        jnp.where(cleared & ~fired_radio, 0, toggled))
+
+
+def make_slider_system(width):
+    @system(name="ui_slider")
+    def ui_slider(q=Query(SliderValue, Interaction, UiNode, Transform),
+                  mouse=Res("mouse")):
+        """Drag writes value 0..1 across the node width (ref:
+        ui_widgets slider track semantics)."""
+        pressed = mouse.pressed[0]
+        just = mouse.just_pressed[0]
+        over = q.interaction.state >= 1
+        drag = ((q.slider_value.dragging > 0) & pressed) | (just & over)
+        q.slider_value.dragging = jnp.where(q.mask, drag.astype(jnp.int32),
+                                            q.slider_value.dragging)
+        mx = mouse.position[0] - width / 2      # centered world x
+        relx = mx - q.transform.translation[:, 0]
+        v = jnp.clip(relx / jnp.maximum(q.ui_node.size[:, 0], 1e-3) + 0.5,
+                     0.0, 1.0)
+        q.slider_value.value = jnp.where(q.mask & drag, v,
+                                         q.slider_value.value)
+
+    return ui_slider
+
+
+def make_scroll_system(plugin: "UiPlugin"):
+    @system(name="ui_scroll")
+    def ui_scroll(q=Query(ScrollPosition, Interaction),
+                  nodes=Query(UiNode, Transform),
+                  spr=Query(Sprite), mouse=Res("mouse")):
+        """Wheel scrolls hovered scroll areas, then re-clips their
+        children on-device (ref: bevy_ui ScrollPosition + Overflow::clip;
+        scroll geometry tables are baked at layout time and retrace with
+        structure changes)."""
+        over = q.interaction.state >= 1
+        dy = mouse.scroll[1]
+        off = q.scroll_position.offset
+        srows = jnp.asarray(plugin._scroll_rows)
+        smax = jnp.asarray(plugin._scroll_max)
+        if srows.shape[0]:
+            maxcol = jnp.zeros(off.shape[0], jnp.float32).at[srows].set(smax)
+        else:
+            maxcol = jnp.zeros(off.shape[0], jnp.float32)
+        new_y = jnp.clip(off[:, 1] - dy * 20.0, 0.0, maxcol)
+        q.scroll_position.offset = jnp.where(
+            (q.mask & over)[:, None],
+            jnp.stack([off[:, 0], new_y], 1), off)
+
+        rows = plugin._clip_rows
+        if rows.shape[0] == 0:
+            return
+        rows = jnp.asarray(rows)
+        anchor = jnp.asarray(plugin._clip_anchor)
+        base = jnp.asarray(plugin._clip_base)      # (K, 4) cx, cy, w, h px
+        crect = jnp.asarray(plugin._clip_rect)     # (K, 4) x0, y0, x1, y1 px
+        aoff = q.scroll_position.offset[anchor]    # (K, 2)
+        cx = base[:, 0] - aoff[:, 0]
+        cy = base[:, 1] - aoff[:, 1]
+        x0 = jnp.maximum(cx - base[:, 2] / 2, crect[:, 0])
+        y0 = jnp.maximum(cy - base[:, 3] / 2, crect[:, 1])
+        x1 = jnp.minimum(cx + base[:, 2] / 2, crect[:, 2])
+        y1 = jnp.minimum(cy + base[:, 3] / 2, crect[:, 3])
+        w = jnp.maximum(x1 - x0, 0.0)
+        h = jnp.maximum(y1 - y0, 0.0)
+        # px rect → centered world (y flip)
+        wx = (x0 + x1) / 2 - plugin.width / 2
+        wy = plugin.height / 2 - (y0 + y1) / 2
+        t = nodes.transform.translation
+        nodes.transform.translation = t.at[rows, 0].set(wx).at[rows, 1].set(wy)
+        nodes.ui_node.size = nodes.ui_node.size.at[rows, 0].set(w) \
+                                               .at[rows, 1].set(h)
+        spr.sprite.size = spr.sprite.size.at[rows, 0].set(w) \
+                                         .at[rows, 1].set(h)
+
+    return ui_scroll
