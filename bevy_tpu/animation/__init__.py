@@ -37,7 +37,8 @@ class Skeleton:
     SkinnedMeshInverseBindposes)."""
 
     def __init__(self, parents, rest_translation, rest_rotation=None,
-                 rest_scale=None, names: Optional[List[str]] = None):
+                 rest_scale=None, names: Optional[List[str]] = None,
+                 inverse_bind=None):
         self.parents = np.asarray(parents, np.int32)
         j = len(self.parents)
         self.rest_t = np.asarray(rest_translation, np.float32).reshape(j, 3)
@@ -51,9 +52,14 @@ class Skeleton:
         assert all(p < i for i, p in enumerate(self.parents)), \
             "parents must be topologically ordered"
         # cache host-side (rest_global uses jnp math, which must not run
-        # for the first time inside a jit trace)
+        # for the first time inside a jit trace). Asset formats (glTF
+        # skins[].inverseBindMatrices) provide explicit matrices instead.
         self._inverse_bind = None
-        self._inverse_bind = self.inverse_bind()
+        if inverse_bind is not None:
+            self._inverse_bind = np.asarray(inverse_bind,
+                                            np.float32).reshape(j, 4, 4)
+        else:
+            self._inverse_bind = self.inverse_bind()
 
     @property
     def num_joints(self):

@@ -1,0 +1,300 @@
+"""Window-splat rasterizer — the fast 3D path for instanced scenes
+(reference twin: bevy's GPU-driven raster — meshlet sw raster
+`bevy_pbr/src/meshlet/` + the `gpu_preprocess.rs` transform/cull —
+rethought for TPU: no per-tile work lists, no scalar loops).
+
+Measured reality at many_cubes scale (160k instances, 1280x720): ~55k
+visible clusters, median footprint 15 px tall, and the whole visible set
+decomposes into only ~60k aligned 32-row x 128-lane blocks. So the
+raster is:
+
+1. **Block decomposition (XLA)**: each visible cluster emits one window
+   per overlapped (win_h-row x 128-lane) framebuffer block — lane
+   columns statically aligned (the composite then needs NO dynamic lane
+   offsets; dynamic *sublane* starts are cheap). Single-block clusters
+   get one unaligned window at their own y0; multi-block clusters use
+   the aligned band grid. Exorbitant clusters (> max_blocks, or
+   near-plane straddlers with full-viewport AABBs) go to the streaming
+   tile kernel (ops/raster3d_visbuf) — the Nanite sw/hw split, recast.
+2. **Window evaluation (XLA)**: all cs triangles evaluate over each
+   window in ONE fused elementwise chain, vector-parallel across
+   windows. Depth and winning-triangle id pack into a single f32 — the
+   low 4 mantissa bits of reverse-z hold the tri-in-cluster index
+   (IEEE non-negative floats order like their bit patterns, so one
+   `max` chain resolves depth AND id together, and window traffic
+   halves). Optional per-cluster triangle compaction sorts backface-
+   culled triangles last so `eval_tris` can cap the unrolled loop
+   (meshlet cone-culling's moral equivalent).
+3. **Composite (Pallas)**: a single-program kernel holds the whole
+   packed-depth + winner-id framebuffer in VMEM, laid out
+   (cols, H, 128) so the column is a cheap leading-dim index, and
+   streams windows HBM→VMEM double-buffered, one read-max-write per
+   window. TPU Pallas grids are sequential ⇒ RMW is race-free.
+
+The packed depth (z | tri bits) is what lands in target.depth; the id
+bits perturb z by < 2^-19 relative — far below any depth-test tolerance.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bevy_tpu.ops.binning import expand_runs
+from bevy_tpu.ops.raster3d_visbuf import ZREC
+
+WIN_W = 128          # window width = one framebuffer column (lane-aligned)
+CHUNK_WIN = 8        # windows per composite DMA
+ID_BITS = 4          # low mantissa bits of packed z = tri-in-cluster id
+ID_MASK = (1 << ID_BITS) - 1
+
+
+def compact_cluster_tris(zrec, cs: int):
+    """Sort each cluster's triangles valid-first (invalid = backface or
+    padding, marked by tri_id < 0 in slot 12). Enables `eval_tris` caps.
+    Returns (zrec_sorted, max_valid_per_cluster)."""
+    t = zrec.shape[0]
+    ncl = t // cs
+    r = zrec.reshape(ncl, cs, ZREC)
+    invalid = r[:, :, 12] < 0
+    order = jnp.argsort(invalid, axis=1, stable=True)
+    r = jnp.take_along_axis(r, order[:, :, None], axis=1)
+    return r.reshape(t, ZREC), jnp.max(jnp.sum(~invalid, axis=1))
+
+
+def build_windows(aabb, cl_valid, *, win_h, width, height, budget,
+                  max_blocks=32):
+    """Decompose visible cluster AABBs into per-block windows.
+
+    Returns dict with owner (B,), meta (B,) packed col*2048+y0, wvalid
+    (B,) prefix bools, fallback (NCL,) bool (clusters for the streaming
+    kernel), overflow () int32 dropped windows."""
+    ncols = (width + WIN_W - 1) // WIN_W
+    nbands = (height + win_h - 1) // win_h
+    x0, y0, x1, y1 = aabb[:, 0], aabb[:, 1], aabb[:, 2], aabb[:, 3]
+    onscreen = (x1 > 0) & (x0 < width) & (y1 > 0) & (y0 < height) & \
+        (x1 > x0) & (y1 > y0) & cl_valid
+    c0 = jnp.clip(jnp.floor(x0 / WIN_W).astype(jnp.int32), 0, ncols - 1)
+    c1 = jnp.clip(jnp.floor((x1 - 1e-3) / WIN_W).astype(jnp.int32),
+                  0, ncols - 1)
+    b0 = jnp.clip(jnp.floor(y0 / win_h).astype(jnp.int32), 0, nbands - 1)
+    b1 = jnp.clip(jnp.floor((y1 - 1e-3) / win_h).astype(jnp.int32),
+                  0, nbands - 1)
+    nbx = c1 - c0 + 1
+    nby = b1 - b0 + 1
+    single_band = (y1 - y0 <= win_h - 1.0)
+    nby = jnp.where(single_band, 1, nby)
+    blocks = nbx * nby
+    use = onscreen & (blocks <= max_blocks)
+    counts = jnp.where(use, blocks, 0)
+    owner, rank, pvalid, total = expand_runs(counts, budget)
+    col = jnp.clip(c0[owner] + rank % nbx[owner], 0, ncols - 1)
+    band_y = (b0[owner] + rank // nbx[owner]) * win_h
+    # single-band clusters: one unaligned window at their own y0
+    tight_y = jnp.clip(jnp.floor(y0[owner]).astype(jnp.int32), 0,
+                       max(height - win_h, 0))
+    wy = jnp.where(single_band[owner], tight_y,
+                   jnp.clip(band_y, 0, max(height - win_h, 0)))
+    meta = jnp.where(pvalid, col * 2048 + wy, 0)
+    return {
+        "owner": jnp.where(pvalid, owner, 0),
+        "meta": meta.astype(jnp.int32),
+        "wvalid": pvalid,
+        "fallback": onscreen & (blocks > max_blocks),
+        "overflow": jnp.maximum(total - budget, 0),
+    }
+
+
+def eval_windows(zrec, cs: int, owner, meta, wvalid, *, win_h,
+                 viewport=None, eval_tris=None):
+    """Evaluate cluster triangles over their windows (pure XLA).
+
+    Returns (B, win_h, 128) float32 packed values: reverse-z depth with
+    the low ID_BITS mantissa bits replaced by the triangle-in-cluster
+    index (0 = background/no hit). The triangle loop unrolls into one
+    fused elementwise chain — XLA keeps the accumulator in
+    registers/VMEM between triangles, HBM sees only the final windows."""
+    t = zrec.shape[0]
+    ncl = t // cs
+    ntri = cs if eval_tris is None else min(eval_tris, cs)
+    rec = zrec.reshape(ncl, cs, ZREC)[:, :ntri][owner]    # (B, ntri, ZREC)
+    col = meta // 2048
+    wy = meta % 2048
+    px = (col[:, None, None] * WIN_W +
+          jax.lax.broadcasted_iota(jnp.int32, (1, 1, WIN_W), 2)
+          ).astype(jnp.float32) + 0.5                     # (B, 1, 128)
+    py = (wy[:, None, None] +
+          jax.lax.broadcasted_iota(jnp.int32, (1, win_h, 1), 1)
+          ).astype(jnp.float32) + 0.5                     # (B, win_h, 1)
+    if viewport is not None:
+        vx0, vy0, vx1, vy1 = viewport
+        gate = wvalid[:, None, None] & (px >= vx0) & (px < vx1) & \
+            (py >= vy0) & (py < vy1)
+    else:
+        gate = wvalid[:, None, None]
+    assert cs <= (1 << ID_BITS), "cluster size exceeds packed id bits"
+    acc = jnp.zeros((owner.shape[0], win_h, WIN_W), jnp.float32)
+    for s in range(ntri):
+        def d(k):
+            return rec[:, s, k][:, None, None]
+        emax = jnp.maximum(jnp.maximum(
+            d(0) * px + d(1) * py + d(2),
+            d(3) * px + d(4) * py + d(5)),
+            d(6) * px + d(7) * py + d(8))
+        z = d(9) * px + d(10) * py + d(11)
+        ok = (emax <= 0) & (z > 0) & (d(12) >= 0) & gate
+        # slot 12 holds the GLOBAL tri id (survives per-cluster
+        # compaction); pack its cluster-local part into the mantissa
+        lid = (rec[:, s, 12].astype(jnp.int32) - owner * cs) & ID_MASK
+        zi = jax.lax.bitcast_convert_type(z, jnp.int32)
+        packed = jax.lax.bitcast_convert_type(
+            (zi & ~ID_MASK) | lid[:, None, None], jnp.float32)
+        acc = jnp.maximum(acc, jnp.where(ok, packed, 0.0))
+    return acc
+
+
+def _composite_kernel(nwin_ref, meta_hbm, win_hbm, dep_hbm, winid_hbm,
+                      dep_out, win_out, buf, mbuf, sem_fb0, sem_fb1,
+                      sem_a, sem_b, sem_ma, sem_mb, *, win_h, cs):
+    """Stream packed windows HBM→VMEM (CHUNK_WIN per DMA, double-
+    buffered, per-chunk meta rows to SMEM alongside) and merge each at
+    (col, y0) into the VMEM-resident framebuffer. Sequential grid ⇒
+    read-modify-write is race-free."""
+    nwin = nwin_ref[0]
+    cp0 = pltpu.make_async_copy(dep_hbm, dep_out, sem_fb0)
+    cp1 = pltpu.make_async_copy(winid_hbm, win_out, sem_fb1)
+    cp0.start()
+    cp1.start()
+    nch = (nwin + CHUNK_WIN - 1) // CHUNK_WIN
+
+    def issue(c, sem, msem):
+        pltpu.make_async_copy(win_hbm.at[c], buf.at[c % 2], sem).start()
+        pltpu.make_async_copy(meta_hbm.at[c], mbuf.at[c % 2], msem).start()
+
+    def wait(c, sem, msem):
+        pltpu.make_async_copy(win_hbm.at[0], buf.at[c % 2], sem).wait()
+        pltpu.make_async_copy(meta_hbm.at[0], mbuf.at[c % 2], msem).wait()
+
+    @pl.when(nch > 0)
+    def _():
+        issue(0, sem_a, sem_ma)
+    cp0.wait()
+    cp1.wait()
+
+    def chunk(c, _):
+        even = c % 2 == 0
+
+        @pl.when((c + 1 < nch) & even)
+        def _():
+            issue(c + 1, sem_b, sem_mb)
+
+        @pl.when((c + 1 < nch) & ~even)
+        def _():
+            issue(c + 1, sem_a, sem_ma)
+
+        @pl.when(even)
+        def _():
+            wait(c, sem_a, sem_ma)
+
+        @pl.when(~even)
+        def _():
+            wait(c, sem_b, sem_mb)
+
+        half = c % 2
+        for k in range(CHUNK_WIN):
+            w = c * CHUNK_WIN + k
+
+            @pl.when(w < nwin)
+            def _():
+                m = mbuf[half, 2 * k]
+                cluster = mbuf[half, 2 * k + 1]
+                colk = m // 2048
+                y0 = m % 2048
+                dz = buf[half, k]                       # (win_h, 128) packed
+                cur = dep_out[colk, pl.ds(y0, win_h), :]
+                zpass = dz > cur
+                dep_out[colk, pl.ds(y0, win_h), :] = \
+                    jnp.where(zpass, dz, cur)
+                lid = jax.lax.bitcast_convert_type(dz, jnp.int32) & ID_MASK
+                glob = (cluster * cs + lid).astype(jnp.float32)
+                cw = win_out[colk, pl.ds(y0, win_h), :]
+                win_out[colk, pl.ds(y0, win_h), :] = \
+                    jnp.where(zpass, glob, cw)
+        return 0
+
+    jax.lax.fori_loop(0, nch, chunk, 0)
+
+
+@partial(jax.jit, static_argnames=("win_h", "cs", "interpret"))
+def composite_windows(depth, winner, windows, owner, meta, wvalid, *,
+                      win_h=32, cs=12, interpret=False):
+    """Merge evaluated windows into the framebuffer.
+
+    depth/winner (H, W); windows (B, win_h, 128) packed from
+    eval_windows; owner/meta/wvalid from build_windows. W pads
+    internally to a multiple of 128. Returns updated (depth, winner)
+    where depth carries packed z and winner global f32 triangle ids."""
+    H, W0 = depth.shape
+    ncols = (W0 + WIN_W - 1) // WIN_W
+    W = ncols * WIN_W
+    if W != W0:
+        depth = jnp.pad(depth, ((0, 0), (0, W - W0)))
+        winner = jnp.pad(winner, ((0, 0), (0, W - W0)), constant_values=-1.0)
+    b = windows.shape[0]
+    bpad = (b + CHUNK_WIN - 1) // CHUNK_WIN * CHUNK_WIN
+    if bpad != b:
+        windows = jnp.pad(windows, ((0, bpad - b), (0, 0), (0, 0)))
+        meta = jnp.pad(meta, (0, bpad - b))
+        owner = jnp.pad(owner, (0, bpad - b))
+        wvalid = jnp.pad(wvalid, (0, bpad - b))
+    nwin = jnp.sum(wvalid.astype(jnp.int32))[None]   # valid = prefix
+    win_chunks = windows.reshape(bpad // CHUNK_WIN, CHUNK_WIN, win_h, WIN_W)
+    # per-chunk meta rows [m0, owner0, m1, owner1, ...] padded to 128 for
+    # SMEM DMA alignment
+    mo = jnp.stack([meta, owner.astype(jnp.int32)], 1).reshape(
+        bpad // CHUNK_WIN, 2 * CHUNK_WIN)
+    meta_chunks = jnp.pad(mo, ((0, 0), (0, 128 - 2 * CHUNK_WIN)))
+    # (H, W) → (ncols, H, 128): column-major tiles, leading-dim indexable
+    dcol = depth.reshape(H, ncols, WIN_W).transpose(1, 0, 2)
+    wcol = winner.reshape(H, ncols, WIN_W).transpose(1, 0, 2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),            # meta chunks
+            pl.BlockSpec(memory_space=pl.ANY),            # window chunks
+            pl.BlockSpec(memory_space=pl.ANY),            # depth (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),            # winner (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((ncols, H, WIN_W), lambda *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ncols, H, WIN_W), lambda *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK_WIN, win_h, WIN_W), jnp.float32),
+            pltpu.SMEM((2, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    dep, win = pl.pallas_call(
+        partial(_composite_kernel, win_h=win_h, cs=cs),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((ncols, H, WIN_W), jnp.float32),
+                   jax.ShapeDtypeStruct((ncols, H, WIN_W), jnp.float32)],
+        interpret=interpret,
+    )(nwin.astype(jnp.int32), meta_chunks, win_chunks, dcol, wcol)
+    dep = dep.transpose(1, 0, 2).reshape(H, W)[:, :W0]
+    win = win.transpose(1, 0, 2).reshape(H, W)[:, :W0]
+    return dep, win

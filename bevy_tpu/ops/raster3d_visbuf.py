@@ -1,0 +1,561 @@
+"""Visibility-buffer meshlet rasterizer — the fast 3D path (reference twin:
+bevy's meshlet software raster, `bevy_pbr/src/meshlet/` — cluster culling +
+visbuffer write + material resolve; also the GPU preprocessing
+transform/cull of `bevy_pbr/src/render/gpu_preprocess.rs`).
+
+TPU-first redesign of ops/raster3d_pallas.py with four structural changes:
+
+1. **Clipless homogeneous setup** (Olano-Greer "Triangle Scan Conversion
+   using 2D Homogeneous Coordinates"): edge and depth planes come from the
+   adjugate of the 3x3 clip-space matrix, so triangles straddling the near
+   plane rasterize correctly WITHOUT clipping — no `_near_clip` pass, no
+   2x table doubling. Pixels behind the eye fail the edge test inherently
+   (all three lambda_i/w >= 0 implies 1/w >= 0).
+
+2. **Cluster (meshlet) binning**: triangles are grouped into fixed-size
+   clusters (`cs` consecutive tris); tile binning runs at cluster
+   granularity — 12-24x fewer elements through the expand/sort machinery
+   than per-triangle binning, which profiling shows dominates large scenes.
+
+3. **Two-level streaming kernel**: only a small per-tile cluster-id/meta
+   list is materialized in XLA (no giant padded per-tile triangle table —
+   that gather measured ~140 ms at 160k instances). The kernel streams
+   each tile's cluster records HBM→SMEM in double-buffered chunks and
+   rejects per-triangle by a scalar screen-AABB test before any vector
+   work, so only triangles that actually overlap the tile pay pixel math.
+
+4. **Depth+ID kernel, shade-once resolve** (the visibility buffer): the
+   kernel writes only reverse-z depth and the winning triangle id; varying
+   interpolation, material fetch and lighting happen ONCE per pixel in a
+   pure-XLA resolve pass via a single 64-float-wide row gather (TPU row
+   gathers are fast at widths 8 and >=64, pathological at 16-32).
+
+Conventions match ops/raster3d.py: reverse-z GREATER (clear 0), CCW front
+faces, y-down pixels, pixel centers at +0.5.
+
+Mosaic constraints baked in (probed empirically on v5e): SMEM DMA minor
+dims must be multiples of 128; SMEM scalar reads need a static first
+index; semaphore arrays and dynamically-indexed scratch slots don't
+compile — hence the even/odd code duplication for double buffering.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bevy_tpu.ops.binning import expand_runs
+
+ZREC = 20   # per-tri z-record: 3 edge planes (9), z plane (3), id, aabb (4), pad
+SREC = 64   # per-tri shade-record: 1/w plane (3), n/w planes (9), rgba (4),
+#             emissive (3), metallic, roughness, pad — 64-wide for gather speed
+CHUNK_CL = 8  # clusters DMA'd per kernel chunk
+
+
+def _pad_to(x, m):
+    return (x + m - 1) // m * m
+
+
+def pack_planes_h(cc, cn, valid, width, height, viewport=None,
+                  materials=None, cuv=None, tex_rect=None):
+    """Homogeneous (clipless) triangle setup.
+
+    cc: (T, 3, 4) clip-space corner positions; cn: (T, 3, 3) per-corner
+    world normals; valid: (T,) bool; materials: (T, 9) per-tri
+    [rgba, emissive rgb, metallic, roughness] or None; cuv: (T, 3, 2)
+    per-corner texture UVs or None; tex_rect: (T, 4) atlas uv rect
+    [u0, v0, u1, v1] or None (u1 <= u0 marks untextured — ref: the
+    optional base_color_texture of StandardMaterial). Returns
+    (zrec (T, ZREC), srec (T, SREC), valid_out (T,)). Plane coefficients
+    are in absolute framebuffer pixel coordinates (the viewport mapping is
+    baked in, ref: Camera::viewport).
+
+    Math: with M = [[X0,X1,X2],[Y0,Y1,Y2],[W0,W1,W2]] (viewport-mapped
+    homogeneous corners), the rows of M^-1 are the lambda_i/w screen
+    planes. Front faces (CCW, y-down) have det(M) < 0 — the clip-space
+    backface test, valid for any w signs. Edge planes are negated so the
+    kernel's `<= 0` inside test matches the legacy kernels. Every
+    projectively linear quantity q/w is the plane sum_i(q_i * e_i)."""
+    t = cc.shape[0]
+    x, y, w = cc[..., 0], cc[..., 1], cc[..., 3]   # (T, 3)
+    z = cc[..., 2]
+    if viewport is None:
+        vx0, vy0, vx1, vy1 = 0.0, 0.0, float(width), float(height)
+    else:
+        vx0, vy0, vx1, vy1 = viewport
+    vw, vh = vx1 - vx0, vy1 - vy0
+    # viewport-homogeneous screen coords (linear in clip coords)
+    X = 0.5 * vw * x + (0.5 * vw + vx0) * w
+    Y = -0.5 * vh * y + (0.5 * vh + vy0) * w
+    W = w
+    X0, X1, X2 = X[:, 0], X[:, 1], X[:, 2]
+    Y0, Y1, Y2 = Y[:, 0], Y[:, 1], Y[:, 2]
+    W0, W1, W2 = W[:, 0], W[:, 1], W[:, 2]
+    # adjugate rows (adj @ M = det * I)
+    a00 = Y1 * W2 - Y2 * W1
+    a01 = X2 * W1 - X1 * W2
+    a02 = X1 * Y2 - X2 * Y1
+    a10 = Y2 * W0 - Y0 * W2
+    a11 = X0 * W2 - X2 * W0
+    a12 = X2 * Y0 - X0 * Y2
+    a20 = Y0 * W1 - Y1 * W0
+    a21 = X1 * W0 - X0 * W1
+    a22 = X0 * Y1 - X1 * Y0
+    det = X0 * a00 + Y0 * a01 + W0 * a02
+    front = det < 0.0                       # CCW front, y-down (see header)
+    valid = valid & front
+    inv_det = jnp.where(det != 0.0, 1.0 / jnp.where(det != 0.0, det, 1.0), 0.0)
+    gate = jnp.where(valid, inv_det, 0.0)   # zero records for culled tris
+    # e_i = lambda_i/w planes; store NEGATED (kernel inside test is <= 0)
+    e = jnp.stack([a00, a01, a02, a10, a11, a12, a20, a21, a22], 1) * \
+        gate[:, None]                        # (T, 9) positive-inside planes
+    neg_e = -e
+
+    def combo(q):  # q: (T, 3) corner values -> plane sum_i q_i * e_i
+        return (q[:, 0:1] * e[:, 0:3] + q[:, 1:2] * e[:, 3:6] +
+                q[:, 2:3] * e[:, 6:9])
+
+    z_plane = combo(z)
+    iw_plane = combo(jnp.ones_like(z))
+    tri_id = jnp.where(valid, jnp.arange(t, dtype=jnp.float32), -1.0)
+
+    # per-tri conservative screen AABB (full viewport for near-straddlers)
+    eps = 1e-6
+    w_ok = w > eps
+    iw = jnp.where(w_ok, 1.0 / jnp.where(w_ok, w, 1.0), 0.0)
+    sx = vx0 + (x * iw * 0.5 + 0.5) * vw
+    sy = vy0 + (0.5 - y * iw * 0.5) * vh
+    big = 3.4e38
+    bx0 = jnp.min(jnp.where(w_ok, sx, big), 1)
+    bx1 = jnp.max(jnp.where(w_ok, sx, -big), 1)
+    by0 = jnp.min(jnp.where(w_ok, sy, big), 1)
+    by1 = jnp.max(jnp.where(w_ok, sy, -big), 1)
+    any_behind = jnp.any(~w_ok, 1)
+    bx0 = jnp.where(any_behind, vx0, bx0)
+    by0 = jnp.where(any_behind, vy0, by0)
+    bx1 = jnp.where(any_behind, vx1, bx1)
+    by1 = jnp.where(any_behind, vy1, by1)
+    aabb = jnp.stack([bx0, by0, bx1, by1], 1)
+    aabb = jnp.where(valid[:, None], aabb, 0.0)   # zero-area => never tested
+
+    zrec = jnp.concatenate([
+        neg_e, z_plane, tri_id[:, None], aabb,
+        jnp.zeros((t, ZREC - 17), jnp.float32)], 1)
+    if materials is None:
+        materials = jnp.zeros((t, 9), jnp.float32)
+    if cuv is not None and tex_rect is not None:
+        uv_part = jnp.concatenate([
+            combo(cuv[:, :, 0]), combo(cuv[:, :, 1]), tex_rect], 1)  # (T, 10)
+    else:
+        uv_part = jnp.zeros((t, 10), jnp.float32)
+    srec = jnp.concatenate([
+        iw_plane, combo(cn[:, :, 0]), combo(cn[:, :, 1]), combo(cn[:, :, 2]),
+        materials, uv_part, jnp.zeros((t, SREC - 31), jnp.float32)], 1)
+    return zrec, srec, valid
+
+
+def cluster_screen_aabbs(cc, inst_ok, tri_valid, cs: int,
+                         width, height, viewport=None, eps=1e-6):
+    """Per-cluster conservative screen AABBs from clip-space corners.
+
+    cc: (T, 3, 4) with T = NCL*cs; inst_ok broadcastable to (NCL,);
+    tri_valid: (T,) post-backface validity. Clusters with any corner at
+    w <= eps (near-plane straddlers) get the full viewport rect — they are
+    rare and the kernel's homogeneous edge test handles their pixels
+    exactly. Returns (aabb (NCL,4), cl_valid (NCL,), zmax (NCL,)) where
+    zmax is the cluster's nearest reverse-z depth bound (the front-to-back
+    sort key; ref: the two-phase occlusion culling of
+    bevy_render/src/occlusion_culling/)."""
+    t = cc.shape[0]
+    ncl = t // cs
+    if viewport is None:
+        vx0, vy0, vx1, vy1 = 0.0, 0.0, float(width), float(height)
+    else:
+        vx0, vy0, vx1, vy1 = viewport
+    pts = cc.reshape(ncl, cs * 3, 4)
+    w = pts[..., 3]
+    # conservative clip-space frustum cull: a convex hull misses the
+    # frustum if ALL corners sit outside one plane — each test is linear
+    # in homogeneous coords, so it is valid for ANY w sign (this is what
+    # keeps camera-plane straddlers from flooding the full-viewport
+    # fallback; ref: the frustum cull of mesh_preprocess.wesl)
+    x, y, zc = pts[..., 0], pts[..., 1], pts[..., 2]
+    outside = (jnp.all(x < -w, 1) | jnp.all(x > w, 1) |
+               jnp.all(y < -w, 1) | jnp.all(y > w, 1) |
+               jnp.all(zc > w, 1))
+    ok = w > eps
+    iw = jnp.where(ok, 1.0 / jnp.where(ok, w, 1.0), 0.0)
+    sx = vx0 + (pts[..., 0] * iw * 0.5 + 0.5) * (vx1 - vx0)
+    sy = vy0 + (0.5 - pts[..., 1] * iw * 0.5) * (vy1 - vy0)
+    big = 3.4e38
+    x0 = jnp.min(jnp.where(ok, sx, big), 1)
+    x1 = jnp.max(jnp.where(ok, sx, -big), 1)
+    y0 = jnp.min(jnp.where(ok, sy, big), 1)
+    y1 = jnp.max(jnp.where(ok, sy, -big), 1)
+    any_behind = jnp.any(~ok, 1)
+    x0 = jnp.where(any_behind, vx0, x0)
+    y0 = jnp.where(any_behind, vy0, y0)
+    x1 = jnp.where(any_behind, vx1, x1)
+    y1 = jnp.where(any_behind, vy1, y1)
+    all_behind = jnp.all(~ok, 1)
+    cl_valid = (jnp.broadcast_to(inst_ok, (ncl,)) & ~all_behind & ~outside &
+                jnp.any(tri_valid.reshape(ncl, cs), 1))
+    zn = pts[..., 2] * iw
+    zmax = jnp.max(jnp.where(ok, zn, -big), 1)
+    zmax = jnp.where(any_behind, 1.0, jnp.clip(zmax, 0.0, 1.0))
+    return jnp.stack([x0, y0, x1, y1], 1), cl_valid, zmax
+
+
+def bin_clusters(aabb, valid, *, ntx, nty, tile_w, tile_h,
+                 max_clusters_per_tile, pair_budget, order_key=None):
+    """Bin cluster AABBs to tiles (ref position: the binned-phase build of
+    `render_phase/mod.rs:110`, at meshlet granularity). order_key, if
+    given, is a per-cluster uint16 minor sort key (front-to-back order for
+    hi-z early-out; ref: PhaseSort). Returns
+    (cl_table (num_tiles, max_cl) int32 with -1 padding,
+     cl_counts (num_tiles,), stats). max_cl is rounded up to a multiple of
+    128 (SMEM DMA minor-dim alignment)."""
+    max_clusters_per_tile = _pad_to(max_clusters_per_tile, 128)
+    num_tiles = ntx * nty
+    x0 = jnp.floor(aabb[:, 0] / tile_w).astype(jnp.int32)
+    y0 = jnp.floor(aabb[:, 1] / tile_h).astype(jnp.int32)
+    x1 = jnp.floor(aabb[:, 2] / tile_w).astype(jnp.int32)
+    y1 = jnp.floor(aabb[:, 3] / tile_h).astype(jnp.int32)
+    onscreen = (x1 >= 0) & (x0 < ntx) & (y1 >= 0) & (y0 < nty) & \
+        (aabb[:, 2] > aabb[:, 0]) & (aabb[:, 3] > aabb[:, 1])
+    x0, x1 = jnp.clip(x0, 0, ntx - 1), jnp.clip(x1, 0, ntx - 1)
+    y0, y1 = jnp.clip(y0, 0, nty - 1), jnp.clip(y1, 0, nty - 1)
+    kx, ky = x1 - x0 + 1, y1 - y0 + 1
+    counts = jnp.where(valid & onscreen, kx * ky, 0)
+    owner, rank, pvalid, total = expand_runs(counts, pair_budget)
+    # one packed gather for the per-pair tile derivation
+    code = (y0 * 2048 + x0) * 32 + jnp.minimum(kx, 31)
+    c = code[owner]
+    kxo = c % 32
+    x0o = (c // 32) % 2048
+    y0o = c // 65536
+    tile_id = (y0o + rank // kxo) * ntx + (x0o + rank % kxo)
+    tile_id = jnp.where(pvalid, tile_id, num_tiles)
+    if order_key is None:
+        key = tile_id
+    else:
+        key = tile_id * 65536 + jnp.where(pvalid, order_key[owner], 0)
+    perm = jnp.argsort(key)
+    sorted_tile = key[perm] // (1 if order_key is None else 65536)
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tile, tids + 1, side="left").astype(jnp.int32)
+    pair_cl = owner[perm]
+    cl_counts = jnp.minimum(ends - starts, max_clusters_per_tile)
+    slot = starts[:, None] + jnp.arange(max_clusters_per_tile,
+                                        dtype=jnp.int32)[None, :]
+    in_range = slot < ends[:, None]
+    slot = jnp.minimum(slot, pair_budget - 1)
+    cl_table = jnp.where(in_range, pair_cl[slot], -1)
+    stats = {
+        "pair_overflow": jnp.maximum(total - pair_budget, 0),
+        "tile_overflow": jnp.maximum(
+            jnp.max(ends - starts) - max_clusters_per_tile, 0),
+    }
+    return cl_table, cl_counts, stats
+
+
+def cluster_records(zrec, cs: int):
+    """(T, ZREC) → (NCL, rec_w): one contiguous flat record row per
+    cluster. rec_w pads cs*ZREC to a multiple of 128 (SMEM DMA alignment).
+    Invalid/padded triangles have all-zero records (kernel no-ops)."""
+    t = zrec.shape[0]
+    ncl = t // cs
+    rec_w = _pad_to(cs * ZREC, 128)
+    flat = zrec.reshape(ncl, cs * ZREC)
+    return jnp.pad(flat, ((0, 0), (0, rec_w - cs * ZREC)))
+
+
+def tile_chunk_records(recs, cl_table):
+    """Gather per-tile cluster records into DMA-aligned chunks.
+
+    recs (NCL, rec_w); cl_table (num_tiles, max_cl) int32 (-1 pad) →
+    (num_tiles * n_chunks, CHUNK_CL, rec_w): one contiguous (CHUNK_CL,
+    rec_w) block per kernel DMA (Mosaic only accepts integer .at[] on DMA
+    operands, so chunks are pre-shaped). The wide-row gather (rec_w >= 128)
+    is the fast TPU gather regime — ~8 ms at 460k rows, vs ~140 ms for the
+    per-triangle narrow-row gather it replaces."""
+    ncl = recs.shape[0]
+    rec_w = recs.shape[1]
+    nt, max_cl = cl_table.shape
+    n_chunks = max_cl // CHUNK_CL
+    rp = jnp.concatenate([recs, jnp.zeros((1, rec_w), recs.dtype)])
+    rows = jnp.where(cl_table >= 0, cl_table, ncl)
+    out = rp[rows.reshape(nt * max_cl)]
+    return out.reshape(nt * n_chunks, CHUNK_CL, rec_w)
+
+
+def build_cluster_meta(cl_table, zmax):
+    """(num_tiles, max_cl) ids + (NCL,) zmax → (num_tiles, 2, max_cl) f32
+    meta rows [cluster id, nearest reverse-z bound] for the kernel."""
+    ids = jnp.maximum(cl_table, 0)
+    zm = jnp.where(cl_table >= 0, zmax[ids], 0.0)
+    return jnp.stack([cl_table.astype(jnp.float32), zm], axis=1)
+
+
+def _stream_kernel(counts_ref, sciss_ref, meta_hbm, recs_hbm,
+                   dep_in_ref, win_in_ref, dep_out_ref, win_out_ref,
+                   meta_ref, buf, sem_meta, sem_a, sem_b,
+                   *, tile_h, tile_w, cs, rec_w, use_scissor=False):
+    """Depth+id visbuffer tile pass, streaming cluster records.
+
+    Per tile: DMA the cluster id list once, then walk it in CHUNK_CL-sized
+    chunks with double-buffered per-cluster record DMAs. Each triangle is
+    first screen-AABB-tested against the tile with ~10 scalar ops; only
+    overlapping triangles run the ~16-vector-op edge/depth evaluation."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ntx = pl.num_programs(1)
+    t = i * ntx + j
+    cnt = counts_ref[t]
+
+    dma_meta = pltpu.make_async_copy(meta_hbm.at[t], meta_ref, sem_meta)
+    dma_meta.start()
+
+    def fiota(shape, dim):
+        return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
+
+    px = fiota((tile_h, tile_w), 1) + (j * tile_w).astype(jnp.float32) + 0.5
+    py = fiota((tile_h, tile_w), 0) + (i * tile_h).astype(jnp.float32) + 0.5
+    sciss = ((px >= sciss_ref[0]) & (py >= sciss_ref[1]) &
+             (px < sciss_ref[2]) & (py < sciss_ref[3])) if use_scissor \
+        else True
+    tx0 = (j * tile_w).astype(jnp.float32)
+    ty0 = (i * tile_h).astype(jnp.float32)
+    tx1 = tx0 + float(tile_w)
+    ty1 = ty0 + float(tile_h)
+
+    dep_out_ref[:] = dep_in_ref[:]
+    win_out_ref[:] = win_in_ref[:]
+    nch = (cnt + CHUNK_CL - 1) // CHUNK_CL
+    dma_meta.wait()
+
+    # buf: (2, CHUNK_CL, rec_w) — double buffer, ONE contiguous DMA per
+    # chunk from the pre-gathered tile_chunk_records. Mosaic accepts
+    # integer (incl. dynamic) .at[] indices but not pl.ds slices on DMA
+    # operands, and semaphore arrays don't compile, hence the even/odd
+    # pl.when duplication for issue/wait (process is slot-agnostic).
+    n_chunks_max = meta_ref.shape[1] // CHUNK_CL
+
+    def issue(c, sem):
+        pltpu.make_async_copy(recs_hbm.at[t * n_chunks_max + c],
+                              buf.at[c % 2], sem).start()
+
+    def wait_chunk(c, sem):
+        pltpu.make_async_copy(recs_hbm.at[0], buf.at[c % 2], sem).wait()
+
+    def process(c):
+        half = c % 2
+        n_cl = jnp.minimum(CHUNK_CL, cnt - c * CHUNK_CL)
+
+        def cl_loop(g, _):
+            def tri(s, _):
+                base = s * ZREC
+
+                def d(k):
+                    return buf[half, g, base + k]
+                bx0, by0 = d(13), d(14)
+                bx1, by1 = d(15), d(16)
+                hit = (d(12) >= 0) & (bx1 > tx0) & (bx0 < tx1) & \
+                    (by1 > ty0) & (by0 < ty1)
+
+                @pl.when(hit)
+                def _():
+                    inside = (d(0) * px + d(1) * py + d(2) <= 0) & \
+                             (d(3) * px + d(4) * py + d(5) <= 0) & \
+                             (d(6) * px + d(7) * py + d(8) <= 0)
+                    z = d(9) * px + d(10) * py + d(11)
+                    zpass = sciss & inside & (z > dep_out_ref[:])
+                    dep_out_ref[:] = jnp.where(zpass, z, dep_out_ref[:])
+                    win_out_ref[:] = jnp.where(zpass, d(12), win_out_ref[:])
+                return 0
+            jax.lax.fori_loop(0, cs, tri, 0)
+            return 0
+        jax.lax.fori_loop(0, n_cl, cl_loop, 0)
+
+    @pl.when(nch > 0)
+    def _():
+        issue(0, sem_a)
+
+    def chunk_loop(c, _):
+        even = c % 2 == 0
+
+        @pl.when((c + 1 < nch) & even)
+        def _():
+            issue(c + 1, sem_b)
+
+        @pl.when((c + 1 < nch) & ~even)
+        def _():
+            issue(c + 1, sem_a)
+
+        @pl.when(even)
+        def _():
+            wait_chunk(c, sem_a)
+
+        @pl.when(~even)
+        def _():
+            wait_chunk(c, sem_b)
+        process(c)
+        return 0
+
+    jax.lax.fori_loop(0, nch, chunk_loop, 0)
+
+
+@partial(jax.jit, static_argnames=("tile_h", "tile_w", "cs", "interpret"))
+def raster_visbuf(depth, winner, recs, meta, cl_counts, scissor=None,
+                  *, tile_h=32, tile_w=128, cs=12, interpret=False):
+    """Visbuffer raster. depth/winner (H, W); recs
+    (num_tiles*n_chunks, CHUNK_CL, rec_w) from tile_chunk_records;
+    meta (num_tiles, 2, max_cl) from build_cluster_meta;
+    cl_counts (num_tiles,). Returns (depth, winner f32 tri ids, -1=none)."""
+    H, W = depth.shape
+    hp, wp = _pad_to(H, tile_h), _pad_to(W, tile_w)
+    nty, ntx = hp // tile_h, wp // tile_w
+    use_scissor = scissor is not None
+    if scissor is None:
+        sc = jnp.zeros(4, jnp.float32)
+    else:
+        sc = jnp.stack([jnp.asarray(s, jnp.float32) for s in scissor])
+    dp = jnp.pad(depth, ((0, hp - H), (0, wp - W)))
+    wn = jnp.pad(winner, ((0, hp - H), (0, wp - W)))
+    max_cl = meta.shape[2]
+    rec_w = recs.shape[2]  # recs: (num_tiles*n_chunks, CHUNK_CL, rec_w)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nty, ntx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),            # meta
+            pl.BlockSpec(memory_space=pl.ANY),            # cluster records
+            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM),        # depth in
+            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM),        # winner in
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2, max_cl), jnp.float32),
+            pltpu.SMEM((2, CHUNK_CL, rec_w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = partial(_stream_kernel, tile_h=tile_h, tile_w=tile_w, cs=cs,
+                     rec_w=rec_w, use_scissor=use_scissor)
+    dep, win = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+                   jax.ShapeDtypeStruct((hp, wp), jnp.float32)],
+        input_output_aliases={4: 0, 5: 1},  # indices incl. prefetch args
+        interpret=interpret,
+    )(cl_counts, sc, meta, recs, dp, wn)
+    return dep[:H, :W], win[:H, :W]
+
+
+def _pixel_grids(H, W):
+    px = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) + 0.5
+    py = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) + 0.5
+    return px, py
+
+
+def sample_atlas(atlas, uv):
+    """Bilinear atlas sample (ref: the texture() call of pbr shading;
+    atlas = the bindless-array equivalent). atlas (AH, AW, 4) linear
+    f32; uv (..., 2) in absolute [0,1] atlas space. Returns (..., 4)."""
+    ah, aw = atlas.shape[0], atlas.shape[1]
+    x = uv[..., 0] * aw - 0.5
+    y = uv[..., 1] * ah - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0c = jnp.clip(x0, 0, aw - 1)
+    x1c = jnp.clip(x0 + 1, 0, aw - 1)
+    y0c = jnp.clip(y0, 0, ah - 1)
+    y1c = jnp.clip(y0 + 1, 0, ah - 1)
+    t00 = atlas[y0c, x0c]
+    t01 = atlas[y0c, x1c]
+    t10 = atlas[y1c, x0c]
+    t11 = atlas[y1c, x1c]
+    top = t00 * (1 - fx) + t01 * fx
+    bot = t10 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def resolve_shade(winner, srec, atlas=None):
+    """Per-pixel varying + material fetch (the visbuffer material resolve,
+    ref: meshlet resolve_material position). winner (H, W) int32
+    (-1 = background). ONE wide row gather (see header note on gather
+    widths). Returns (normal (H,W,3) unit, mat (H,W,9), ok (H,W)); when
+    `atlas` is given, perspective-correct UVs sample it and modulate the
+    material base color (rect u1 <= u0 = untextured, keeps base color)."""
+    H, W = winner.shape
+    ok = winner >= 0
+    rec = srec[jnp.maximum(winner, 0)]          # (H, W, SREC)
+    px, py = _pixel_grids(H, W)
+    iw = rec[..., 0] * px + rec[..., 1] * py + rec[..., 2]
+    iw = jnp.where(jnp.abs(iw) > 1e-12, iw, 1.0)
+    nx = (rec[..., 3] * px + rec[..., 4] * py + rec[..., 5]) / iw
+    ny = (rec[..., 6] * px + rec[..., 7] * py + rec[..., 8]) / iw
+    nz = (rec[..., 9] * px + rec[..., 10] * py + rec[..., 11]) / iw
+    n = jnp.stack([nx, ny, nz], -1)
+    n = n * jax.lax.rsqrt(jnp.maximum(jnp.sum(n * n, -1, keepdims=True),
+                                      1e-12))
+    mat = rec[..., 12:21]
+    if atlas is not None:
+        u = (rec[..., 21] * px + rec[..., 22] * py + rec[..., 23]) / iw
+        v = (rec[..., 24] * px + rec[..., 25] * py + rec[..., 26]) / iw
+        r0u, r0v = rec[..., 27], rec[..., 28]
+        r1u, r1v = rec[..., 29], rec[..., 30]
+        textured = (r1u > r0u) & ok
+        # REPEAT wrap inside the sub-rect (glTF default sampler)
+        fu = u - jnp.floor(u)
+        fv = v - jnp.floor(v)
+        au = r0u + fu * (r1u - r0u)
+        av = r0v + fv * (r1v - r0v)
+        texel = sample_atlas(atlas, jnp.stack([au, av], -1))
+        base = jnp.where(textured[..., None],
+                         mat[..., 0:4] * texel, mat[..., 0:4])
+        mat = jnp.concatenate([base, mat[..., 4:]], -1)
+    return n, mat, ok
+
+
+def resolve_forward(winner, srec, light_vec, color_planar, atlas=None):
+    """Forward (Lambert directional + ambient) shade of visbuffer winners —
+    same lighting as the legacy `_plane_kernel` so images are comparable.
+    color_planar (4, H, W) is composed over (winner == -1 keeps input)."""
+    n, mat, ok = resolve_shade(winner, srec, atlas)
+    lam = jnp.maximum(0.0, -(n[..., 0] * light_vec[0] +
+                             n[..., 1] * light_vec[1] +
+                             n[..., 2] * light_vec[2]))
+    rgb = mat[..., 0:3] * (light_vec[6:9] +
+                           light_vec[3:6] * lam[..., None]) + mat[..., 4:7]
+    out = jnp.concatenate([rgb, mat[..., 3:4]], -1)   # (H, W, 4)
+    out_p = jnp.moveaxis(out, -1, 0)
+    return jnp.where(ok[None], out_p, color_planar)
+
+
+def resolve_gbuf(winner, srec, gbuf, atlas=None):
+    """G-buffer write from visbuffer winners (ref: the deferred prepass,
+    bevy_core_pipeline/src/deferred/). gbuf (12, H, W): albedo rgba,
+    world normal xyz, emissive rgb, metallic, roughness."""
+    n, mat, ok = resolve_shade(winner, srec, atlas)
+    planes = jnp.concatenate([mat[..., 0:4], n, mat[..., 4:7],
+                              mat[..., 7:9]], -1)     # (H, W, 12)
+    return jnp.where(ok[None], jnp.moveaxis(planes, -1, 0), gbuf)

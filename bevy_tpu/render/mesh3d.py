@@ -46,11 +46,16 @@ class Mesh3d:
 @component
 class MeshMaterial:
     """StandardMaterial subset (ref: bevy_pbr/src/pbr_material.rs — base
-    color, emissive; metallic/roughness reserved for the PBR stage)."""
+    color, emissive, metallic/roughness, base_color_texture). Textures
+    live in the plugin's atlas (the bindless-array equivalent); uv_min ==
+    uv_max (the default) means untextured. Set uv_* from an
+    AtlasBuilder handle's uv rect."""
     base_color = field(4, default=(1.0, 1.0, 1.0, 1.0))
     emissive = field(3)
     metallic = field((), jnp.float32)
     perceptual_roughness = field((), jnp.float32, default=0.5)
+    uv_min = field(2)
+    uv_max = field(2)
 
 
 @component
@@ -212,9 +217,143 @@ def _near_clip(cc, cn, valid, eps=1e-3):
 
 
 def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
-                   target, stats, *, width, height, tile_h, tile_w,
-                   pairs_per_tri, max_per_tile, interpret, deferred=False,
-                   met_i=None, rgh_i=None, viewport=None):
+                   target, stats, *, width, height, tile_h=16, tile_w=128,
+                   pairs_per_tri=2, max_per_tile=512, interpret=False,
+                   deferred=False, met_i=None, rgh_i=None, viewport=None,
+                   depth_only=False, cluster_size=12, win_h=32,
+                   window_budget=65536, eval_tris=None, corner_uv=None,
+                   uvr_i=None, atlas=None):
+    """Visibility-buffer raster of one uniform batch (ref: bevy meshlet sw
+    raster, bevy_pbr/src/meshlet/ — cluster cull → visbuffer → material
+    resolve). clip (Ni, VC, 4) clip-space positions, nrm (Ni, VC, 3) world
+    normals, triangles (TC, 3) STATIC numpy indices, inst_ok (Ni,) bool.
+
+    Pipeline: one-hot corner extraction (MXU matmul, no gathers) →
+    clipless homogeneous plane setup (no near-clip pass) → two raster
+    paths sharing the depth+id visbuffer (ref: meshlet sw/hw split):
+    small clusters splat through fixed windows (ops/raster3d_splat —
+    vector-parallel XLA eval + VMEM-resident composite), large clusters
+    stream through the binned tile kernel (ops/raster3d_visbuf) → one
+    shade-once XLA resolve (forward Lambert or G-buffer write; skipped
+    when depth_only)."""
+    import numpy as _np
+
+    from bevy_tpu.ops.raster3d_splat import (
+        build_windows, compact_cluster_tris, composite_windows,
+        eval_windows)
+    from bevy_tpu.ops.raster3d_visbuf import (
+        bin_clusters, build_cluster_meta, cluster_records,
+        cluster_screen_aabbs, pack_planes_h, raster_visbuf,
+        resolve_forward, resolve_gbuf, tile_chunk_records)
+
+    ni, vc = clip.shape[0], clip.shape[1]
+    cs = cluster_size
+    tc0 = int(triangles.shape[0])
+    tcp = (tc0 + cs - 1) // cs * cs
+    tris = _np.zeros((tcp, 3), _np.int32)
+    tris[:tc0] = _np.asarray(triangles, _np.int32)   # pad = degenerate
+    cc_num = tcp // cs                               # clusters per instance
+    t = ni * tcp
+
+    quant = jnp.concatenate([jnp.moveaxis(clip, -1, 1),
+                             jnp.moveaxis(nrm, -1, 1)], axis=1)  # (Ni,7,VC)
+    onehot = _np.zeros((vc, tcp * 3), _np.float32)
+    for ti in range(tcp):
+        for k in range(3):
+            onehot[int(tris[ti, k]), ti * 3 + k] = 1.0
+    corners = jnp.einsum("nqv,vc->nqc", quant, jnp.asarray(onehot))
+    corners = corners.reshape(ni, 7, tcp, 3)
+    cc = jnp.moveaxis(corners[:, 0:4], 1, -1).reshape(t, 3, 4)
+    cn = jnp.moveaxis(corners[:, 4:7], 1, -1).reshape(t, 3, 3)
+
+    tri_ok = jnp.broadcast_to(inst_ok[:, None], (ni, tcp)).reshape(t)
+
+    def _col(x, default):
+        if x is None:
+            return jnp.full((ni, 1), default, jnp.float32)
+        return x.reshape(ni, 1)
+
+    if depth_only:
+        mat_tri = None
+    else:
+        mat_inst = jnp.concatenate(
+            [col_i, emi_i, _col(met_i, 0.0), _col(rgh_i, 0.5)], axis=1)
+        mat_tri = jnp.broadcast_to(mat_inst[:, None, :],
+                                   (ni, tcp, 9)).reshape(t, 9)
+    cuv = rect_tri = None
+    if corner_uv is not None and uvr_i is not None and not depth_only:
+        # corner UVs are instance-independent (static mesh data); the
+        # per-instance atlas sub-rect comes from the material columns
+        # (ref: base_color_texture + the mesh's ATTRIBUTE_UV_0)
+        cuv_static = jnp.asarray(_np.concatenate(
+            [_np.asarray(corner_uv, _np.float32),
+             _np.zeros((tcp - tc0, 3, 2), _np.float32)], 0))
+        cuv = jnp.broadcast_to(cuv_static[None], (ni, tcp, 3, 2)
+                               ).reshape(t, 3, 2)
+        rect_tri = jnp.broadcast_to(uvr_i[:, None, :], (ni, tcp, 4)
+                                    ).reshape(t, 4)
+    zrec, srec, valid = pack_planes_h(cc, cn, tri_ok, width, height,
+                                      viewport=viewport, materials=mat_tri,
+                                      cuv=cuv, tex_rect=rect_tri)
+    cl_ok = jnp.broadcast_to(inst_ok[:, None], (ni, cc_num)).reshape(ni * cc_num)
+    aabb, cl_valid, zmax = cluster_screen_aabbs(cc, cl_ok, valid, cs,
+                                                width, height,
+                                                viewport=viewport)
+    n_cl = ni * cc_num
+    # -- window splat: every visible cluster decomposes to ≤ max_blocks
+    #    aligned block windows (vector-parallel XLA eval, no binning sort)
+    wbudget = min(window_budget, 4 * n_cl + 64)
+    wbudget = (wbudget + 7) // 8 * 8
+    zrec_c, _ = compact_cluster_tris(zrec, cs)
+    wins = build_windows(aabb, cl_valid, win_h=win_h, width=width,
+                         height=height, budget=wbudget)
+    windows = eval_windows(zrec_c, cs, wins["owner"], wins["meta"],
+                           wins["wvalid"], win_h=win_h, viewport=viewport,
+                           eval_tris=eval_tris)
+    # -- fallback: giant footprints + near-plane straddlers through the
+    #    binned streaming tile kernel (rare)
+    hp_t = (height + tile_h - 1) // tile_h
+    wp_t = (width + tile_w - 1) // tile_w
+    budget = max(8192, n_cl // 8) + hp_t * wp_t + 1024
+    max_cl = max(256, max_per_tile // cs)
+    # front-to-back in-tile order: the hi-z kernel stops at the first
+    # occluded cluster (reverse-z: larger = nearer, so ascending (1-z))
+    qz = jnp.clip((1.0 - zmax) * 65535.0, 0, 65535).astype(jnp.int32)
+    cl_table, cl_counts, st = bin_clusters(
+        aabb, wins["fallback"], ntx=wp_t, nty=hp_t, tile_w=tile_w,
+        tile_h=tile_h, max_clusters_per_tile=max_cl, pair_budget=budget,
+        order_key=qz)
+    meta = build_cluster_meta(cl_table, zmax)
+    recs = tile_chunk_records(cluster_records(zrec, cs), cl_table)
+    winner = jnp.full_like(target.depth, -1.0)
+    depth, winner = raster_visbuf(
+        target.depth, winner, recs, meta, cl_counts,
+        scissor=viewport, tile_h=tile_h, tile_w=tile_w, cs=cs,
+        interpret=interpret)
+    depth, winner = composite_windows(depth, winner, windows,
+                                      wins["owner"], wins["meta"],
+                                      wins["wvalid"], win_h=win_h, cs=cs,
+                                      interpret=interpret)
+    target.depth = depth
+    stats.pair_overflow = stats.pair_overflow + st["pair_overflow"] + \
+        wins["overflow"]
+    stats.tile_overflow = stats.tile_overflow + st["tile_overflow"]
+    if depth_only:
+        return
+    win_i = winner.astype(jnp.int32)
+    if deferred:
+        target.gbuffer = resolve_gbuf(win_i, srec, target.gbuffer,
+                                      atlas=atlas)
+    else:
+        target.color = resolve_forward(win_i, srec, light_vec, target.color,
+                                       atlas=atlas)
+
+
+def raster_batched_legacy(clip, nrm, triangles, inst_ok, col_i, emi_i,
+                          light_vec, target, stats, *, width, height,
+                          tile_h, tile_w, pairs_per_tri, max_per_tile,
+                          interpret, deferred=False, met_i=None, rgh_i=None,
+                          viewport=None):
     """Shared gather-free raster tail for batched-uniform geometry (plain
     meshes AND skinned meshes): clip (Ni, VC, 4) clip-space positions,
     nrm (Ni, VC, 3) world normals, triangles (TC, 3) STATIC numpy indices,
@@ -306,7 +445,8 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
 
 def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                    pairs_per_tri=2, max_per_tile=256, backend="auto",
-                   deferred=False):
+                   deferred=False, win_h=32, window_budget=65536,
+                   eval_tris=None):
     from bevy_tpu.transform import GlobalTransform
 
     if backend == "auto":
@@ -325,6 +465,7 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                   amb=Res(AmbientLight),
                   pool=Res(MeshPool.RESOURCE),
                   exp=Res(EXPANSION),
+                  matlas=Res("mesh_atlas"),
                   target=ResMut(RenderTarget.RESOURCE),
                   stats=ResMut("render_stats")):
         def render_view(ci, has_cam):
@@ -364,6 +505,7 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                 # mixed scenes render as a few sequential batches sharing the
                 # depth buffer (ref: queue_material_meshes per-pipeline bins)
                 lv = directional_light_vec(light, amb)
+                has_tex = getattr(plugin, "_has_atlas", False)
                 for grp in groups:
                     m = plugin.pool.meshes[grp["mesh"]]
                     vc = m.num_vertices
@@ -379,6 +521,14 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                     nrm = quat_rotate_vec3(gt_r[:, None, :],
                                            jnp.asarray(m.normals)[None])
                     vis = visrow[rows]  # layers bitmask + LOD band
+                    if has_tex:
+                        uvr = jnp.concatenate(
+                            [q.mesh_material.uv_min[rows],
+                             q.mesh_material.uv_max[rows]], 1)
+                        cuv = np.asarray(m.uvs, np.float32)[
+                            np.asarray(m.triangles, np.int64)]
+                    else:
+                        uvr = cuv = None
                     raster_batched(
                         clip, nrm, m.triangles, q.mask[rows] & has_cam & vis,
                         q.mesh_material.base_color[rows],
@@ -389,7 +539,10 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         interpret=interpret, deferred=deferred,
                         met_i=q.mesh_material.metallic[rows],
                         rgh_i=q.mesh_material.perceptual_roughness[rows],
-                        viewport=viewport)
+                        viewport=viewport, win_h=win_h,
+                        window_budget=window_budget, eval_tris=eval_tris,
+                        corner_uv=cuv, uvr_i=uvr,
+                        atlas=matlas.data if has_tex else None)
                 return
             uni = plugin._uniform if plugin is not None else None
             if uni is not None:
@@ -512,14 +665,21 @@ class Mesh3dPlugin(Plugin):
 
     def __init__(self, pool: MeshPool = None, tile_h=32, tile_w=128,
                  pairs_per_tri=2, max_per_tile=256, backend="auto",
-                 deferred=False):
+                 deferred=False, win_h=32, window_budget=65536,
+                 eval_tris=None, atlas=None):
         self.pool = pool or MeshPool()
         self._uniform = None
         self._groups = None
+        # atlas: an AtlasBuilder (or prebuilt (AH, AW, 4) array) holding
+        # material base-color textures (ref: the bindless material
+        # texture arrays of material_bind_groups.rs)
+        self.atlas = atlas
+        self._has_atlas = atlas is not None
         self.cfg = dict(tile_h=tile_h, tile_w=tile_w,
                         pairs_per_tri=pairs_per_tri,
                         max_per_tile=max_per_tile, backend=backend,
-                        deferred=deferred)
+                        deferred=deferred, win_h=win_h,
+                        window_budget=window_budget, eval_tris=eval_tris)
 
     def build(self, app):
         from bevy_tpu.render.plugin import RenderPlugin
@@ -542,6 +702,12 @@ class Mesh3dPlugin(Plugin):
 
         def finish_pool(world):
             world.state["res"][MeshPool.RESOURCE] = pool_host.build()
+            if plugin._has_atlas:
+                a = plugin.atlas
+                data = a.build() if hasattr(a, "build") else jnp.asarray(a)
+            else:
+                data = jnp.zeros((1, 1, 4), jnp.float32)
+            world.state["res"]["mesh_atlas"] = {"data": data}
             _rebuild_expansion(world, pool_host, plugin)
 
         app.add_prepare_hook(finish_pool)

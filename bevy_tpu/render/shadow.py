@@ -106,7 +106,7 @@ def make_shadow_pass(plugin, size, extent, distance, tile_h=32, tile_w=128,
                 clip, nrm, m.triangles, ok,
                 q.mesh_material.base_color[rows],
                 q.mesh_material.emissive[rows],
-                jnp.zeros(16, jnp.float32), t, st,
+                jnp.zeros(16, jnp.float32), t, st, depth_only=True,
                 width=size, height=size, tile_h=tile_h, tile_w=tile_w,
                 pairs_per_tri=pairs_per_tri, max_per_tile=max_per_tile,
                 interpret=interpret)

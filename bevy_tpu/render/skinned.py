@@ -47,11 +47,16 @@ class SkinnedMeshPlugin(Plugin):
     `clips` a list of animation.AnimationClip."""
 
     def __init__(self, skeleton, mesh, weights, clips, tile_h=32, tile_w=128,
-                 pairs_per_tri=2, max_per_tile=256, backend="auto"):
+                 pairs_per_tri=2, max_per_tile=256, backend="auto",
+                 graph=None):
         self.skeleton = skeleton
         self.mesh = mesh
         self.weights = np.asarray(weights, np.float32)
         self.clips = clips
+        # graph: an animation.graph.AnimationGraph; entities then carry
+        # AnimationGraphPlayer instead of AnimationPlayer (ref:
+        # AnimationGraphHandle + AnimationPlayer pairing)
+        self.graph = graph
         self._rows = np.zeros(0, np.int32)
         self.cfg = dict(tile_h=tile_h, tile_w=tile_w,
                         pairs_per_tri=pairs_per_tri,
@@ -81,8 +86,15 @@ class SkinnedMeshPlugin(Plugin):
         clip_data, counts, rates = bake_clips(self.clips)
         app.insert_resource("anim_clips", {
             "data": clip_data, "counts": counts, "rates": rates})
-        app.add_systems(Update, advance_players(
-            [c.duration for c in self.clips]))
+        if self.graph is not None:
+            from bevy_tpu.animation.graph import (
+                AnimationGraphPlayer, advance_graph_players)
+            app.world.register_component(AnimationGraphPlayer)
+            app.add_systems(Update, advance_graph_players(
+                [c.duration for c in self.clips], self.graph))
+        else:
+            app.add_systems(Update, advance_players(
+                [c.duration for c in self.clips]))
 
         plugin = self
 
@@ -106,9 +118,15 @@ class SkinnedMeshPlugin(Plugin):
              jnp.ones((mesh.num_vertices, 1), jnp.float32)], 1)
         mesh_n = jnp.asarray(mesh.normals)
         width, height = rp.width, rp.height
+        graph = self.graph
+        if graph is not None:
+            from bevy_tpu.animation.graph import AnimationGraphPlayer
+            anim_comp = AnimationGraphPlayer
+        else:
+            anim_comp = AnimationPlayer
 
         @system(name="skinned_pass")
-        def skinned_pass(q=Query(Read(SkinnedMesh3d), Read(AnimationPlayer),
+        def skinned_pass(q=Query(Read(SkinnedMesh3d), Read(anim_comp),
                                  Read(MeshMaterial), Read(GlobalTransform)),
                          cam=Query(Read(Camera3d), Read(GlobalTransform)),
                          light=Query(Read(DirectionalLight), Read(GlobalTransform)),
@@ -127,14 +145,19 @@ class SkinnedMeshPlugin(Plugin):
                 cam.camera3d.fov[ci], width / height, cam.camera3d.near[ci])
             vp = proj @ view
 
-            # animation sampling (crossfaded) + joint composition (Ni, J, …)
-            ap = q.animation_player
-            local = sample_pose_blended(
-                clips.data, clips.counts, clips.rates,
-                {"clip": ap.clip[rows], "time": ap.time[rows],
-                 "prev_clip": ap.prev_clip[rows],
-                 "prev_time": ap.prev_time[rows],
-                 "blend": ap.blend[rows]})
+            # animation sampling (graph blend tree or 2-clip crossfade) +
+            # joint composition (Ni, J, …)
+            if graph is not None:
+                local = graph.sample(clips.data, clips.counts, clips.rates,
+                                     q.animation_graph_player, rows)
+            else:
+                ap = q.animation_player
+                local = sample_pose_blended(
+                    clips.data, clips.counts, clips.rates,
+                    {"clip": ap.clip[rows], "time": ap.time[rows],
+                     "prev_clip": ap.prev_clip[rows],
+                     "prev_time": ap.prev_time[rows],
+                     "blend": ap.blend[rows]})
             global_trs = compose_joints(skeleton, local)
             joints = skin_matrices(skeleton, global_trs)   # (Ni, J, 4, 4)
 
