@@ -132,21 +132,28 @@ def eval_windows(zrec, cs: int, owner, meta, wvalid, *, win_h,
           ).astype(jnp.float32) + 0.5                     # (B, win_h, 1)
     if viewport is not None:
         vx0, vy0, vx1, vy1 = viewport
-        gate = wvalid[:, None, None] & (px >= vx0) & (px < vx1) & \
-            (py >= vy0) & (py < vy1)
+        gate = (px >= vx0) & (px < vx1) & (py >= vy0) & (py < vy1)
     else:
-        gate = wvalid[:, None, None]
+        # invalid windows are beyond the valid prefix the composite
+        # walks, so no per-pixel wvalid gate is needed
+        gate = None
     assert cs <= (1 << ID_BITS), "cluster size exceeds packed id bits"
+    del wvalid
     acc = jnp.zeros((owner.shape[0], win_h, WIN_W), jnp.float32)
     for s in range(ntri):
         def d(k):
             return rec[:, s, k][:, None, None]
+        # inside = all edges <= 0 AND z > 0 AND valid tri, folded into
+        # one max chain (invalid tris have tri_id < 0 in slot 12; their
+        # zeroed planes give z == 0, which -z folds out)
         emax = jnp.maximum(jnp.maximum(
             d(0) * px + d(1) * py + d(2),
             d(3) * px + d(4) * py + d(5)),
             d(6) * px + d(7) * py + d(8))
         z = d(9) * px + d(10) * py + d(11)
-        ok = (emax <= 0) & (z > 0) & (d(12) >= 0) & gate
+        ok = jnp.maximum(emax, -z) < 0
+        if gate is not None:
+            ok = ok & gate
         # slot 12 holds the GLOBAL tri id (survives per-cluster
         # compaction); pack its cluster-local part into the mantissa
         lid = (rec[:, s, 12].astype(jnp.int32) - owner * cs) & ID_MASK
@@ -196,34 +203,40 @@ def _composite_kernel(nwin_ref, meta_hbm, win_hbm, dep_hbm, winid_hbm,
         def _():
             issue(c + 1, sem_a, sem_ma)
 
+        # STATIC buffer-slot indices only: a traced leading index on
+        # VMEM/SMEM scratch makes Mosaic copy the slot per access —
+        # hence the even/odd duplication (same lesson as _stream_kernel)
+        def process(half, c):
+            for k in range(CHUNK_WIN):
+                w = c * CHUNK_WIN + k
+
+                @pl.when(w < nwin)
+                def _():
+                    m = mbuf[half, 2 * k]
+                    cluster = mbuf[half, 2 * k + 1]
+                    colk = m // 2048
+                    y0 = m % 2048
+                    dz = buf[half, k]               # (win_h, 128) packed
+                    cur = dep_out[colk, pl.ds(y0, win_h), :]
+                    zpass = dz > cur
+                    dep_out[colk, pl.ds(y0, win_h), :] = \
+                        jnp.where(zpass, dz, cur)
+                    lid = jax.lax.bitcast_convert_type(dz, jnp.int32) & \
+                        ID_MASK
+                    glob = (cluster * cs + lid).astype(jnp.float32)
+                    cw = win_out[colk, pl.ds(y0, win_h), :]
+                    win_out[colk, pl.ds(y0, win_h), :] = \
+                        jnp.where(zpass, glob, cw)
+
         @pl.when(even)
         def _():
             wait(c, sem_a, sem_ma)
+            process(0, c)
 
         @pl.when(~even)
         def _():
             wait(c, sem_b, sem_mb)
-
-        half = c % 2
-        for k in range(CHUNK_WIN):
-            w = c * CHUNK_WIN + k
-
-            @pl.when(w < nwin)
-            def _():
-                m = mbuf[half, 2 * k]
-                cluster = mbuf[half, 2 * k + 1]
-                colk = m // 2048
-                y0 = m % 2048
-                dz = buf[half, k]                       # (win_h, 128) packed
-                cur = dep_out[colk, pl.ds(y0, win_h), :]
-                zpass = dz > cur
-                dep_out[colk, pl.ds(y0, win_h), :] = \
-                    jnp.where(zpass, dz, cur)
-                lid = jax.lax.bitcast_convert_type(dz, jnp.int32) & ID_MASK
-                glob = (cluster * cs + lid).astype(jnp.float32)
-                cw = win_out[colk, pl.ds(y0, win_h), :]
-                win_out[colk, pl.ds(y0, win_h), :] = \
-                    jnp.where(zpass, glob, cw)
+            process(1, c)
         return 0
 
     jax.lax.fori_loop(0, nch, chunk, 0)

@@ -222,7 +222,7 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                    deferred=False, met_i=None, rgh_i=None, viewport=None,
                    depth_only=False, cluster_size=12, win_h=32,
                    window_budget=65536, eval_tris=None, corner_uv=None,
-                   uvr_i=None, atlas=None):
+                   uvr_i=None, atlas=None, visible_budget=65536):
     """Visibility-buffer raster of one uniform batch (ref: bevy meshlet sw
     raster, bevy_pbr/src/meshlet/ — cluster cull → visbuffer → material
     resolve). clip (Ni, VC, 4) clip-space positions, nrm (Ni, VC, 3) world
@@ -273,13 +273,36 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
             return jnp.full((ni, 1), default, jnp.float32)
         return x.reshape(ni, 1)
 
+    # -- cull FIRST, pack planes second: cluster screen AABBs + the
+    #    conservative frustum cull need only the clip corners; the
+    #    expensive per-triangle plane setup then runs on a compacted
+    #    visible prefix instead of all Ni*TC triangles (ref position:
+    #    the cull-before-setup order of gpu_preprocess.wesl)
+    cl_ok = jnp.broadcast_to(inst_ok[:, None], (ni, cc_num)).reshape(ni * cc_num)
+    aabb, cl_valid, zmax = cluster_screen_aabbs(
+        cc, cl_ok, jnp.ones((ni * tcp,), bool), cs, width, height,
+        viewport=viewport)
+    n_cl = ni * cc_num
+    kvis = min(visible_budget, n_cl)
+    vis_order = jnp.argsort(~cl_valid, stable=True)
+    vis_ids = vis_order[:kvis]
+    vvalid = cl_valid[vis_ids]
+    stats.pair_overflow = stats.pair_overflow + jnp.maximum(
+        jnp.sum(cl_valid.astype(jnp.int32)) - kvis, 0)
+    inst_v = vis_ids // cc_num                       # cluster → instance
+    cmesh_v = vis_ids % cc_num                       # cluster-in-mesh
+    tv = kvis * cs
+    cc_v = cc.reshape(n_cl, cs, 3, 4)[vis_ids].reshape(tv, 3, 4)
+    cn_v = cn.reshape(n_cl, cs, 3, 3)[vis_ids].reshape(tv, 3, 3)
+    tri_ok_v = jnp.broadcast_to(vvalid[:, None], (kvis, cs)).reshape(tv)
+
     if depth_only:
         mat_tri = None
     else:
         mat_inst = jnp.concatenate(
             [col_i, emi_i, _col(met_i, 0.0), _col(rgh_i, 0.5)], axis=1)
-        mat_tri = jnp.broadcast_to(mat_inst[:, None, :],
-                                   (ni, tcp, 9)).reshape(t, 9)
+        mat_tri = jnp.broadcast_to(mat_inst[inst_v][:, None, :],
+                                   (kvis, cs, 9)).reshape(tv, 9)
     cuv = rect_tri = None
     if corner_uv is not None and uvr_i is not None and not depth_only:
         # corner UVs are instance-independent (static mesh data); the
@@ -288,24 +311,21 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         cuv_static = jnp.asarray(_np.concatenate(
             [_np.asarray(corner_uv, _np.float32),
              _np.zeros((tcp - tc0, 3, 2), _np.float32)], 0))
-        cuv = jnp.broadcast_to(cuv_static[None], (ni, tcp, 3, 2)
-                               ).reshape(t, 3, 2)
-        rect_tri = jnp.broadcast_to(uvr_i[:, None, :], (ni, tcp, 4)
-                                    ).reshape(t, 4)
-    zrec, srec, valid = pack_planes_h(cc, cn, tri_ok, width, height,
+        cuv = cuv_static.reshape(cc_num, cs, 3, 2)[cmesh_v].reshape(
+            tv, 3, 2)
+        rect_tri = jnp.broadcast_to(uvr_i[inst_v][:, None, :],
+                                    (kvis, cs, 4)).reshape(tv, 4)
+    zrec, srec, valid = pack_planes_h(cc_v, cn_v, tri_ok_v, width, height,
                                       viewport=viewport, materials=mat_tri,
                                       cuv=cuv, tex_rect=rect_tri)
-    cl_ok = jnp.broadcast_to(inst_ok[:, None], (ni, cc_num)).reshape(ni * cc_num)
-    aabb, cl_valid, zmax = cluster_screen_aabbs(cc, cl_ok, valid, cs,
-                                                width, height,
-                                                viewport=viewport)
-    n_cl = ni * cc_num
+    aabb = aabb[vis_ids]
+    zmax = zmax[vis_ids]
     # -- window splat: every visible cluster decomposes to ≤ max_blocks
     #    aligned block windows (vector-parallel XLA eval, no binning sort)
-    wbudget = min(window_budget, 4 * n_cl + 64)
+    wbudget = min(window_budget, 4 * kvis + 64)
     wbudget = (wbudget + 7) // 8 * 8
     zrec_c, _ = compact_cluster_tris(zrec, cs)
-    wins = build_windows(aabb, cl_valid, win_h=win_h, width=width,
+    wins = build_windows(aabb, vvalid, win_h=win_h, width=width,
                          height=height, budget=wbudget)
     windows = eval_windows(zrec_c, cs, wins["owner"], wins["meta"],
                            wins["wvalid"], win_h=win_h, viewport=viewport,
@@ -314,7 +334,7 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
     #    binned streaming tile kernel (rare)
     hp_t = (height + tile_h - 1) // tile_h
     wp_t = (width + tile_w - 1) // tile_w
-    budget = max(8192, n_cl // 8) + hp_t * wp_t + 1024
+    budget = max(8192, kvis // 8) + hp_t * wp_t + 1024
     max_cl = max(256, max_per_tile // cs)
     # front-to-back in-tile order: the hi-z kernel stops at the first
     # occluded cluster (reverse-z: larger = nearer, so ascending (1-z))
@@ -446,7 +466,7 @@ def raster_batched_legacy(clip, nrm, triangles, inst_ok, col_i, emi_i,
 def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                    pairs_per_tri=2, max_per_tile=256, backend="auto",
                    deferred=False, win_h=32, window_budget=65536,
-                   eval_tris=None):
+                   eval_tris=None, visible_budget=65536):
     from bevy_tpu.transform import GlobalTransform
 
     if backend == "auto":
@@ -541,7 +561,7 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         rgh_i=q.mesh_material.perceptual_roughness[rows],
                         viewport=viewport, win_h=win_h,
                         window_budget=window_budget, eval_tris=eval_tris,
-                        corner_uv=cuv, uvr_i=uvr,
+                        corner_uv=cuv, uvr_i=uvr, visible_budget=visible_budget,
                         atlas=matlas.data if has_tex else None)
                 return
             uni = plugin._uniform if plugin is not None else None
@@ -666,7 +686,7 @@ class Mesh3dPlugin(Plugin):
     def __init__(self, pool: MeshPool = None, tile_h=32, tile_w=128,
                  pairs_per_tri=2, max_per_tile=256, backend="auto",
                  deferred=False, win_h=32, window_budget=65536,
-                 eval_tris=None, atlas=None):
+                 eval_tris=None, atlas=None, visible_budget=65536):
         self.pool = pool or MeshPool()
         self._uniform = None
         self._groups = None
@@ -679,7 +699,8 @@ class Mesh3dPlugin(Plugin):
                         pairs_per_tri=pairs_per_tri,
                         max_per_tile=max_per_tile, backend=backend,
                         deferred=deferred, win_h=win_h,
-                        window_budget=window_budget, eval_tris=eval_tris)
+                        window_budget=window_budget, eval_tris=eval_tris,
+                        visible_budget=visible_budget)
 
     def build(self, app):
         from bevy_tpu.render.plugin import RenderPlugin
