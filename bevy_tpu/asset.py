@@ -73,8 +73,11 @@ class AssetServer:
     based). `load` is async (IoTaskPool position); `load_sync` blocks."""
 
     def __init__(self, root: str = "assets", workers: int = 4,
-                 watch: bool = False):
+                 watch: bool = False, processed: str = None):
         self.root = Path(root)
+        # processor-gated reads (ref: io/processor_gated.rs): when a
+        # processed tree is given, artifacts there shadow raw sources
+        self.processed = None if processed is None else Path(processed)
         self.pool = ThreadPoolExecutor(max_workers=workers)
         self.loaders: Dict[str, Callable] = dict(DEFAULT_LOADERS)
         self._assets: Dict[int, Any] = {}
@@ -91,7 +94,21 @@ class AssetServer:
 
     def _resolve(self, path: str) -> Path:
         p = Path(path)
-        return p if p.is_absolute() else self.root / p
+        if p.is_absolute():
+            return p
+        if self.processed is not None:
+            # exact artifact, or one with a rewritten suffix (the
+            # processor may transcode, e.g. .png → .npy)
+            cand = self.processed / p
+            if cand.exists():
+                return cand
+            matches = sorted(cand.parent.glob(p.stem + ".*")) \
+                if cand.parent.exists() else []
+            matches = [m for m in matches
+                       if not m.name.endswith(".meta.json")]
+            if matches:
+                return matches[0]
+        return self.root / p
 
     def load(self, path: str) -> Handle:
         if path in self._by_path:

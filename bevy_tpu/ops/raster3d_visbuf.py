@@ -61,7 +61,7 @@ def _pad_to(x, m):
 
 
 def pack_planes_h(cc, cn, valid, width, height, viewport=None,
-                  materials=None, cuv=None, tex_rect=None):
+                  materials=None, cuv=None, tex_rect=None, build_srec=True):
     """Homogeneous (clipless) triangle setup.
 
     cc: (T, 3, 4) clip-space corner positions; cn: (T, 3, 3) per-corner
@@ -145,16 +145,20 @@ def pack_planes_h(cc, cn, valid, width, height, viewport=None,
     zrec = jnp.concatenate([
         neg_e, z_plane, tri_id[:, None], aabb,
         jnp.zeros((t, ZREC - 17), jnp.float32)], 1)
-    if materials is None:
-        materials = jnp.zeros((t, 9), jnp.float32)
-    if cuv is not None and tex_rect is not None:
-        uv_part = jnp.concatenate([
-            combo(cuv[:, :, 0]), combo(cuv[:, :, 1]), tex_rect], 1)  # (T, 10)
+    if build_srec:
+        if materials is None:
+            materials = jnp.zeros((t, 9), jnp.float32)
+        if cuv is not None and tex_rect is not None:
+            uv_part = jnp.concatenate([
+                combo(cuv[:, :, 0]), combo(cuv[:, :, 1]), tex_rect], 1)
+        else:
+            uv_part = jnp.zeros((t, 10), jnp.float32)
+        srec = jnp.concatenate([
+            iw_plane, combo(cn[:, :, 0]), combo(cn[:, :, 1]),
+            combo(cn[:, :, 2]), materials, uv_part,
+            jnp.zeros((t, SREC - 31), jnp.float32)], 1)
     else:
-        uv_part = jnp.zeros((t, 10), jnp.float32)
-    srec = jnp.concatenate([
-        iw_plane, combo(cn[:, :, 0]), combo(cn[:, :, 1]), combo(cn[:, :, 2]),
-        materials, uv_part, jnp.zeros((t, SREC - 31), jnp.float32)], 1)
+        srec = None      # flat-shading path builds 8-wide records instead
     return zrec, srec, valid
 
 
@@ -534,6 +538,37 @@ def resolve_shade(winner, srec, atlas=None):
                          mat[..., 0:4] * texel, mat[..., 0:4])
         mat = jnp.concatenate([base, mat[..., 4:]], -1)
     return n, mat, ok
+
+
+def pack_flat_shade(cn, materials, light_vec, valid):
+    """Per-triangle FLAT shade records (T, 8): when a mesh's three corner
+    normals are identical per triangle (cubes, any faceted mesh),
+    Gouraud interpolation degenerates to a constant — shade ONCE per
+    triangle at pack time and let the resolve gather 8-wide rows (the
+    fast-gather regime) instead of 64-wide varying planes.
+    materials (T, 9): rgba, emissive, metallic, roughness."""
+    t = cn.shape[0]
+    n = cn[:, 0]                                 # flat: corner 0 == 1 == 2
+    n = n * jax.lax.rsqrt(jnp.maximum(jnp.sum(n * n, -1, keepdims=True),
+                                      1e-12))
+    lam = jnp.maximum(0.0, -(n[:, 0] * light_vec[0] +
+                             n[:, 1] * light_vec[1] +
+                             n[:, 2] * light_vec[2]))
+    rgb = materials[:, 0:3] * (light_vec[6:9] +
+                               light_vec[3:6] * lam[:, None]) + \
+        materials[:, 4:7]
+    out = jnp.concatenate([rgb, materials[:, 3:4],
+                           jnp.zeros((t, 4), jnp.float32)], 1)
+    return jnp.where(valid[:, None], out, 0.0)
+
+
+def resolve_flat(winner, flat_rec, color_planar):
+    """Compose per-pixel colors from flat-shade records (one 8-wide row
+    gather; winner == -1 keeps the input)."""
+    ok = winner >= 0
+    rec = flat_rec[jnp.maximum(winner, 0)]       # (H, W, 8)
+    out_p = jnp.moveaxis(rec[..., 0:4], -1, 0)
+    return jnp.where(ok[None], out_p, color_planar)
 
 
 def resolve_forward(winner, srec, light_vec, color_planar, atlas=None):

@@ -222,7 +222,8 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                    deferred=False, met_i=None, rgh_i=None, viewport=None,
                    depth_only=False, cluster_size=12, win_h=32,
                    window_budget=65536, eval_tris=None, corner_uv=None,
-                   uvr_i=None, atlas=None, visible_budget=65536):
+                   uvr_i=None, atlas=None, visible_budget=65536,
+                   flat_ok=False):
     """Visibility-buffer raster of one uniform batch (ref: bevy meshlet sw
     raster, bevy_pbr/src/meshlet/ — cluster cull → visbuffer → material
     resolve). clip (Ni, VC, 4) clip-space positions, nrm (Ni, VC, 3) world
@@ -243,8 +244,9 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         eval_windows)
     from bevy_tpu.ops.raster3d_visbuf import (
         bin_clusters, build_cluster_meta, cluster_records,
-        cluster_screen_aabbs, pack_planes_h, raster_visbuf,
-        resolve_forward, resolve_gbuf, tile_chunk_records)
+        cluster_screen_aabbs, pack_flat_shade, pack_planes_h,
+        raster_visbuf, resolve_flat, resolve_forward, resolve_gbuf,
+        tile_chunk_records)
 
     ni, vc = clip.shape[0], clip.shape[1]
     cs = cluster_size
@@ -315,21 +317,43 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
             tv, 3, 2)
         rect_tri = jnp.broadcast_to(uvr_i[inst_v][:, None, :],
                                     (kvis, cs, 4)).reshape(tv, 4)
+    # flat-shading fast path: identical corner normals per tri + no
+    # texture/G-buffer need — shade once per triangle, 8-wide resolve
+    flat = bool(flat_ok) and not deferred and not depth_only and cuv is None
     zrec, srec, valid = pack_planes_h(cc_v, cn_v, tri_ok_v, width, height,
                                       viewport=viewport, materials=mat_tri,
-                                      cuv=cuv, tex_rect=rect_tri)
+                                      cuv=cuv, tex_rect=rect_tri,
+                                      build_srec=not flat)
+    if flat:
+        flat_rec = pack_flat_shade(cn_v, mat_tri, light_vec, valid)
     aabb = aabb[vis_ids]
     zmax = zmax[vis_ids]
     # -- window splat: every visible cluster decomposes to ≤ max_blocks
-    #    aligned block windows (vector-parallel XLA eval, no binning sort)
-    wbudget = min(window_budget, 4 * kvis + 64)
-    wbudget = (wbudget + 7) // 8 * 8
+    #    aligned block windows (vector-parallel XLA eval, no binning
+    #    sort). Two height classes keep far instances on half-size
+    #    windows (the footprint median is well under win_h rows).
     zrec_c, _ = compact_cluster_tris(zrec, cs)
-    wins = build_windows(aabb, vvalid, win_h=win_h, width=width,
-                         height=height, budget=wbudget)
-    windows = eval_windows(zrec_c, cs, wins["owner"], wins["meta"],
-                           wins["wvalid"], win_h=win_h, viewport=viewport,
-                           eval_tris=eval_tris)
+    h_px = aabb[:, 3] - aabb[:, 1]
+    half_h = max(win_h // 2, 8)
+    classes = ((half_h, h_px <= half_h - 1.0),
+               (win_h, h_px > half_h - 1.0))
+    winner = jnp.full_like(target.depth, -1.0)
+    depth = target.depth
+    fallback = None
+    wbudget = min(window_budget // 2, 4 * kvis + 64)
+    wbudget = (wbudget + 7) // 8 * 8
+    for class_h, cmask in classes:
+        wins = build_windows(aabb, vvalid & cmask, win_h=class_h,
+                             width=width, height=height, budget=wbudget)
+        windows = eval_windows(zrec_c, cs, wins["owner"], wins["meta"],
+                               wins["wvalid"], win_h=class_h,
+                               viewport=viewport, eval_tris=eval_tris)
+        depth, winner = composite_windows(
+            depth, winner, windows, wins["owner"], wins["meta"],
+            wins["wvalid"], win_h=class_h, cs=cs, interpret=interpret)
+        stats.pair_overflow = stats.pair_overflow + wins["overflow"]
+        fallback = wins["fallback"] if fallback is None else \
+            (fallback | wins["fallback"])
     # -- fallback: giant footprints + near-plane straddlers through the
     #    binned streaming tile kernel (rare)
     hp_t = (height + tile_h - 1) // tile_h
@@ -340,23 +364,17 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
     # occluded cluster (reverse-z: larger = nearer, so ascending (1-z))
     qz = jnp.clip((1.0 - zmax) * 65535.0, 0, 65535).astype(jnp.int32)
     cl_table, cl_counts, st = bin_clusters(
-        aabb, wins["fallback"], ntx=wp_t, nty=hp_t, tile_w=tile_w,
+        aabb, fallback, ntx=wp_t, nty=hp_t, tile_w=tile_w,
         tile_h=tile_h, max_clusters_per_tile=max_cl, pair_budget=budget,
         order_key=qz)
     meta = build_cluster_meta(cl_table, zmax)
     recs = tile_chunk_records(cluster_records(zrec, cs), cl_table)
-    winner = jnp.full_like(target.depth, -1.0)
     depth, winner = raster_visbuf(
-        target.depth, winner, recs, meta, cl_counts,
+        depth, winner, recs, meta, cl_counts,
         scissor=viewport, tile_h=tile_h, tile_w=tile_w, cs=cs,
         interpret=interpret)
-    depth, winner = composite_windows(depth, winner, windows,
-                                      wins["owner"], wins["meta"],
-                                      wins["wvalid"], win_h=win_h, cs=cs,
-                                      interpret=interpret)
     target.depth = depth
-    stats.pair_overflow = stats.pair_overflow + st["pair_overflow"] + \
-        wins["overflow"]
+    stats.pair_overflow = stats.pair_overflow + st["pair_overflow"]
     stats.tile_overflow = stats.tile_overflow + st["tile_overflow"]
     if depth_only:
         return
@@ -364,6 +382,8 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
     if deferred:
         target.gbuffer = resolve_gbuf(win_i, srec, target.gbuffer,
                                       atlas=atlas)
+    elif flat:
+        target.color = resolve_flat(win_i, flat_rec, target.color)
     else:
         target.color = resolve_forward(win_i, srec, light_vec, target.color,
                                        atlas=atlas)
@@ -549,6 +569,13 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                             np.asarray(m.triangles, np.int64)]
                     else:
                         uvr = cuv = None
+                    # static flat-mesh detection: identical corner
+                    # normals per tri ⇒ Gouraud == flat EXACTLY, so the
+                    # narrow flat-shade resolve is image-identical
+                    nrm_np = np.asarray(m.normals, np.float32)[
+                        np.asarray(m.triangles, np.int64)]
+                    flat_ok = bool(np.all(nrm_np[:, 0] == nrm_np[:, 1]) and
+                                   np.all(nrm_np[:, 0] == nrm_np[:, 2]))
                     raster_batched(
                         clip, nrm, m.triangles, q.mask[rows] & has_cam & vis,
                         q.mesh_material.base_color[rows],
@@ -562,7 +589,8 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         viewport=viewport, win_h=win_h,
                         window_budget=window_budget, eval_tris=eval_tris,
                         corner_uv=cuv, uvr_i=uvr, visible_budget=visible_budget,
-                        atlas=matlas.data if has_tex else None)
+                        atlas=matlas.data if has_tex else None,
+                        flat_ok=flat_ok)
                 return
             uni = plugin._uniform if plugin is not None else None
             if uni is not None:

@@ -41,6 +41,17 @@ class SkinnedMesh3d:
     skin = field((), jnp.int32)
 
 
+MAX_MORPHS = 8
+
+
+@component
+class MorphWeights:
+    """Per-instance morph target weights (ref: bevy_mesh MorphWeights +
+    the GPU morph path of bevy_pbr/src/render/morph.rs). Lane k scales
+    the plugin's k-th position-delta target."""
+    weights = field(MAX_MORPHS)
+
+
 class SkinnedMeshPlugin(Plugin):
     """ref: the Mesh3d+SkinnedMesh+AnimationPlayer stack for one rig.
     `mesh` is a render.mesh.Mesh; `weights` a dense (VC, J) matrix;
@@ -48,7 +59,7 @@ class SkinnedMeshPlugin(Plugin):
 
     def __init__(self, skeleton, mesh, weights, clips, tile_h=32, tile_w=128,
                  pairs_per_tri=2, max_per_tile=256, backend="auto",
-                 graph=None):
+                 graph=None, morph_targets=None):
         self.skeleton = skeleton
         self.mesh = mesh
         self.weights = np.asarray(weights, np.float32)
@@ -57,6 +68,10 @@ class SkinnedMeshPlugin(Plugin):
         # AnimationGraphPlayer instead of AnimationPlayer (ref:
         # AnimationGraphHandle + AnimationPlayer pairing)
         self.graph = graph
+        # morph_targets: (K, VC, 3) position deltas; entities opt in with
+        # a MorphWeights component (ref: bevy_mesh morph targets)
+        self.morph_targets = (None if morph_targets is None else
+                              np.asarray(morph_targets, np.float32))
         self._rows = np.zeros(0, np.int32)
         self.cfg = dict(tile_h=tile_h, tile_w=tile_w,
                         pairs_per_tri=pairs_per_tri,
@@ -74,7 +89,7 @@ class SkinnedMeshPlugin(Plugin):
         if rp is None:
             raise RuntimeError("SkinnedMeshPlugin requires RenderPlugin")
         from bevy_tpu.transform import GlobalTransform, Transform
-        for c in (SkinnedMesh3d, AnimationPlayer, MeshMaterial,
+        for c in (SkinnedMesh3d, AnimationPlayer, MorphWeights, MeshMaterial,
                   DirectionalLight, Camera3d, Transform, GlobalTransform):
             app.world.register_component(c)
         app.init_resource(AmbientLight())
@@ -125,11 +140,15 @@ class SkinnedMeshPlugin(Plugin):
         else:
             anim_comp = AnimationPlayer
 
+        morph_t = (None if self.morph_targets is None
+                   else jnp.asarray(self.morph_targets))
+
         @system(name="skinned_pass")
         def skinned_pass(q=Query(Read(SkinnedMesh3d), Read(anim_comp),
                                  Read(MeshMaterial), Read(GlobalTransform)),
                          cam=Query(Read(Camera3d), Read(GlobalTransform)),
                          light=Query(Read(DirectionalLight), Read(GlobalTransform)),
+                         morphs=Query(Read(MorphWeights)),
                          amb=Res(AmbientLight),
                          clips=Res("anim_clips"),
                          target=ResMut(RenderTarget.RESOURCE),
@@ -169,7 +188,18 @@ class SkinnedMeshPlugin(Plugin):
             a = jnp.einsum("nab,njbc->njac", mv, joints)   # (Ni, J, 4, 4)
             # per-vertex skin matrices via the dense weight matmul (MXU)
             m_v = jnp.einsum("vj,njab->nvab", w_dense, a)  # (Ni, VC, 4, 4)
-            clip_pos = jnp.einsum("nvab,vb->nva", m_v, mesh_ph)
+            if morph_t is not None:
+                # morph displacement before skinning (ref: morph.wesl
+                # runs before the joint deform in the vertex stage)
+                k = morph_t.shape[0]
+                wts = morphs.morph_weights.weights[rows][:, :k]
+                disp = jnp.einsum("nk,kvc->nvc", wts, morph_t)
+                ph_n = jnp.concatenate(
+                    [mesh_ph[None, :, :3] + disp,
+                     jnp.ones(disp.shape[:2] + (1,), jnp.float32)], -1)
+                clip_pos = jnp.einsum("nvab,nvb->nva", m_v, ph_n)
+            else:
+                clip_pos = jnp.einsum("nvab,vb->nva", m_v, mesh_ph)
             # normals through the model+joint rotation (uniform-scale approx)
             b = jnp.einsum("nab,njbc->njac", model, joints)[:, :, :3, :3]
             r_v = jnp.einsum("vj,njab->nvab", w_dense, b)
