@@ -109,36 +109,22 @@ def build_windows(aabb, cl_valid, *, win_h, width, height, budget,
     }
 
 
-def eval_windows(zrec, cs: int, owner, meta, wvalid, *, win_h,
-                 viewport=None, eval_tris=None):
-    """Evaluate cluster triangles over their windows (pure XLA).
-
-    Returns (B, win_h, 128) float32 packed values: reverse-z depth with
-    the low ID_BITS mantissa bits replaced by the triangle-in-cluster
-    index (0 = background/no hit). The triangle loop unrolls into one
-    fused elementwise chain — XLA keeps the accumulator in
-    registers/VMEM between triangles, HBM sees only the final windows."""
-    t = zrec.shape[0]
-    ncl = t // cs
-    ntri = cs if eval_tris is None else min(eval_tris, cs)
-    rec = zrec.reshape(ncl, cs, ZREC)[:, :ntri][owner]    # (B, ntri, ZREC)
+def _eval_block(rec, owner, meta, *, win_h, ntri, cs, viewport, id_base=0):
+    """Elementwise window evaluation for one block of windows.
+    rec (b, ntri, ZREC); owner/meta (b,). Returns (b, win_h, 128)."""
     col = meta // 2048
     wy = meta % 2048
     px = (col[:, None, None] * WIN_W +
           jax.lax.broadcasted_iota(jnp.int32, (1, 1, WIN_W), 2)
-          ).astype(jnp.float32) + 0.5                     # (B, 1, 128)
+          ).astype(jnp.float32) + 0.5                     # (b, 1, 128)
     py = (wy[:, None, None] +
           jax.lax.broadcasted_iota(jnp.int32, (1, win_h, 1), 1)
-          ).astype(jnp.float32) + 0.5                     # (B, win_h, 1)
+          ).astype(jnp.float32) + 0.5                     # (b, win_h, 1)
     if viewport is not None:
         vx0, vy0, vx1, vy1 = viewport
         gate = (px >= vx0) & (px < vx1) & (py >= vy0) & (py < vy1)
     else:
-        # invalid windows are beyond the valid prefix the composite
-        # walks, so no per-pixel wvalid gate is needed
         gate = None
-    assert cs <= (1 << ID_BITS), "cluster size exceeds packed id bits"
-    del wvalid
     acc = jnp.zeros((owner.shape[0], win_h, WIN_W), jnp.float32)
     for s in range(ntri):
         def d(k):
@@ -156,12 +142,93 @@ def eval_windows(zrec, cs: int, owner, meta, wvalid, *, win_h,
             ok = ok & gate
         # slot 12 holds the GLOBAL tri id (survives per-cluster
         # compaction); pack its cluster-local part into the mantissa
-        lid = (rec[:, s, 12].astype(jnp.int32) - owner * cs) & ID_MASK
+        lid = (rec[:, s, 12].astype(jnp.int32) - id_base - owner * cs) & \
+            ID_MASK
         zi = jax.lax.bitcast_convert_type(z, jnp.int32)
         packed = jax.lax.bitcast_convert_type(
             (zi & ~ID_MASK) | lid[:, None, None], jnp.float32)
         acc = jnp.maximum(acc, jnp.where(ok, packed, 0.0))
     return acc
+
+
+def eval_windows(zrec, cs: int, owner, meta, wvalid, *, win_h,
+                 viewport=None, eval_tris=None, chunk=4096, id_base=0):
+    """Evaluate cluster triangles over their windows (pure XLA).
+
+    Returns (B, win_h, 128) float32 packed values: reverse-z depth with
+    the low ID_BITS mantissa bits replaced by the triangle-in-cluster
+    index (0 = background/no hit). The budget B is a CAPACITY, not a
+    cost: valid windows form a prefix, and a `fori_loop` with a dynamic
+    trip count evaluates `chunk` windows per iteration — compute tracks
+    the actual window count, only memory scales with the budget."""
+    t = zrec.shape[0]
+    ncl = t // cs
+    ntri = cs if eval_tris is None else min(eval_tris, cs)
+    assert cs <= (1 << ID_BITS), "cluster size exceeds packed id bits"
+    recs = zrec.reshape(ncl, cs, ZREC)[:, :ntri]
+    b = owner.shape[0]
+    if b <= chunk:
+        return _eval_block(recs[owner], owner, meta, win_h=win_h,
+                           ntri=ntri, cs=cs, viewport=viewport,
+                           id_base=id_base)
+    bpad = (b + chunk - 1) // chunk * chunk
+    if bpad != b:
+        owner = jnp.pad(owner, (0, bpad - b))
+        meta = jnp.pad(meta, (0, bpad - b))
+        wvalid = jnp.pad(wvalid, (0, bpad - b))
+    nwin = jnp.sum(wvalid.astype(jnp.int32))
+    nch = (nwin + chunk - 1) // chunk
+    out = jnp.zeros((bpad, win_h, WIN_W), jnp.float32)
+
+    def body(c, out):
+        o = jax.lax.dynamic_slice(owner, (c * chunk,), (chunk,))
+        m = jax.lax.dynamic_slice(meta, (c * chunk,), (chunk,))
+        acc = _eval_block(recs[o], o, m, win_h=win_h, ntri=ntri, cs=cs,
+                          viewport=viewport, id_base=id_base)
+        return jax.lax.dynamic_update_slice(out, acc, (c * chunk, 0, 0))
+
+    out = jax.lax.fori_loop(0, nch, body, out)
+    return out[:b]
+
+
+def coarse_min_depth(depth, cell_h=16, cell_w=64):
+    """Min-pool the (packed) reverse-z depth to a coarse grid — the hi-z
+    pyramid level used for occlusion tests (ref: the downsample-depth
+    pass of bevy_render/src/occlusion_culling + meshlet's hi-z)."""
+    h, w = depth.shape
+    hp = (h + cell_h - 1) // cell_h * cell_h
+    wp = (w + cell_w - 1) // cell_w * cell_w
+    if (hp, wp) != (h, w):
+        depth = jnp.pad(depth, ((0, hp - h), (0, wp - w)),
+                        constant_values=0.0)
+    return depth.reshape(hp // cell_h, cell_h, wp // cell_w, cell_w
+                         ).min((1, 3))
+
+
+def occlusion_test(aabb, zmax, coarse, cell_h=16, cell_w=64, max_span=4):
+    """Conservative per-cluster occlusion: occluded iff EVERY coarse
+    cell the AABB touches holds depth nearer than the cluster's nearest
+    bound. Clusters spanning more than max_span cells per axis are kept
+    (sampling can't cover them conservatively — they're rare and near).
+    Returns (NCL,) bool."""
+    nch, ncw = coarse.shape
+    x0, y0, x1, y1 = aabb[:, 0], aabb[:, 1], aabb[:, 2], aabb[:, 3]
+    cx0 = jnp.floor(x0 / cell_w).astype(jnp.int32)
+    cx1 = jnp.floor((x1 - 1e-3) / cell_w).astype(jnp.int32)
+    cy0 = jnp.floor(y0 / cell_h).astype(jnp.int32)
+    cy1 = jnp.floor((y1 - 1e-3) / cell_h).astype(jnp.int32)
+    spanx = cx1 - cx0 + 1
+    spany = cy1 - cy0 + 1
+    small = (spanx <= max_span) & (spany <= max_span)
+    m = jnp.full(aabb.shape[0], 3.4e38, jnp.float32)
+    for dy in range(max_span):
+        for dx in range(max_span):
+            cyy = jnp.clip(cy0 + dy, 0, nch - 1)
+            cxx = jnp.clip(cx0 + dx, 0, ncw - 1)
+            cell = coarse[cyy, cxx]
+            use = (dy < spany) & (dx < spanx)
+            m = jnp.minimum(m, jnp.where(use, cell, 3.4e38))
+    return small & (zmax < m)
 
 
 def _composite_kernel(nwin_ref, meta_hbm, win_hbm, dep_hbm, winid_hbm,

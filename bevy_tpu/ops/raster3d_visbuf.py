@@ -61,7 +61,8 @@ def _pad_to(x, m):
 
 
 def pack_planes_h(cc, cn, valid, width, height, viewport=None,
-                  materials=None, cuv=None, tex_rect=None, build_srec=True):
+                  materials=None, cuv=None, tex_rect=None, build_srec=True,
+                  id_base=0):
     """Homogeneous (clipless) triangle setup.
 
     cc: (T, 3, 4) clip-space corner positions; cn: (T, 3, 3) per-corner
@@ -121,7 +122,11 @@ def pack_planes_h(cc, cn, valid, width, height, viewport=None,
 
     z_plane = combo(z)
     iw_plane = combo(jnp.ones_like(z))
-    tri_id = jnp.where(valid, jnp.arange(t, dtype=jnp.float32), -1.0)
+    # id_base offsets ids when multiple packs share one winner/record
+    # space (the two occlusion phases)
+    tri_id = jnp.where(valid,
+                       jnp.arange(t, dtype=jnp.float32) + float(id_base),
+                       -1.0)
 
     # per-tri conservative screen AABB (full viewport for near-straddlers)
     eps = 1e-6

@@ -223,7 +223,7 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                    depth_only=False, cluster_size=12, win_h=32,
                    window_budget=65536, eval_tris=None, corner_uv=None,
                    uvr_i=None, atlas=None, visible_budget=65536,
-                   flat_ok=False):
+                   flat_ok=False, vis_state=None, phase_budget=16384):
     """Visibility-buffer raster of one uniform batch (ref: bevy meshlet sw
     raster, bevy_pbr/src/meshlet/ — cluster cull → visbuffer → material
     resolve). clip (Ni, VC, 4) clip-space positions, nrm (Ni, VC, 3) world
@@ -240,8 +240,8 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
     import numpy as _np
 
     from bevy_tpu.ops.raster3d_splat import (
-        build_windows, compact_cluster_tris, composite_windows,
-        eval_windows)
+        build_windows, coarse_min_depth, compact_cluster_tris,
+        composite_windows, eval_windows, occlusion_test)
     from bevy_tpu.ops.raster3d_visbuf import (
         bin_clusters, build_cluster_meta, cluster_records,
         cluster_screen_aabbs, pack_flat_shade, pack_planes_h,
@@ -285,97 +285,133 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         cc, cl_ok, jnp.ones((ni * tcp,), bool), cs, width, height,
         viewport=viewport)
     n_cl = ni * cc_num
-    kvis = min(visible_budget, n_cl)
-    vis_order = jnp.argsort(~cl_valid, stable=True)
-    vis_ids = vis_order[:kvis]
-    vvalid = cl_valid[vis_ids]
-    stats.pair_overflow = stats.pair_overflow + jnp.maximum(
-        jnp.sum(cl_valid.astype(jnp.int32)) - kvis, 0)
-    inst_v = vis_ids // cc_num                       # cluster → instance
-    cmesh_v = vis_ids % cc_num                       # cluster-in-mesh
-    tv = kvis * cs
-    cc_v = cc.reshape(n_cl, cs, 3, 4)[vis_ids].reshape(tv, 3, 4)
-    cn_v = cn.reshape(n_cl, cs, 3, 3)[vis_ids].reshape(tv, 3, 3)
-    tri_ok_v = jnp.broadcast_to(vvalid[:, None], (kvis, cs)).reshape(tv)
-
-    if depth_only:
-        mat_tri = None
-    else:
+    aabb_all, zmax_all = aabb, zmax
+    # flat-shading fast path: identical corner normals per tri + no
+    # texture/G-buffer need — shade once per triangle, 8-wide resolve
+    flat = bool(flat_ok) and not deferred and not depth_only and \
+        corner_uv is None
+    if not depth_only:
         mat_inst = jnp.concatenate(
             [col_i, emi_i, _col(met_i, 0.0), _col(rgh_i, 0.5)], axis=1)
-        mat_tri = jnp.broadcast_to(mat_inst[inst_v][:, None, :],
-                                   (kvis, cs, 9)).reshape(tv, 9)
-    cuv = rect_tri = None
     if corner_uv is not None and uvr_i is not None and not depth_only:
-        # corner UVs are instance-independent (static mesh data); the
-        # per-instance atlas sub-rect comes from the material columns
-        # (ref: base_color_texture + the mesh's ATTRIBUTE_UV_0)
         cuv_static = jnp.asarray(_np.concatenate(
             [_np.asarray(corner_uv, _np.float32),
              _np.zeros((tcp - tc0, 3, 2), _np.float32)], 0))
-        cuv = cuv_static.reshape(cc_num, cs, 3, 2)[cmesh_v].reshape(
-            tv, 3, 2)
-        rect_tri = jnp.broadcast_to(uvr_i[inst_v][:, None, :],
-                                    (kvis, cs, 4)).reshape(tv, 4)
-    # flat-shading fast path: identical corner normals per tri + no
-    # texture/G-buffer need — shade once per triangle, 8-wide resolve
-    flat = bool(flat_ok) and not deferred and not depth_only and cuv is None
-    zrec, srec, valid = pack_planes_h(cc_v, cn_v, tri_ok_v, width, height,
-                                      viewport=viewport, materials=mat_tri,
-                                      cuv=cuv, tex_rect=rect_tri,
-                                      build_srec=not flat)
-    if flat:
-        flat_rec = pack_flat_shade(cn_v, mat_tri, light_vec, valid)
-    aabb = aabb[vis_ids]
-    zmax = zmax[vis_ids]
-    # -- window splat: every visible cluster decomposes to ≤ max_blocks
-    #    aligned block windows (vector-parallel XLA eval, no binning
-    #    sort). Two height classes keep far instances on half-size
-    #    windows (the footprint median is well under win_h rows).
-    zrec_c, _ = compact_cluster_tris(zrec, cs)
-    h_px = aabb[:, 3] - aabb[:, 1]
-    half_h = max(win_h // 2, 8)
-    classes = ((half_h, h_px <= half_h - 1.0),
-               (win_h, h_px > half_h - 1.0))
+    else:
+        cuv_static = None
+    cc_cl = cc.reshape(n_cl, cs, 3, 4)
+    cn_cl = cn.reshape(n_cl, cs, 3, 3)
+
+    def run_phase(sel, k, cluster_base, depth, winner):
+        """Select ≤k nearest clusters from `sel`, pack their planes with
+        ids offset by cluster_base, and splat them (window classes +
+        streaming-kernel fallback). Returns (depth, winner, srec_or_None,
+        flat_rec_or_None)."""
+        key = jnp.where(sel, 1.0 - zmax_all, 3.4e38)      # nearest first
+        ids = jnp.argsort(key)[:k]
+        v = sel[ids]
+        stats.pair_overflow = stats.pair_overflow + jnp.maximum(
+            jnp.sum(sel.astype(jnp.int32)) - k, 0)
+        inst_v = ids // cc_num                       # cluster → instance
+        cmesh_v = ids % cc_num                       # cluster-in-mesh
+        tv = k * cs
+        cc_v = cc_cl[ids].reshape(tv, 3, 4)
+        cn_v = cn_cl[ids].reshape(tv, 3, 3)
+        tri_ok_v = jnp.broadcast_to(v[:, None], (k, cs)).reshape(tv)
+        if depth_only:
+            mat_tri = None
+        else:
+            mat_tri = jnp.broadcast_to(mat_inst[inst_v][:, None, :],
+                                       (k, cs, 9)).reshape(tv, 9)
+        if cuv_static is not None:
+            cuv = cuv_static.reshape(cc_num, cs, 3, 2)[cmesh_v].reshape(
+                tv, 3, 2)
+            rect_tri = jnp.broadcast_to(uvr_i[inst_v][:, None, :],
+                                        (k, cs, 4)).reshape(tv, 4)
+        else:
+            cuv = rect_tri = None
+        id_base = cluster_base * cs
+        zrec, srec, valid = pack_planes_h(
+            cc_v, cn_v, tri_ok_v, width, height, viewport=viewport,
+            materials=mat_tri, cuv=cuv, tex_rect=rect_tri,
+            build_srec=not flat and not depth_only, id_base=id_base)
+        frec = pack_flat_shade(cn_v, mat_tri, light_vec, valid) \
+            if flat else None
+        zrec_c, _ = compact_cluster_tris(zrec, cs)
+        aabb_p = aabb_all[ids]
+        zmax_p = zmax_all[ids]
+        # window classes: half-height windows for small footprints
+        h_px = aabb_p[:, 3] - aabb_p[:, 1]
+        half_h = max(win_h // 2, 8)
+        classes = ((half_h, h_px <= half_h - 1.0),
+                   (win_h, h_px > half_h - 1.0))
+        wbudget = min(window_budget // 2, 4 * k + 64)
+        wbudget = (wbudget + 7) // 8 * 8
+        fallback = None
+        for class_h, cmask in classes:
+            wins = build_windows(aabb_p, v & cmask, win_h=class_h,
+                                 width=width, height=height,
+                                 budget=wbudget)
+            windows = eval_windows(zrec_c, cs, wins["owner"],
+                                   wins["meta"], wins["wvalid"],
+                                   win_h=class_h, viewport=viewport,
+                                   eval_tris=eval_tris, id_base=id_base)
+            depth, winner = composite_windows(
+                depth, winner, windows, wins["owner"] + cluster_base,
+                wins["meta"], wins["wvalid"], win_h=class_h, cs=cs,
+                interpret=interpret)
+            stats.pair_overflow = stats.pair_overflow + wins["overflow"]
+            fallback = wins["fallback"] if fallback is None else \
+                (fallback | wins["fallback"])
+        # fallback: giant footprints + near-plane straddlers through the
+        # binned streaming tile kernel (rare; ids in zrec are global)
+        hp_t = (height + tile_h - 1) // tile_h
+        wp_t = (width + tile_w - 1) // tile_w
+        budget = max(8192, k // 8) + hp_t * wp_t + 1024
+        max_cl = max(256, max_per_tile // cs)
+        qz = jnp.clip((1.0 - zmax_p) * 65535.0, 0, 65535).astype(jnp.int32)
+        cl_table, cl_counts, st = bin_clusters(
+            aabb_p, fallback, ntx=wp_t, nty=hp_t, tile_w=tile_w,
+            tile_h=tile_h, max_clusters_per_tile=max_cl,
+            pair_budget=budget, order_key=qz)
+        meta = build_cluster_meta(cl_table, zmax_p)
+        recs = tile_chunk_records(cluster_records(zrec, cs), cl_table)
+        depth, winner = raster_visbuf(
+            depth, winner, recs, meta, cl_counts, scissor=viewport,
+            tile_h=tile_h, tile_w=tile_w, cs=cs, interpret=interpret)
+        stats.pair_overflow = stats.pair_overflow + st["pair_overflow"]
+        stats.tile_overflow = stats.tile_overflow + st["tile_overflow"]
+        return depth, winner, srec, frec
+
     winner = jnp.full_like(target.depth, -1.0)
     depth = target.depth
-    fallback = None
-    wbudget = min(window_budget // 2, 4 * kvis + 64)
-    wbudget = (wbudget + 7) // 8 * 8
-    for class_h, cmask in classes:
-        wins = build_windows(aabb, vvalid & cmask, win_h=class_h,
-                             width=width, height=height, budget=wbudget)
-        windows = eval_windows(zrec_c, cs, wins["owner"], wins["meta"],
-                               wins["wvalid"], win_h=class_h,
-                               viewport=viewport, eval_tris=eval_tris)
-        depth, winner = composite_windows(
-            depth, winner, windows, wins["owner"], wins["meta"],
-            wins["wvalid"], win_h=class_h, cs=cs, interpret=interpret)
-        stats.pair_overflow = stats.pair_overflow + wins["overflow"]
-        fallback = wins["fallback"] if fallback is None else \
-            (fallback | wins["fallback"])
-    # -- fallback: giant footprints + near-plane straddlers through the
-    #    binned streaming tile kernel (rare)
-    hp_t = (height + tile_h - 1) // tile_h
-    wp_t = (width + tile_w - 1) // tile_w
-    budget = max(8192, kvis // 8) + hp_t * wp_t + 1024
-    max_cl = max(256, max_per_tile // cs)
-    # front-to-back in-tile order: the hi-z kernel stops at the first
-    # occluded cluster (reverse-z: larger = nearer, so ascending (1-z))
-    qz = jnp.clip((1.0 - zmax) * 65535.0, 0, 65535).astype(jnp.int32)
-    cl_table, cl_counts, st = bin_clusters(
-        aabb, fallback, ntx=wp_t, nty=hp_t, tile_w=tile_w,
-        tile_h=tile_h, max_clusters_per_tile=max_cl, pair_budget=budget,
-        order_key=qz)
-    meta = build_cluster_meta(cl_table, zmax)
-    recs = tile_chunk_records(cluster_records(zrec, cs), cl_table)
-    depth, winner = raster_visbuf(
-        depth, winner, recs, meta, cl_counts,
-        scissor=viewport, tile_h=tile_h, tile_w=tile_w, cs=cs,
-        interpret=interpret)
+    two_phase = vis_state is not None and not depth_only
+    if two_phase:
+        # -- two-phase occlusion culling (ref: bevy meshlet's two-pass
+        #    cull + the occlusion_culling types of bevy_render): phase 1
+        #    renders last frame's visible set nearest-first; its hi-z
+        #    then culls the remainder; phase 2 renders the survivors;
+        #    the final hi-z becomes next frame's visibility mask
+        k1 = min(phase_budget, n_cl)
+        k2 = min(phase_budget, n_cl)
+        prev = vis_state["mask"]
+        depth, winner, srec1, frec1 = run_phase(
+            cl_valid & prev, k1, 0, depth, winner)
+        coarse = coarse_min_depth(depth)
+        occ = occlusion_test(aabb_all, zmax_all, coarse)
+        depth, winner, srec2, frec2 = run_phase(
+            cl_valid & ~prev & ~occ, k2, k1, depth, winner)
+        srec = None if srec1 is None else jnp.concatenate([srec1, srec2])
+        flat_rec = None if frec1 is None else \
+            jnp.concatenate([frec1, frec2])
+        coarse2 = coarse_min_depth(depth)
+        vis_state["mask"] = cl_valid & \
+            ~occlusion_test(aabb_all, zmax_all, coarse2)
+    else:
+        kvis = min(visible_budget, n_cl)
+        depth, winner, srec, flat_rec = run_phase(cl_valid, kvis, 0,
+                                                  depth, winner)
     target.depth = depth
-    stats.pair_overflow = stats.pair_overflow + st["pair_overflow"]
-    stats.tile_overflow = stats.tile_overflow + st["tile_overflow"]
     if depth_only:
         return
     win_i = winner.astype(jnp.int32)
@@ -486,7 +522,8 @@ def raster_batched_legacy(clip, nrm, triangles, inst_ok, col_i, emi_i,
 def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                    pairs_per_tri=2, max_per_tile=256, backend="auto",
                    deferred=False, win_h=32, window_budget=65536,
-                   eval_tris=None, visible_budget=65536):
+                   eval_tris=None, visible_budget=65536,
+                   occlusion_cull=False, phase_budget=16384):
     from bevy_tpu.transform import GlobalTransform
 
     if backend == "auto":
@@ -507,8 +544,9 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                   exp=Res(EXPANSION),
                   matlas=Res("mesh_atlas"),
                   target=ResMut(RenderTarget.RESOURCE),
+                  vism=ResMut("mesh_vis"),
                   stats=ResMut("render_stats")):
-        def render_view(ci, has_cam):
+        def render_view(ci, has_cam, view_idx):
             cam_gt = cam.global_transform
             # viewport pixel rect + aspect from this camera's rect
             # fractions; full-frame single-camera apps keep viewport=None so
@@ -546,7 +584,7 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                 # depth buffer (ref: queue_material_meshes per-pipeline bins)
                 lv = directional_light_vec(light, amb)
                 has_tex = getattr(plugin, "_has_atlas", False)
-                for grp in groups:
+                for gi, grp in enumerate(groups):
                     m = plugin.pool.meshes[grp["mesh"]]
                     vc = m.num_vertices
                     rows = jnp.asarray(grp["rows"])
@@ -576,6 +614,11 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         np.asarray(m.triangles, np.int64)]
                     flat_ok = bool(np.all(nrm_np[:, 0] == nrm_np[:, 1]) and
                                    np.all(nrm_np[:, 0] == nrm_np[:, 2]))
+                    # two-phase occlusion: per (group, view) persistent
+                    # visibility mask (ref: meshlet second-pass state)
+                    vkey = f"g{gi}v{view_idx}"
+                    vs = {"mask": getattr(vism, vkey)} \
+                        if occlusion_cull and hasattr(vism, vkey) else None
                     raster_batched(
                         clip, nrm, m.triangles, q.mask[rows] & has_cam & vis,
                         q.mesh_material.base_color[rows],
@@ -590,7 +633,10 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         window_budget=window_budget, eval_tris=eval_tris,
                         corner_uv=cuv, uvr_i=uvr, visible_budget=visible_budget,
                         atlas=matlas.data if has_tex else None,
-                        flat_ok=flat_ok)
+                        flat_ok=flat_ok, vis_state=vs,
+                        phase_budget=phase_budget)
+                    if vs is not None:
+                        setattr(vism, vkey, vs["mask"])
                 return
             uni = plugin._uniform if plugin is not None else None
             if uni is not None:
@@ -698,10 +744,10 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
             okey = jnp.where(cam.mask, cam.camera3d.order, jnp.int32(2 ** 30))
             cam_rows = jnp.argsort(okey)
             for k in range(n_cams):
-                render_view(cam_rows[k], cam.mask[cam_rows[k]])
+                render_view(cam_rows[k], cam.mask[cam_rows[k]], k)
         else:
             ci0, has0 = pick_camera(cam.mask)
-            render_view(ci0, has0)
+            render_view(ci0, has0, 0)
 
     return mesh_pass
 
@@ -714,7 +760,8 @@ class Mesh3dPlugin(Plugin):
     def __init__(self, pool: MeshPool = None, tile_h=32, tile_w=128,
                  pairs_per_tri=2, max_per_tile=256, backend="auto",
                  deferred=False, win_h=32, window_budget=65536,
-                 eval_tris=None, atlas=None, visible_budget=65536):
+                 eval_tris=None, atlas=None, visible_budget=65536,
+                 occlusion_cull=False, phase_budget=16384):
         self.pool = pool or MeshPool()
         self._uniform = None
         self._groups = None
@@ -728,7 +775,9 @@ class Mesh3dPlugin(Plugin):
                         max_per_tile=max_per_tile, backend=backend,
                         deferred=deferred, win_h=win_h,
                         window_budget=window_budget, eval_tris=eval_tris,
-                        visible_budget=visible_budget)
+                        visible_budget=visible_budget,
+                        occlusion_cull=occlusion_cull,
+                        phase_budget=phase_budget)
 
     def build(self, app):
         from bevy_tpu.render.plugin import RenderPlugin
@@ -758,6 +807,19 @@ class Mesh3dPlugin(Plugin):
                 data = jnp.zeros((1, 1, 4), jnp.float32)
             world.state["res"]["mesh_atlas"] = {"data": data}
             _rebuild_expansion(world, pool_host, plugin)
+            # persistent per-(group, view) cluster visibility masks for
+            # the two-phase occlusion cull (init all-visible: frame 1
+            # renders everything, later frames converge to the true set)
+            vis = {}
+            if plugin.cfg.get("occlusion_cull", False):
+                n_views = max(1, getattr(plugin, "_num_cameras", 1))
+                for gi, grp in enumerate(plugin._groups or []):
+                    m = pool_host.meshes[grp["mesh"]]
+                    tcp = (m.num_triangles + 11) // 12 * 12
+                    n_cl = max(1, len(grp["rows"])) * (tcp // 12)
+                    for v in range(n_views):
+                        vis[f"g{gi}v{v}"] = jnp.ones(n_cl, bool)
+            world.state["res"]["mesh_vis"] = vis
 
         app.add_prepare_hook(finish_pool)
         # opaque 3D draws in PASS_SET; 2D overlay composes later (set order)

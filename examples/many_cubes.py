@@ -51,7 +51,7 @@ def orbit_camera(q=Query(Transform, With(Camera3d)), time=Res(Time)):
 
 def build_app(n_cubes=160_000, width=1280, height=720, capacity=None,
               max_per_tile=3072, pairs_per_tri=2, backend="auto",
-              tile_h=16, tile_w=128, window_budget=81920,
+              tile_h=16, tile_w=128, window_budget=131072,
               eval_tris=8) -> App:
     cap = capacity or 1
     while cap < n_cubes + 8:
