@@ -62,7 +62,7 @@ def _pad_to(x, m):
 
 def pack_planes_h(cc, cn, valid, width, height, viewport=None,
                   materials=None, cuv=None, tex_rect=None, build_srec=True,
-                  id_base=0):
+                  id_base=0, tangents=None, nm_rect=None):
     """Homogeneous (clipless) triangle setup.
 
     cc: (T, 3, 4) clip-space corner positions; cn: (T, 3, 3) per-corner
@@ -158,10 +158,16 @@ def pack_planes_h(cc, cn, valid, width, height, viewport=None,
                 combo(cuv[:, :, 0]), combo(cuv[:, :, 1]), tex_rect], 1)
         else:
             uv_part = jnp.zeros((t, 10), jnp.float32)
+        if tangents is not None and nm_rect is not None:
+            # per-tri world tangent + normal-map atlas rect (ref:
+            # StandardMaterial normal_map_texture + mesh tangents)
+            nm_part = jnp.concatenate([tangents, nm_rect], 1)   # (T, 7)
+        else:
+            nm_part = jnp.zeros((t, 7), jnp.float32)
         srec = jnp.concatenate([
             iw_plane, combo(cn[:, :, 0]), combo(cn[:, :, 1]),
-            combo(cn[:, :, 2]), materials, uv_part,
-            jnp.zeros((t, SREC - 31), jnp.float32)], 1)
+            combo(cn[:, :, 2]), materials, uv_part, nm_part,
+            jnp.zeros((t, SREC - 38), jnp.float32)], 1)
     else:
         srec = None      # flat-shading path builds 8-wide records instead
     return zrec, srec, valid
@@ -530,18 +536,37 @@ def resolve_shade(winner, srec, atlas=None):
     if atlas is not None:
         u = (rec[..., 21] * px + rec[..., 22] * py + rec[..., 23]) / iw
         v = (rec[..., 24] * px + rec[..., 25] * py + rec[..., 26]) / iw
-        r0u, r0v = rec[..., 27], rec[..., 28]
-        r1u, r1v = rec[..., 29], rec[..., 30]
-        textured = (r1u > r0u) & ok
         # REPEAT wrap inside the sub-rect (glTF default sampler)
         fu = u - jnp.floor(u)
         fv = v - jnp.floor(v)
+        r0u, r0v = rec[..., 27], rec[..., 28]
+        r1u, r1v = rec[..., 29], rec[..., 30]
+        textured = (r1u > r0u) & ok
         au = r0u + fu * (r1u - r0u)
         av = r0v + fv * (r1v - r0v)
         texel = sample_atlas(atlas, jnp.stack([au, av], -1))
         base = jnp.where(textured[..., None],
                          mat[..., 0:4] * texel, mat[..., 0:4])
         mat = jnp.concatenate([base, mat[..., 4:]], -1)
+        # normal mapping: tangent-space texel through the per-tri TBN
+        # (ref: pbr_functions.wesl apply_normal_mapping)
+        n0u, n0v = rec[..., 34], rec[..., 35]
+        n1u, n1v = rec[..., 36], rec[..., 37]
+        has_nm = (n1u > n0u) & ok
+        nu = n0u + fu * (n1u - n0u)
+        nv = n0v + fv * (n1v - n0v)
+        ntex = sample_atlas(atlas, jnp.stack([nu, nv], -1))[..., :3] * \
+            2.0 - 1.0
+        tang = rec[..., 31:34]
+        tang = tang - n * jnp.sum(tang * n, -1, keepdims=True)
+        tang = tang * jax.lax.rsqrt(jnp.maximum(
+            jnp.sum(tang * tang, -1, keepdims=True), 1e-12))
+        bitan = jnp.cross(n, tang)
+        nmapped = (tang * ntex[..., 0:1] + bitan * ntex[..., 1:2] +
+                   n * ntex[..., 2:3])
+        nmapped = nmapped * jax.lax.rsqrt(jnp.maximum(
+            jnp.sum(nmapped * nmapped, -1, keepdims=True), 1e-12))
+        n = jnp.where(has_nm[..., None], nmapped, n)
     return n, mat, ok
 
 

@@ -56,6 +56,8 @@ class MeshMaterial:
     perceptual_roughness = field((), jnp.float32, default=0.5)
     uv_min = field(2)
     uv_max = field(2)
+    nm_min = field(2)       # normal-map atlas rect (equal = no map)
+    nm_max = field(2)
 
 
 @component
@@ -223,7 +225,8 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                    depth_only=False, cluster_size=12, win_h=32,
                    window_budget=65536, eval_tris=None, corner_uv=None,
                    uvr_i=None, atlas=None, visible_budget=65536,
-                   flat_ok=False, vis_state=None, phase_budget=16384):
+                   flat_ok=False, vis_state=None, phase_budget=16384,
+                   tan_i=None, nmr_i=None):
     """Visibility-buffer raster of one uniform batch (ref: bevy meshlet sw
     raster, bevy_pbr/src/meshlet/ — cluster cull → visbuffer → material
     resolve). clip (Ni, VC, 4) clip-space positions, nrm (Ni, VC, 3) world
@@ -302,16 +305,26 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
     cc_cl = cc.reshape(n_cl, cs, 3, 4)
     cn_cl = cn.reshape(n_cl, cs, 3, 3)
 
-    def run_phase(sel, k, cluster_base, depth, winner):
-        """Select ≤k nearest clusters from `sel`, pack their planes with
-        ids offset by cluster_base, and splat them (window classes +
-        streaming-kernel fallback). Returns (depth, winner, srec_or_None,
-        flat_rec_or_None)."""
-        key = jnp.where(sel, 1.0 - zmax_all, 3.4e38)      # nearest first
-        ids = jnp.argsort(key)[:k]
-        v = sel[ids]
+    def run_phase(sel, k, cluster_base, depth, winner, order="index"):
+        """Select ≤k clusters from `sel`, pack their planes with ids
+        offset by cluster_base, and splat them (window classes +
+        streaming-kernel fallback). order="near" sorts nearest-first so
+        overflow degrades gracefully (two-phase); "index" compacts with
+        a sort-free cumsum scatter. Returns (depth, winner,
+        srec_or_None, flat_rec_or_None)."""
+        nsel = jnp.sum(sel.astype(jnp.int32))
+        if order == "near":
+            key = jnp.where(sel, 1.0 - zmax_all, 3.4e38)  # nearest first
+            ids = jnp.argsort(key)[:k]
+            v = sel[ids]
+        else:
+            pos = jnp.cumsum(sel.astype(jnp.int32)) - 1
+            tgt = jnp.where(sel & (pos < k), pos, k)
+            ids = jnp.zeros(k + 1, jnp.int32).at[tgt].set(
+                jnp.arange(n_cl, dtype=jnp.int32), mode="drop")[:k]
+            v = jnp.arange(k, dtype=jnp.int32) < nsel
         stats.pair_overflow = stats.pair_overflow + jnp.maximum(
-            jnp.sum(sel.astype(jnp.int32)) - k, 0)
+            nsel - k, 0)
         inst_v = ids // cc_num                       # cluster → instance
         cmesh_v = ids % cc_num                       # cluster-in-mesh
         tv = k * cs
@@ -330,11 +343,18 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                                         (k, cs, 4)).reshape(tv, 4)
         else:
             cuv = rect_tri = None
+        if tan_i is not None and nmr_i is not None and cuv is not None:
+            tan_tri = tan_i.reshape(n_cl, cs, 3)[ids].reshape(tv, 3)
+            nm_tri = jnp.broadcast_to(nmr_i[inst_v][:, None, :],
+                                      (k, cs, 4)).reshape(tv, 4)
+        else:
+            tan_tri = nm_tri = None
         id_base = cluster_base * cs
         zrec, srec, valid = pack_planes_h(
             cc_v, cn_v, tri_ok_v, width, height, viewport=viewport,
             materials=mat_tri, cuv=cuv, tex_rect=rect_tri,
-            build_srec=not flat and not depth_only, id_base=id_base)
+            build_srec=not flat and not depth_only, id_base=id_base,
+            tangents=tan_tri, nm_rect=nm_tri)
         frec = pack_flat_shade(cn_v, mat_tri, light_vec, valid) \
             if flat else None
         zrec_c, _ = compact_cluster_tris(zrec, cs)
@@ -396,11 +416,11 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         k2 = min(phase_budget, n_cl)
         prev = vis_state["mask"]
         depth, winner, srec1, frec1 = run_phase(
-            cl_valid & prev, k1, 0, depth, winner)
+            cl_valid & prev, k1, 0, depth, winner, order="near")
         coarse = coarse_min_depth(depth)
         occ = occlusion_test(aabb_all, zmax_all, coarse)
         depth, winner, srec2, frec2 = run_phase(
-            cl_valid & ~prev & ~occ, k2, k1, depth, winner)
+            cl_valid & ~prev & ~occ, k2, k1, depth, winner, order="near")
         srec = None if srec1 is None else jnp.concatenate([srec1, srec2])
         flat_rec = None if frec1 is None else \
             jnp.concatenate([frec1, frec2])
@@ -605,8 +625,18 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                              q.mesh_material.uv_max[rows]], 1)
                         cuv = np.asarray(m.uvs, np.float32)[
                             np.asarray(m.triangles, np.int64)]
+                        nmr = jnp.concatenate(
+                            [q.mesh_material.nm_min[rows],
+                             q.mesh_material.nm_max[rows]], 1)
+                        # mesh-space per-tri tangents rotate with the
+                        # instance exactly like normals
+                        tcp_m = (m.num_triangles + 11) // 12 * 12
+                        tan_l = np.zeros((tcp_m, 3), np.float32)
+                        tan_l[:m.num_triangles] = m.tri_tangents()
+                        tan = quat_rotate_vec3(gt_r[:, None, :],
+                                               jnp.asarray(tan_l)[None])
                     else:
-                        uvr = cuv = None
+                        uvr = cuv = nmr = tan = None
                     # static flat-mesh detection: identical corner
                     # normals per tri ⇒ Gouraud == flat EXACTLY, so the
                     # narrow flat-shade resolve is image-identical
@@ -634,7 +664,7 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         corner_uv=cuv, uvr_i=uvr, visible_budget=visible_budget,
                         atlas=matlas.data if has_tex else None,
                         flat_ok=flat_ok, vis_state=vs,
-                        phase_budget=phase_budget)
+                        phase_budget=phase_budget, tan_i=tan, nmr_i=nmr)
                     if vs is not None:
                         setattr(vism, vkey, vs["mask"])
                 return
