@@ -44,6 +44,7 @@ class SpotLight:
     range = field((), jnp.float32, default=20.0)
     inner_angle = field((), jnp.float32, default=0.3)
     outer_angle = field((), jnp.float32, default=0.5)
+    shadows = field((), jnp.int32)   # 1 = shadow-casting (SpotShadowPlugin)
 
 
 @system(name="clear_gbuffer")
@@ -114,7 +115,10 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
             records = jnp.concatenate([p_rec, s_rec])
             pos = jnp.concatenate([p_pos, s_pos])
             rng = jnp.concatenate([p_rng, s_rng])
-            lmask = jnp.concatenate([plight.mask, slight.mask])
+            # shadow-casting spots shade in the XLA pass of
+            # SpotShadowPlugin instead of the binned kernel
+            s_mask = slight.mask & (slight.spot_light.shadows == 0)
+            lmask = jnp.concatenate([plight.mask, s_mask])
         else:
             records = jnp.concatenate([
                 p_pos, p_col, p_rng[:, None], jnp.zeros((np_, 1))], axis=1)

@@ -70,6 +70,14 @@ class ScrollPosition:
     offset = field(2)
 
 
+@component
+class TextInputSlot:
+    """One glyph slot of a text input (ref: ui_widgets text_input —
+    glyphs update in-jit from a host-edited code array, like DigitText)."""
+    slot = field((), jnp.int32)
+    input_id = field((), jnp.int32)
+
+
 class Style:
     """Host-side node style (ref: bevy_ui Node fields / taffy style).
 
@@ -160,7 +168,7 @@ class UiPlugin(Plugin):
     def build(self, app):
         self.app = app
         for c in (UiNode, Interaction, Checked, SliderValue, ScrollPosition,
-                  Sprite):
+                  TextInputSlot, Sprite):
             app.world.register_component(c)
         # scroll baking: row arrays rebuilt by _layout; the systems read
         # them at trace time (structure change → re-layout → retrace)
@@ -170,7 +178,14 @@ class UiPlugin(Plugin):
         self._clip_rect = np.zeros((0, 4), np.float32)   # x0, y0, x1, y1
         self._scroll_rows = np.zeros(0, np.int32)
         self._scroll_max = np.zeros(0, np.float32)
+        # text input + focus (host-side editing; see text_input)
+        self._text_inputs = []
+        self.focus = None            # focused text-input id
+        self._rects = {}             # row → (x, y, w, h) from layout
+        self._prev_keys = None
+        self._prev_mouse = False
         app.add_prepare_hook(lambda world: self._layout(world))
+        app.add_frame_hook(_ui_host_tick_for(self))
         app.add_systems(PreUpdate, make_interaction_system(
             self.width, self.height))
         app.add_systems(Update, _checkbox_system,
@@ -228,6 +243,37 @@ class UiPlugin(Plugin):
         return self.spawn_node(
             world, style, parent, interactive=True,
             extra_components=[ScrollPosition(offset=(0.0, 0.0))])
+
+    def text_input(self, world, style: Style, font, parent=None,
+                   text="", max_len=24, on_submit=None):
+        """Editable single-line text field (ref: ui_widgets text input).
+        Click focuses; typing edits host-side; glyphs update in-jit
+        through a frame-input code array (no retrace per keystroke);
+        Enter fires on_submit(value); Tab cycles focus."""
+        from bevy_tpu.render.sprite import Sprite as _Sprite
+        from bevy_tpu.transform import GlobalTransform as _GT
+        from bevy_tpu.transform import Transform as _T
+
+        row = self.spawn_node(world, style, parent, interactive=True)
+        iid = len(self._text_inputs)
+        cw = font.char_w
+        ch = font.char_h
+        glyphs = []
+        for s in range(max_len):
+            e = world.spawn(
+                _Sprite(size=(cw, ch), color=(1, 1, 1, 0)),
+                TextInputSlot(slot=s, input_id=iid),
+                _T(), _GT())
+            glyphs.append(e.index if hasattr(e, "index") else e)
+        ti = {"id": iid, "row": row, "glyphs": glyphs, "max_len": max_len,
+              "value": text, "on_submit": on_submit, "font": font}
+        self._text_inputs.append(ti)
+        res = f"ui_text{iid}"
+        self.app.register_frame_input(
+            res, np.zeros(max_len, np.int32),
+            lambda ti=ti: _codes_of(ti, self))
+        self.app.add_systems(Update, make_text_slot_system(font, iid, res))
+        return row
 
     # -- layout (host, ref position: ui_layout_system) -------------------
     def _layout(self, world):
@@ -294,6 +340,21 @@ class UiPlugin(Plugin):
         self._scroll_rows = np.asarray(scroll_rows, np.int32)
         self._scroll_max = np.asarray(scroll_max_v, np.float32)
 
+        # place text-input glyph slots inside their nodes (monospace)
+        from bevy_tpu.transform import GlobalTransform as _GT
+        from bevy_tpu.transform import Transform as _T
+        for ti in self._text_inputs:
+            rect = self._rects.get(ti["row"])
+            if rect is None:
+                continue
+            x, y, w, h = rect
+            cw = ti["font"].char_w
+            gy = self.height / 2 - (y + h / 2)
+            for s, grow in enumerate(ti["glyphs"]):
+                gx = (x + 4 + s * cw + cw / 2) - self.width / 2
+                world.insert(grow, _T(translation=(gx, gy, 52.0)),
+                             _GT(translation=(gx, gy, 52.0)))
+
     def _write(self, world, node: _Node, x, y, w, h):
         s = node.style
         wx = x + w / 2 - self.width / 2
@@ -304,6 +365,7 @@ class UiPlugin(Plugin):
             depth += 1
             a = a.parent
         z = 50.0 + 0.1 * depth        # children draw over parents
+        self._rects[node.row] = (x, y, w, h)
         world.insert(node.row,
                      Transform(translation=(wx, wy, z)),
                      GlobalTransform(translation=(wx, wy, z)),
@@ -313,6 +375,109 @@ class UiPlugin(Plugin):
         world.insert(node.row, ComponentInstance(spec, {
             "size": np.asarray([w, h], np.float32),
             "color": np.asarray(s.background, np.float32)}))
+
+
+def _codes_of(ti, plugin):
+    """Frame-input callback: ASCII codes of the value (+ '_' cursor when
+    focused), zero-padded to max_len."""
+    txt = ti["value"]
+    if plugin.focus == ti["id"] and len(txt) < ti["max_len"]:
+        txt = txt + "_"
+    codes = np.zeros(ti["max_len"], np.int32)
+    for i, ch in enumerate(txt[:ti["max_len"]]):
+        codes[i] = ord(ch)
+    return codes
+
+
+def make_text_slot_system(font, input_id, res_name):
+    """In-jit glyph update for one text input (the DigitText pattern)."""
+    import string
+
+    chars = [chr(c) for c in range(32, 127)]
+    uv0 = np.stack([font.handles.get(c, font.handles["?"])["uv_min"]
+                    for c in chars])
+    uv1 = np.stack([font.handles.get(c, font.handles["?"])["uv_max"]
+                    for c in chars])
+    tex = font.handles["M"]["tex"]
+    del string
+
+    @system(name=f"ui_text_slots_{input_id}")
+    def ui_text_slots(q=Query(Sprite, TextInputSlot),
+                      fin=Res("frame_input")):
+        codes = jnp.asarray(getattr(fin, res_name))
+        mine = q.mask & (q.text_input_slot.input_id == input_id)
+        code = codes[jnp.clip(q.text_input_slot.slot, 0,
+                              codes.shape[0] - 1)]
+        gi = jnp.clip(code - 32, 0, len(chars) - 1)
+        u0 = jnp.asarray(uv0, jnp.float32)[gi]
+        u1 = jnp.asarray(uv1, jnp.float32)[gi]
+        q.sprite.uv_min = jnp.where(mine[:, None], u0, q.sprite.uv_min)
+        q.sprite.uv_max = jnp.where(mine[:, None], u1, q.sprite.uv_max)
+        q.sprite.tex = jnp.where(mine, tex, q.sprite.tex)
+        alpha = jnp.where(code > 32, 1.0, 0.0)
+        q.sprite.color = jnp.where(
+            mine[:, None], q.sprite.color.at[:, 3].set(alpha),
+            q.sprite.color)
+
+    return ui_text_slots
+
+
+# host-side key → char (KeyCode indices; see bevy_tpu.input.KeyCode)
+_KEY_CHARS = {i: chr(ord("a") + i) for i in range(26)}
+_KEY_CHARS.update({26 + d: str(d) for d in range(10)})
+_SHIFT_DIGITS = {26: ")", 27: "!", 28: "@", 29: "#", 30: "$", 31: "%",
+                 32: "^", 33: "&", 34: "*", 35: "("}
+
+
+def _ui_host_tick_for(plugin):
+    """Per-frame host hook: focus management (click hit-test against the
+    solved layout rects, Tab cycling) + keystroke editing for the
+    focused text input (ref: bevy_input_focus + ui_widgets text input)."""
+    from bevy_tpu.input import KeyCode
+
+    def tick(app):
+        inp = getattr(app, "input", None)
+        if inp is None or not plugin._text_inputs:
+            return
+        keys = np.asarray(inp.keys, bool)
+        prev = plugin._prev_keys if plugin._prev_keys is not None \
+            else np.zeros_like(keys)
+        just = keys & ~prev
+        plugin._prev_keys = keys.copy()
+        mdown = bool(inp.mouse_buttons[0])
+        mjust = mdown and not plugin._prev_mouse
+        plugin._prev_mouse = mdown
+        if mjust:
+            mx, my = float(inp.mouse_pos[0]), float(inp.mouse_pos[1])
+            plugin.focus = None
+            for ti in plugin._text_inputs:
+                r = plugin._rects.get(ti["row"])
+                if r and r[0] <= mx <= r[0] + r[2] and \
+                        r[1] <= my <= r[1] + r[3]:
+                    plugin.focus = ti["id"]
+        if just[KeyCode.Tab] and plugin._text_inputs:
+            cur = plugin.focus if plugin.focus is not None else -1
+            plugin.focus = (cur + 1) % len(plugin._text_inputs)
+        if plugin.focus is None:
+            return
+        ti = plugin._text_inputs[plugin.focus]
+        shift = bool(keys[KeyCode.ShiftLeft] or keys[KeyCode.ShiftRight])
+        for k in np.where(just)[0]:
+            k = int(k)
+            if k == KeyCode.Backspace:
+                ti["value"] = ti["value"][:-1]
+            elif k == KeyCode.Enter:
+                if ti["on_submit"]:
+                    ti["on_submit"](ti["value"])
+            elif k == KeyCode.Space:
+                ti["value"] += " "
+            elif k in _KEY_CHARS and len(ti["value"]) < ti["max_len"] - 1:
+                ch = _KEY_CHARS[k]
+                if shift:
+                    ch = _SHIFT_DIGITS.get(k, ch.upper())
+                ti["value"] += ch
+
+    return tick
 
 
 def make_interaction_system(width, height):
