@@ -191,6 +191,120 @@ def eval_windows(zrec, cs: int, owner, meta, wvalid, *, win_h,
     return out[:b]
 
 
+def eval_oit_windows(zrec, frec, cs: int, owner, meta, wvalid, depth, *,
+                     win_h, eval_tris=None, chunk=2048, id_base=0):
+    """Weighted-blended OIT window evaluation (ref: bevy_core_pipeline's
+    OIT — `src/oit/`; McGuire-Bavoil weighted blended transparency,
+    which is order-independent and therefore sort-free, the TPU fit).
+
+    zrec: packed planes; frec (T, 8): flat lit rgb + alpha (slot 3);
+    depth (H, W): the OPAQUE reverse-z buffer — transparent fragments
+    count only where nearer. Returns (B, 5, win_h, 128): accumulated
+    [w*r, w*g, w*b, w, revealage] per window (revealage multiplies)."""
+    t = zrec.shape[0]
+    ncl = t // cs
+    ntri = cs if eval_tris is None else min(eval_tris, cs)
+    recs = zrec.reshape(ncl, cs, ZREC)[:, :ntri]
+    cols = frec.reshape(ncl, cs, 8)[:, :ntri, :4]
+    h, w = depth.shape
+    ncols_fb = (w + WIN_W - 1) // WIN_W
+    dep_pad = jnp.pad(depth, ((0, win_h), (0, ncols_fb * WIN_W - w)),
+                      constant_values=3.4e38)
+
+    def block(rec, col4, owner_b, meta_b):
+        b = owner_b.shape[0]
+        colk = meta_b // 2048
+        wy = meta_b % 2048
+        px = (colk[:, None, None] * WIN_W +
+              jax.lax.broadcasted_iota(jnp.int32, (1, 1, WIN_W), 2)
+              ).astype(jnp.float32) + 0.5
+        py = (wy[:, None, None] +
+              jax.lax.broadcasted_iota(jnp.int32, (1, win_h, 1), 1)
+              ).astype(jnp.float32) + 0.5
+        rows = wy[:, None, None] + jax.lax.broadcasted_iota(
+            jnp.int32, (1, win_h, 1), 1)
+        ccols = colk[:, None, None] * WIN_W + jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, WIN_W), 2)
+        dep_w = dep_pad[rows, ccols]                 # (b, win_h, 128)
+        acc = jnp.zeros((b, 4, win_h, WIN_W), jnp.float32)
+        reveal = jnp.ones((b, win_h, WIN_W), jnp.float32)
+        for s in range(ntri):
+            def d(k):
+                return rec[:, s, k][:, None, None]
+            emax = jnp.maximum(jnp.maximum(
+                d(0) * px + d(1) * py + d(2),
+                d(3) * px + d(4) * py + d(5)),
+                d(6) * px + d(7) * py + d(8))
+            z = d(9) * px + d(10) * py + d(11)
+            cover = (jnp.maximum(emax, -z) < 0) & (z > dep_w)
+            a = col4[:, s, 3][:, None, None] * cover.astype(jnp.float32)
+            # z-aware weight: nearer (larger reverse-z) counts more
+            wz = a * (0.1 + z * z * 10.0)
+            acc = acc.at[:, 0].add(col4[:, s, 0][:, None, None] * wz)
+            acc = acc.at[:, 1].add(col4[:, s, 1][:, None, None] * wz)
+            acc = acc.at[:, 2].add(col4[:, s, 2][:, None, None] * wz)
+            acc = acc.at[:, 3].add(wz)
+            reveal = reveal * (1.0 - a)
+        return jnp.concatenate([acc, reveal[:, None]], 1)
+
+    b = owner.shape[0]
+    if b <= chunk:
+        return block(recs[owner], cols[owner], owner, meta)
+    bpad = (b + chunk - 1) // chunk * chunk
+    owner = jnp.pad(owner, (0, bpad - b))
+    meta = jnp.pad(meta, (0, bpad - b))
+    wvalid_p = jnp.pad(wvalid, (0, bpad - b))
+    nch = (jnp.sum(wvalid_p.astype(jnp.int32)) + chunk - 1) // chunk
+    out = jnp.zeros((bpad, 5, win_h, WIN_W), jnp.float32)
+    out = out.at[:, 4].set(1.0)
+
+    def body(c, out):
+        o = jax.lax.dynamic_slice(owner, (c * chunk,), (chunk,))
+        m = jax.lax.dynamic_slice(meta, (c * chunk,), (chunk,))
+        res = block(recs[o], cols[o], o, m)
+        return jax.lax.dynamic_update_slice(out, res, (c * chunk, 0, 0, 0))
+
+    return jax.lax.fori_loop(0, nch, body, out)[:b]
+
+
+def accumulate_oit(oit, windows, meta, wvalid):
+    """Merge OIT windows into the (5, H, W) accumulation buffer
+    (sequential XLA read-modify-write per window — transparent window
+    counts are small, so no kernel needed)."""
+    _, h, w = oit.shape
+    ncols = (w + WIN_W - 1) // WIN_W
+    wp = ncols * WIN_W
+    win_h = windows.shape[2]
+    oit_p = jnp.pad(oit, ((0, 0), (0, win_h), (0, wp - w)))
+    nwin = jnp.sum(wvalid.astype(jnp.int32))
+
+    def body(i, buf):
+        m = meta[i]
+        colk = m // 2048
+        y0 = m % 2048
+        x0 = colk * WIN_W
+        cur = jax.lax.dynamic_slice(buf, (0, y0, x0), (5, win_h, WIN_W))
+        wnd = windows[i]
+        new = jnp.concatenate([cur[:4] + wnd[:4],
+                               (cur[4] * wnd[4])[None]], 0)
+        return jax.lax.dynamic_update_slice(buf, new, (0, y0, x0))
+
+    oit_p = jax.lax.fori_loop(0, nwin, body, oit_p)
+    return oit_p[:, :h, :w]
+
+
+def oit_blend(color, oit):
+    """Composite the OIT accumulation over the opaque color (ref: the
+    oit resolve pass). color (4, H, W); oit (5, H, W)."""
+    accum = oit[:3]
+    total_w = oit[3]
+    reveal = jnp.clip(oit[4], 0.0, 1.0)
+    avg = accum / jnp.maximum(total_w, 1e-6)[None]
+    alpha_vis = 1.0 - reveal
+    rgb = avg * alpha_vis[None] + color[:3] * reveal[None]
+    return jnp.concatenate([rgb, color[3:4]], 0)
+
+
 def coarse_min_depth(depth, cell_h=16, cell_w=64):
     """Min-pool the (packed) reverse-z depth to a coarse grid — the hi-z
     pyramid level used for occlusion tests (ref: the downsample-depth

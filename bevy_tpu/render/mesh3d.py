@@ -103,10 +103,21 @@ def _rebuild_expansion(world, pool_host, plugin):
     # group instances per mesh: each group renders as a uniform batch
     # (zero per-vertex gathers); mixed-mesh scenes become a few batches
     # (ref: the per-pipeline bins of queue_material_meshes)
-    plugin._groups = [
-        {"rows": rows[mesh_ids == mid].astype(np.int32), "mesh": int(mid)}
-        for mid in np.unique(mesh_ids)
-    ]
+    # opaque/transparent split by material alpha (host snapshot; the
+    # phase split is structural — alpha edits re-split at next prepare,
+    # ref position: the per-frame queue split into Opaque3d/Transparent3d)
+    if len(rows):
+        alpha = np.asarray(jax.device_get(
+            world.column(MeshMaterial, "base_color")))[:, 3]
+    else:
+        alpha = np.zeros(0, np.float32)
+    plugin._groups = []
+    for mid in np.unique(mesh_ids):
+        grows = rows[mesh_ids == mid].astype(np.int32)
+        ga = alpha[grows]
+        plugin._groups.append({
+            "rows": grows, "mesh": int(mid),
+            "rows_o": grows[ga >= 0.999], "rows_t": grows[ga < 0.999]})
     plugin._uniform = plugin._groups[0] if len(plugin._groups) == 1 else None
     if plugin._groups and getattr(plugin, "_resolved_backend", "pallas") == "pallas":
         # pallas renders per-group uniform batches; the expanded tables are
@@ -445,6 +456,73 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                                        atlas=atlas)
 
 
+def raster_transparent(clip, nrm, triangles, inst_ok, col_i, emi_i,
+                       light_vec, depth, oit, *, width, height, win_h=32,
+                       window_budget=8192, visible_budget=8192,
+                       cluster_size=12, viewport=None):
+    """Weighted-blended OIT pass for transparent instances (ref: the
+    Transparent3d phase + bevy_core_pipeline/src/oit — order-independent
+    so no per-pixel sort). Flat per-tri Lambert shading; fragments test
+    against (but never write) the opaque depth. Returns (oit, overflow)."""
+    import numpy as _np
+
+    from bevy_tpu.ops.raster3d_splat import (
+        accumulate_oit, build_windows, eval_oit_windows)
+    from bevy_tpu.ops.raster3d_visbuf import (
+        cluster_screen_aabbs, pack_flat_shade, pack_planes_h)
+
+    ni, vc = clip.shape[0], clip.shape[1]
+    cs = cluster_size
+    tc0 = int(triangles.shape[0])
+    tcp = (tc0 + cs - 1) // cs * cs
+    tris = _np.zeros((tcp, 3), _np.int32)
+    tris[:tc0] = _np.asarray(triangles, _np.int32)
+    cc_num = tcp // cs
+    t = ni * tcp
+    quant = jnp.concatenate([jnp.moveaxis(clip, -1, 1),
+                             jnp.moveaxis(nrm, -1, 1)], axis=1)
+    onehot = _np.zeros((vc, tcp * 3), _np.float32)
+    for ti in range(tcp):
+        for k in range(3):
+            onehot[int(tris[ti, k]), ti * 3 + k] = 1.0
+    corners = jnp.einsum("nqv,vc->nqc", quant, jnp.asarray(onehot))
+    corners = corners.reshape(ni, 7, tcp, 3)
+    cc = jnp.moveaxis(corners[:, 0:4], 1, -1).reshape(t, 3, 4)
+    cn = jnp.moveaxis(corners[:, 4:7], 1, -1).reshape(t, 3, 3)
+    cl_ok = jnp.broadcast_to(inst_ok[:, None], (ni, cc_num)).reshape(ni * cc_num)
+    aabb, cl_valid, zmax = cluster_screen_aabbs(
+        cc, cl_ok, jnp.ones((t,), bool), cs, width, height,
+        viewport=viewport)
+    n_cl = ni * cc_num
+    k = min(visible_budget, n_cl)
+    pos = jnp.cumsum(cl_valid.astype(jnp.int32)) - 1
+    tgt = jnp.where(cl_valid & (pos < k), pos, k)
+    ids = jnp.zeros(k + 1, jnp.int32).at[tgt].set(
+        jnp.arange(n_cl, dtype=jnp.int32), mode="drop")[:k]
+    v = jnp.arange(k, dtype=jnp.int32) < jnp.sum(cl_valid.astype(jnp.int32))
+    overflow = jnp.maximum(jnp.sum(cl_valid.astype(jnp.int32)) - k, 0)
+    inst_v = ids // cc_num
+    tv = k * cs
+    cc_v = cc.reshape(n_cl, cs, 3, 4)[ids].reshape(tv, 3, 4)
+    cn_v = cn.reshape(n_cl, cs, 3, 3)[ids].reshape(tv, 3, 3)
+    tri_ok_v = jnp.broadcast_to(v[:, None], (k, cs)).reshape(tv)
+    mat_inst = jnp.concatenate(
+        [col_i, emi_i, jnp.zeros((ni, 2), jnp.float32)], axis=1)
+    mat_tri = jnp.broadcast_to(mat_inst[inst_v][:, None, :],
+                               (k, cs, 9)).reshape(tv, 9)
+    zrec, _, valid = pack_planes_h(cc_v, cn_v, tri_ok_v, width, height,
+                                   viewport=viewport, build_srec=False)
+    frec = pack_flat_shade(cn_v, mat_tri, light_vec, valid)
+    wb = (min(window_budget, 4 * k + 64) + 7) // 8 * 8
+    wins = build_windows(aabb[ids], v, win_h=win_h, width=width,
+                         height=height, budget=wb)
+    windows = eval_oit_windows(zrec, frec, cs, wins["owner"],
+                               wins["meta"], wins["wvalid"], depth,
+                               win_h=win_h)
+    oit = accumulate_oit(oit, windows, wins["meta"], wins["wvalid"])
+    return oit, overflow + wins["overflow"]
+
+
 def raster_batched_legacy(clip, nrm, triangles, inst_ok, col_i, emi_i,
                           light_vec, target, stats, *, width, height,
                           tile_h, tile_w, pairs_per_tri, max_per_tile,
@@ -607,7 +685,10 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                 for gi, grp in enumerate(groups):
                     m = plugin.pool.meshes[grp["mesh"]]
                     vc = m.num_vertices
-                    rows = jnp.asarray(grp["rows"])
+                    rows_np = grp.get("rows_o", grp["rows"])
+                    if len(rows_np) == 0:
+                        continue
+                    rows = jnp.asarray(rows_np)
                     gt_r = q.global_transform.rotation[rows]
                     mats = trs_to_mat4(TRS(
                         translation=q.global_transform.translation[rows],
@@ -667,6 +748,40 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         phase_budget=phase_budget, tan_i=tan, nmr_i=nmr)
                     if vs is not None:
                         setattr(vism, vkey, vs["mask"])
+                # transparent phase: weighted-blended OIT over the opaque
+                # result (forward path; ref: Transparent3d + oit/)
+                t_groups = [g for g in groups if len(g.get("rows_t", []))]
+                if t_groups and not deferred:
+                    from bevy_tpu.ops.raster3d_splat import oit_blend
+                    oit = jnp.zeros((5, height, width), jnp.float32)
+                    oit = oit.at[4].set(1.0)
+                    for grp in t_groups:
+                        m = plugin.pool.meshes[grp["mesh"]]
+                        vc = m.num_vertices
+                        rows = jnp.asarray(grp["rows_t"])
+                        gt_r = q.global_transform.rotation[rows]
+                        mats = trs_to_mat4(TRS(
+                            translation=q.global_transform.translation[rows],
+                            rotation=gt_r,
+                            scale=q.global_transform.scale[rows]))
+                        mvp = jnp.einsum("ij,njk->nik", vp, mats)
+                        ph = jnp.concatenate(
+                            [jnp.asarray(m.positions),
+                             jnp.ones((vc, 1), jnp.float32)], 1)
+                        clip = jnp.einsum("nij,vj->nvi", mvp, ph)
+                        nrm = quat_rotate_vec3(gt_r[:, None, :],
+                                               jnp.asarray(m.normals)[None])
+                        vis = visrow[rows]
+                        oit, tovf = raster_transparent(
+                            clip, nrm, m.triangles,
+                            q.mask[rows] & has_cam & vis,
+                            q.mesh_material.base_color[rows],
+                            q.mesh_material.emissive[rows],
+                            lv, target.depth, oit, width=width,
+                            height=height, win_h=win_h,
+                            viewport=viewport)
+                        stats.pair_overflow = stats.pair_overflow + tovf
+                    target.color = oit_blend(target.color, oit)
                 return
             uni = plugin._uniform if plugin is not None else None
             if uni is not None:
