@@ -92,7 +92,10 @@ class RemoteServer:
             return {"methods": ["world.query", "world.get_components",
                                 "world.insert_components",
                                 "world.spawn_entity", "world.despawn_entity",
-                                "world.list_components", "rpc.discover"]}
+                                "world.reparent_entities",
+                                "world.watch_components",
+                                "world.list_components",
+                                "registry.schemas", "rpc.discover"]}
         if method == "world.list_components":
             return sorted(world.specs.keys())
         if method == "world.query":
@@ -134,6 +137,49 @@ class RemoteServer:
         if method == "world.despawn_entity":
             return self._on_main(
                 lambda: bool(self.app.world.despawn(int(params["entity"]))))
+        if method == "world.reparent_entities":
+            def do():
+                from bevy_tpu.transform import set_parent
+                parent = int(params["parent"])
+                for child in params["entities"]:
+                    set_parent(self.app.world, int(child), parent)
+                return True
+            return self._on_main(do)
+        if method == "world.watch_components":
+            # long-poll watch (ref: the +watch streaming variants of
+            # builtin_methods.rs): returns immediately when the caller's
+            # `version` is stale, otherwise blocks until the values
+            # change or `timeout` elapses
+            import hashlib
+            import json as _json
+            import time as _time
+            row = int(params["entity"])
+            comps = params["components"]
+            deadline = _time.monotonic() + float(params.get("timeout", 5.0))
+            last = params.get("version")
+            while True:
+                vals = {c: self._get(world, row, c) for c in comps}
+                ver = hashlib.sha1(
+                    _json.dumps(vals, sort_keys=True).encode()).hexdigest()
+                if ver != last:
+                    return {"components": vals, "version": ver}
+                if _time.monotonic() >= deadline:
+                    return {"components": None, "version": ver}
+                _time.sleep(0.05)
+        if method == "registry.schemas":
+            # JSON-schema-ish export of registered component layouts
+            # (ref: bevy_remote/src/schemas)
+            out = {}
+            for name, spec in sorted(world.specs.items()):
+                fields = {}
+                for fname, fspec in spec.fields.items():
+                    fields[fname] = {
+                        "shape": list(fspec.shape),
+                        "dtype": np.dtype(fspec.dtype).name,
+                        "entity_ref": bool(fspec.entity_ref),
+                    }
+                out[name] = {"fields": fields}
+            return out
         raise ValueError(f"unknown method '{method}'")
 
     @staticmethod

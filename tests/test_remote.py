@@ -77,3 +77,74 @@ def test_brp_query_and_mutation_roundtrip():
     t2.join(timeout=1)
     assert done["despawn"] is True
     assert app.world.entity_count(Hp) == 1
+
+
+def test_brp_watch_and_schemas():
+    app = App(capacity=32)
+    app.add_plugins(TimePlugin(), RemotePlugin(port=0))
+    e = app.world.spawn(Hp(value=1.0))
+    app.update(dt=1 / 60)
+    port = app.remote.port
+    row = e.index if hasattr(e, "index") else e
+
+    # schemas export registered layouts (ref: registry.schemas)
+    sch = _rpc(port, "registry.schemas")["result"]
+    assert sch["hp"]["fields"]["value"]["dtype"] == "float32"
+
+    # first watch returns immediately with a version
+    r1 = _rpc(port, "world.watch_components",
+              {"entity": row, "components": ["hp"], "timeout": 2.0})
+    v1 = r1["result"]["version"]
+    assert r1["result"]["components"]["hp"]["value"] == 1.0
+
+    # unchanged → times out with components None
+    r2 = _rpc(port, "world.watch_components",
+              {"entity": row, "components": ["hp"], "version": v1,
+               "timeout": 0.3})
+    assert r2["result"]["components"] is None
+
+    # change from another thread while a watch blocks
+    def change():
+        time.sleep(0.2)
+        app.world.insert(row, Hp(value=7.0))
+        app.update(dt=1 / 60)
+
+    t = threading.Thread(target=change)
+    t.start()
+    r3 = _rpc(port, "world.watch_components",
+              {"entity": row, "components": ["hp"], "version": v1,
+               "timeout": 5.0})
+    t.join()
+    assert r3["result"]["components"]["hp"]["value"] == 7.0
+    app.remote.shutdown()
+
+
+def test_brp_reparent():
+    from bevy_tpu.transform import ChildOf, TransformPlugin
+    import numpy as np
+
+    app = App(capacity=32)
+    app.add_plugins(TimePlugin(), TransformPlugin(), RemotePlugin(port=0))
+    p = app.world.spawn(Hp())
+    c = app.world.spawn(Hp())
+    app.update(dt=1 / 60)
+    port = app.remote.port
+    prow = p.index if hasattr(p, "index") else p
+    crow = c.index if hasattr(c, "index") else c
+
+    done = {}
+
+    def client():
+        done["r"] = _rpc(port, "world.reparent_entities",
+                         {"parent": prow, "entities": [crow]})
+
+    t = threading.Thread(target=client)
+    t.start()
+    for _ in range(50):
+        app.update(dt=1 / 60)
+        if done:
+            break
+    t.join(timeout=5)
+    assert done["r"]["result"] is True
+    assert int(app.world.get(crow, ChildOf).parent) == prow
+    app.remote.shutdown()

@@ -181,3 +181,23 @@ def test_scroll_area_scrolls_and_clips():
     # first child now partially clipped at the top
     k0 = app.world.get(kids[0], UiNode)
     assert 0.0 < float(np.asarray(k0.size)[1]) < 30.0
+
+
+def test_theme_tokens_and_controls():
+    """ref model: bevy_feathers tokens + themed controls."""
+    from bevy_tpu.ui_theme import DARK_THEME, LIGHT_THEME, Theme
+
+    app = _app()
+    th = Theme()
+    panel = th.panel(app.ui, app.world, 120, 80)
+    btn = th.button(app.ui, app.world, parent=panel)
+    cb = th.checkbox(app.ui, app.world, parent=panel)
+    app.update(dt=1 / 60)
+    from bevy_tpu.render.sprite import Sprite
+    c = app.world.get(btn, Sprite)
+    assert np.allclose(np.asarray(c.color), DARK_THEME["button.bg"],
+                       atol=1e-5)
+    # light theme overrides resolve
+    lt = Theme(LIGHT_THEME)
+    assert lt.color("text") != th.color("text")
+    assert app.world.get(cb, UiNode) is not None
