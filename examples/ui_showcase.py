@@ -1,0 +1,79 @@
+"""UI widget showcase (reference twins: examples/ui/* + the feathers
+widget gallery — themed panel with buttons, checkbox, radio group,
+slider, scroll area and a text input over the native flexbox solver)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bevy_tpu import App
+from bevy_tpu.input import InputPlugin
+from bevy_tpu.render import Camera2d, RenderPlugin, SpritePlugin
+from bevy_tpu.render.plugin import frame_image
+from bevy_tpu.render.text import FontAtlas
+from bevy_tpu.render.texture import AtlasBuilder, TextureAtlas
+from bevy_tpu.time import TimePlugin
+from bevy_tpu.transform import TransformPlugin, transform_bundle
+from bevy_tpu.ui import Style, UiPlugin
+from bevy_tpu.ui_theme import Theme
+
+
+def build_app(width=480, height=320) -> App:
+    app = App(capacity=256)
+    builder = AtlasBuilder(512, 512)
+    font = FontAtlas(builder)
+    app.add_plugins(TimePlugin(), TransformPlugin(), InputPlugin(),
+                    RenderPlugin(width=width, height=height), SpritePlugin(),
+                    UiPlugin(width=width, height=height))
+    app.insert_resource(TextureAtlas.RESOURCE, {"data": builder.build()})
+    app.world.spawn(Camera2d(), *transform_bundle())
+    ui, th = app.ui, Theme()
+    panel = ui.spawn_node(app.world, Style(
+        width=220, height=290, left=12, top=12, padding=10, gap=8,
+        background=th.color("panel.bg")))
+    th.button(ui, app.world, parent=panel, primary=True)
+    th.button(ui, app.world, parent=panel)
+    row = ui.spawn_node(app.world, Style(
+        width=190, height=20, flex_direction="row", gap=8), parent=panel)
+    th.checkbox(ui, app.world, parent=row, checked=True)
+    for k in range(3):
+        ui.radio(app.world, Style(width=16, height=16,
+                                  background=th.color("checkbox.bg")),
+                 group=1, parent=row, checked=(k == 0))
+    th.slider(ui, app.world, parent=panel, value=0.66)
+    th.text_input(ui, app.world, font, parent=panel, text="hello tpu")
+    area = ui.scroll_area(app.world, Style(
+        width=190, height=90, background=th.color("input.bg")),
+        parent=panel)
+    for i in range(7):
+        ui.spawn_node(app.world, Style(
+            width=170, height=22, flex_shrink=0.0,
+            background=(0.2 + 0.08 * i, 0.35, 0.55, 1.0)), parent=area)
+    # grid demo on the right (fr tracks + span)
+    grid = ui.spawn_node(app.world, Style(
+        width=210, height=150, left=250, top=12, display="grid",
+        grid_cols=[(60, 1), (1.0, 3), (1.0, 3)],
+        grid_rows=[(46, 1), (46, 1), (46, 1)], gap=4, padding=4,
+        background=th.color("panel.bg")))
+    for i in range(8):
+        ui.spawn_node(app.world, Style(
+            background=(0.3 + 0.07 * i, 0.5, 0.4, 1.0),
+            grid_col_span=2 if i == 3 else 1), parent=grid)
+    return app
+
+
+def main():
+    import numpy as np
+    from PIL import Image
+
+    app = build_app()
+    app.update(dt=1 / 60)
+    Image.fromarray(np.asarray(frame_image(app))).save("/tmp/ui_showcase.png")
+    print("ui_showcase: rendered → /tmp/ui_showcase.png")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Example smoke tests (ref model: the reference CI's example-run job —
+every example must build and render a frame headless)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+
+
+@pytest.mark.parametrize("name", [
+    "3d_scene", "transparency_3d", "ui_showcase", "post_processing",
+])
+def test_example_renders(name):
+    import importlib
+
+    from bevy_tpu.render.plugin import frame_image
+    mod = importlib.import_module(name)
+    app = mod.build_app(width=256, height=144) \
+        if name != "ui_showcase" else mod.build_app(width=320, height=240)
+    app.update(dt=1 / 60)
+    img = frame_image(app)
+    assert img.shape[-1] == 4
+    bg = img[0, 0].astype(int)
+    cov = np.abs(img.astype(int) - bg).max(-1) > 10
+    assert cov.mean() > 0.01, f"{name}: nothing rendered"
+
+
+def test_pbr_materials_renders():
+    import importlib
+
+    from bevy_tpu.render.plugin import frame_image
+    mod = importlib.import_module("pbr_materials")
+    app = mod.build_app(width=256, height=144, backend="pallas_interpret")
+    app.update(dt=1 / 60)
+    img = frame_image(app)
+    bg = img[0, 0].astype(int)
+    cov = np.abs(img.astype(int) - bg).max(-1) > 10
+    assert cov.mean() > 0.02
+
+
+def test_shadow_showcase_renders():
+    import importlib
+
+    from bevy_tpu.render.plugin import frame_image
+    mod = importlib.import_module("shadow_showcase")
+    app = mod.build_app(width=192, height=108, backend="pallas_interpret")
+    app.update(dt=1 / 60)
+    img = frame_image(app)
+    bg = img[0, 0].astype(int)
+    cov = np.abs(img.astype(int) - bg).max(-1) > 10
+    assert cov.mean() > 0.02
+
+
+def test_scene_tools_runs(capsys):
+    import importlib
+    mod = importlib.import_module("scene_tools")
+    mod.main()
+    out = capsys.readouterr().out
+    assert "entities restored" in out and "skipped" in out
