@@ -592,6 +592,35 @@ def pack_flat_shade(cn, materials, light_vec, valid):
     return jnp.where(valid[:, None], out, 0.0)
 
 
+def pack_flat_gbuf(cn, materials, valid):
+    """Flat-mesh G-buffer records as TWO 8-wide tables (8-wide row
+    gathers are the fast TPU regime; one 16-wide table is not):
+    a = [albedo rgba, normal xyz, pad], b = [emissive rgb, metallic,
+    roughness, pad]."""
+    t = cn.shape[0]
+    n = cn[:, 0]
+    n = n * jax.lax.rsqrt(jnp.maximum(jnp.sum(n * n, -1, keepdims=True),
+                                      1e-12))
+    a = jnp.concatenate([materials[:, 0:4], n,
+                         jnp.zeros((t, 1), jnp.float32)], 1)
+    b = jnp.concatenate([materials[:, 4:9],
+                         jnp.zeros((t, 3), jnp.float32)], 1)
+    gate = valid[:, None]
+    return jnp.where(gate, a, 0.0), jnp.where(gate, b, 0.0)
+
+
+def resolve_gbuf_flat(winner, frec_a, frec_b, gbuf):
+    """G-buffer write from flat records (two 8-wide gathers instead of
+    the 64-wide varying-plane gather — flat meshes have constant per-tri
+    normals, so interpolation is unnecessary)."""
+    ok = winner >= 0
+    idx = jnp.maximum(winner, 0)
+    a = frec_a[idx]                             # (H, W, 8)
+    b = frec_b[idx]
+    planes = jnp.concatenate([a[..., 0:7], b[..., 0:5]], -1)   # 12
+    return jnp.where(ok[None], jnp.moveaxis(planes, -1, 0), gbuf)
+
+
 def resolve_flat(winner, flat_rec, color_planar):
     """Compose per-pixel colors from flat-shade records (one 8-wide row
     gather; winner == -1 keeps the input)."""

@@ -258,9 +258,9 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         composite_windows, eval_windows, occlusion_test)
     from bevy_tpu.ops.raster3d_visbuf import (
         bin_clusters, build_cluster_meta, cluster_records,
-        cluster_screen_aabbs, pack_flat_shade, pack_planes_h,
-        raster_visbuf, resolve_flat, resolve_forward, resolve_gbuf,
-        tile_chunk_records)
+        cluster_screen_aabbs, pack_flat_gbuf, pack_flat_shade,
+        pack_planes_h, raster_visbuf, resolve_flat, resolve_forward,
+        resolve_gbuf, resolve_gbuf_flat, tile_chunk_records)
 
     ni, vc = clip.shape[0], clip.shape[1]
     cs = cluster_size
@@ -300,9 +300,13 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         viewport=viewport)
     n_cl = ni * cc_num
     aabb_all, zmax_all = aabb, zmax
-    # flat-shading fast path: identical corner normals per tri + no
-    # texture/G-buffer need — shade once per triangle, 8-wide resolve
+    # flat-shading fast paths: identical corner normals per tri + no
+    # textures — forward shades once per triangle; deferred writes the
+    # G-buffer from two 8-wide record tables (both skip the 64-wide
+    # varying-plane gather)
     flat = bool(flat_ok) and not deferred and not depth_only and \
+        corner_uv is None
+    flat_def = bool(flat_ok) and deferred and not depth_only and \
         corner_uv is None
     if not depth_only:
         mat_inst = jnp.concatenate(
@@ -364,10 +368,11 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         zrec, srec, valid = pack_planes_h(
             cc_v, cn_v, tri_ok_v, width, height, viewport=viewport,
             materials=mat_tri, cuv=cuv, tex_rect=rect_tri,
-            build_srec=not flat and not depth_only, id_base=id_base,
-            tangents=tan_tri, nm_rect=nm_tri)
+            build_srec=not flat and not flat_def and not depth_only,
+            id_base=id_base, tangents=tan_tri, nm_rect=nm_tri)
         frec = pack_flat_shade(cn_v, mat_tri, light_vec, valid) \
             if flat else None
+        fab = pack_flat_gbuf(cn_v, mat_tri, valid) if flat_def else None
         zrec_c, _ = compact_cluster_tris(zrec, cs)
         aabb_p = aabb_all[ids]
         zmax_p = zmax_all[ids]
@@ -412,7 +417,7 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
             tile_h=tile_h, tile_w=tile_w, cs=cs, interpret=interpret)
         stats.pair_overflow = stats.pair_overflow + st["pair_overflow"]
         stats.tile_overflow = stats.tile_overflow + st["tile_overflow"]
-        return depth, winner, srec, frec
+        return depth, winner, srec, frec, fab
 
     winner = jnp.full_like(target.depth, -1.0)
     depth = target.depth
@@ -426,27 +431,33 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         k1 = min(phase_budget, n_cl)
         k2 = min(phase_budget, n_cl)
         prev = vis_state["mask"]
-        depth, winner, srec1, frec1 = run_phase(
+        depth, winner, srec1, frec1, fab1 = run_phase(
             cl_valid & prev, k1, 0, depth, winner, order="near")
         coarse = coarse_min_depth(depth)
         occ = occlusion_test(aabb_all, zmax_all, coarse)
-        depth, winner, srec2, frec2 = run_phase(
+        depth, winner, srec2, frec2, fab2 = run_phase(
             cl_valid & ~prev & ~occ, k2, k1, depth, winner, order="near")
         srec = None if srec1 is None else jnp.concatenate([srec1, srec2])
         flat_rec = None if frec1 is None else \
             jnp.concatenate([frec1, frec2])
+        fab = None if fab1 is None else (
+            jnp.concatenate([fab1[0], fab2[0]]),
+            jnp.concatenate([fab1[1], fab2[1]]))
         coarse2 = coarse_min_depth(depth)
         vis_state["mask"] = cl_valid & \
             ~occlusion_test(aabb_all, zmax_all, coarse2)
     else:
         kvis = min(visible_budget, n_cl)
-        depth, winner, srec, flat_rec = run_phase(cl_valid, kvis, 0,
-                                                  depth, winner)
+        depth, winner, srec, flat_rec, fab = run_phase(cl_valid, kvis, 0,
+                                                       depth, winner)
     target.depth = depth
     if depth_only:
         return
     win_i = winner.astype(jnp.int32)
-    if deferred:
+    if flat_def:
+        target.gbuffer = resolve_gbuf_flat(win_i, fab[0], fab[1],
+                                           target.gbuffer)
+    elif deferred:
         target.gbuffer = resolve_gbuf(win_i, srec, target.gbuffer,
                                       atlas=atlas)
     elif flat:
