@@ -64,6 +64,7 @@ class InputState:
         self.scroll = np.zeros(2, np.float32)
         self.gamepad_axes = np.zeros(NUM_GAMEPAD_AXES, np.float32)
         self.gamepad_buttons = np.zeros(NUM_GAMEPAD_BUTTONS, bool)
+        self.pending_rumble = []   # drained by a host gamepad driver
 
     # -- the API a host driver / test calls between frames ---------------
     def press(self, key):
@@ -84,6 +85,14 @@ class InputState:
 
     def set_axis(self, axis, value):
         self.gamepad_axes[axis] = value
+
+    def rumble(self, strength=1.0, duration=0.25, gamepad=0):
+        """Queue a force-feedback pulse (ref: bevy_gilrs rumble —
+        GamepadRumbleRequest). Headless hosts record it; a real gamepad
+        driver drains `pending_rumble`."""
+        self.pending_rumble.append(
+            {"gamepad": int(gamepad), "strength": float(strength),
+             "duration": float(duration)})
 
     def wheel(self, dx=0.0, dy=0.0):
         """Set this frame's scroll-wheel delta (sticky until changed;

@@ -71,6 +71,15 @@ class ScrollPosition:
 
 
 @component
+class VirtualListRow:
+    """One recycled row of a virtual list (ref: ui_widgets virtual
+    list — a fixed set of row entities windows over a large logical
+    list; contents reindex in-jit from the scroll offset)."""
+    slot = field((), jnp.int32)
+    list_id = field((), jnp.int32)
+
+
+@component
 class TextInputSlot:
     """One glyph slot of a text input (ref: ui_widgets text_input —
     glyphs update in-jit from a host-edited code array, like DigitText)."""
@@ -168,7 +177,7 @@ class UiPlugin(Plugin):
     def build(self, app):
         self.app = app
         for c in (UiNode, Interaction, Checked, SliderValue, ScrollPosition,
-                  TextInputSlot, Sprite):
+                  TextInputSlot, VirtualListRow, Sprite):
             app.world.register_component(c)
         # scroll baking: row arrays rebuilt by _layout; the systems read
         # them at trace time (structure change → re-layout → retrace)
@@ -180,6 +189,8 @@ class UiPlugin(Plugin):
         self._scroll_max = np.zeros(0, np.float32)
         # text input + focus (host-side editing; see text_input)
         self._text_inputs = []
+        self._virtual_lists = []
+        self._next_list_id = 0
         self.focus = None            # focused text-input id
         self._rects = {}             # row → (x, y, w, h) from layout
         self._prev_keys = None
@@ -243,6 +254,38 @@ class UiPlugin(Plugin):
         return self.spawn_node(
             world, style, parent, interactive=True,
             extra_components=[ScrollPosition(offset=(0.0, 0.0))])
+
+    def virtual_list(self, world, style: Style, item_colors, row_height,
+                     parent=None, visible_rows=None):
+        """Virtual list: a fixed set of recycled row entities windowing
+        a large (M, 4) color array; the wheel scrolls the window by
+        reindexing in-jit — no structural change however long the list
+        (ref: bevy_ui_widgets virtual list)."""
+        style.overflow = "scroll"
+        h = style.height if isinstance(style.height, (int, float)) else 100
+        vis = visible_rows or max(int(h // row_height), 1)
+        data = jnp.asarray(np.asarray(item_colors, np.float32))
+        m = data.shape[0]
+        area = self.spawn_node(
+            world, style, parent, interactive=True,
+            extra_components=[ScrollPosition(offset=(0.0, 0.0))])
+        lid = self._next_list_id
+        self._next_list_id += 1
+        rows = []
+        for s in range(vis):
+            rows.append(self.spawn_node(
+                world, Style(height=row_height - 2, flex_shrink=0.0,
+                             background=(0.5, 0.5, 0.5, 1.0)),
+                parent=area))
+            world.insert(rows[-1], VirtualListRow(slot=s, list_id=lid))
+        # logical length drives the scroll clamp (content taller than
+        # the viewport by (m - vis) rows)
+        self._virtual_lists.append(
+            {"id": lid, "area": area, "rows": rows,
+             "row_h": float(row_height), "m": int(m)})
+        self.app.add_systems(Update, make_virtual_list_system(
+            self, lid, data, float(row_height)))
+        return area
 
     def text_input(self, world, style: Style, font, parent=None,
                    text="", max_len=24, on_submit=None):
@@ -308,6 +351,7 @@ class UiPlugin(Plugin):
         # and the (static) clip rect in centered-world coordinates
         clip_rows, clip_anchor, clip_base, clip_rect = [], [], [], []
         scroll_rows, scroll_max_v = [], []
+        vl_areas = {vl["area"] for vl in self._virtual_lists}
         for i, n in enumerate(nodes):
             x, y, w, h = rects[i]
             self._write(world, n, x, y, w, h)
@@ -321,7 +365,10 @@ class UiPlugin(Plugin):
                 ai = index[id(a)]
                 if a.style.overflow in ("clip", "scroll"):
                     ax, ay, aw, ah = rects[ai]
-                    if a.style.overflow == "scroll" and anchor < 0:
+                    # virtual lists reindex content instead of sliding
+                    # their recycled rows — no translate anchor
+                    if a.style.overflow == "scroll" and anchor < 0 and \
+                            a.row not in vl_areas:
                         anchor = a.row
                     r = (ax, ay, ax + aw, ay + ah)
                     clip = r if clip is None else (
@@ -337,6 +384,12 @@ class UiPlugin(Plugin):
         self._clip_anchor = np.asarray(clip_anchor, np.int32)
         self._clip_base = np.asarray(clip_base, np.float32).reshape(-1, 4)
         self._clip_rect = np.asarray(clip_rect, np.float32).reshape(-1, 4)
+        # virtual lists scroll over their LOGICAL length
+        for vl in self._virtual_lists:
+            if vl["area"] in scroll_rows:
+                i = scroll_rows.index(vl["area"])
+                scroll_max_v[i] = max(
+                    vl["m"] - len(vl["rows"]), 0) * vl["row_h"]
         self._scroll_rows = np.asarray(scroll_rows, np.int32)
         self._scroll_max = np.asarray(scroll_max_v, np.float32)
 
@@ -375,6 +428,25 @@ class UiPlugin(Plugin):
         world.insert(node.row, ComponentInstance(spec, {
             "size": np.asarray([w, h], np.float32),
             "color": np.asarray(s.background, np.float32)}))
+
+
+def make_virtual_list_system(plugin, list_id, data, row_h):
+    # reindex recycled rows from the scroll offset (in-jit)
+    m = data.shape[0]
+
+    @system(name=f"ui_virtual_list_{list_id}")
+    def ui_virtual_list(q=Query(Sprite, VirtualListRow),
+                        sc=Query(ScrollPosition)):
+        vl = next(v for v in plugin._virtual_lists if v["id"] == list_id)
+        off = sc.scroll_position.offset[vl["area"], 1]
+        first = jnp.clip((off / row_h).astype(jnp.int32), 0,
+                         max(m - len(vl["rows"]), 0))
+        mine = q.mask & (q.virtual_list_row.list_id == list_id)
+        idx = jnp.clip(first + q.virtual_list_row.slot, 0, m - 1)
+        col = data[idx]
+        q.sprite.color = jnp.where(mine[:, None], col, q.sprite.color)
+
+    return ui_virtual_list
 
 
 def _codes_of(ti, plugin):
@@ -462,6 +534,16 @@ def _ui_host_tick_for(plugin):
             return
         ti = plugin._text_inputs[plugin.focus]
         shift = bool(keys[KeyCode.ShiftLeft] or keys[KeyCode.ShiftRight])
+        ctrl = bool(keys[KeyCode.ControlLeft] or keys[KeyCode.ControlRight])
+        if ctrl and just[KeyCode.KeyV] and hasattr(app, "clipboard"):
+            room = ti["max_len"] - 1 - len(ti["value"])
+            ti["value"] += app.clipboard.get_text()[:max(room, 0)]
+            return
+        if ctrl and just[KeyCode.KeyC] and hasattr(app, "clipboard"):
+            app.clipboard.set_text(ti["value"])
+            return
+        if ctrl:
+            return
         for k in np.where(just)[0]:
             k = int(k)
             if k == KeyCode.Backspace:

@@ -201,3 +201,33 @@ def test_theme_tokens_and_controls():
     lt = Theme(LIGHT_THEME)
     assert lt.color("text") != th.color("text")
     assert app.world.get(cb, UiNode) is not None
+
+
+def test_virtual_list_windows_and_scrolls():
+    """ref model: ui_widgets virtual list — recycled rows window a long
+    logical list; the wheel reindexes without structural change."""
+    import jax
+
+    app = _app()
+    colors = np.zeros((50, 4), np.float32)
+    colors[:, 3] = 1.0
+    colors[:, 0] = np.linspace(0.0, 1.0, 50)      # red ramp by index
+    area = app.ui.virtual_list(app.world, Style(width=80, height=60,
+                                                left=10, top=10),
+                               colors, row_height=20)
+    vl = app.ui._virtual_lists[0]
+    assert len(vl["rows"]) == 3                   # 60 / 20
+    app.update(dt=1 / 60)
+    from bevy_tpu.render.sprite import Sprite
+    r0 = float(np.asarray(jax.device_get(
+        app.world.get(vl["rows"][0], Sprite).color))[0])
+    assert r0 < 0.05                              # shows item 0
+    # scroll 10 rows down
+    app.input.move_to(40.0, 30.0)
+    app.input.wheel(0.0, -10.0)
+    app.update(dt=1 / 60)
+    app.input.wheel(0.0, 0.0)
+    app.update(dt=1 / 60)
+    r0b = float(np.asarray(jax.device_get(
+        app.world.get(vl["rows"][0], Sprite).color))[0])
+    assert r0b > r0 + 0.1, (r0, r0b)              # shows a later item
