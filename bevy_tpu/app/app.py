@@ -449,6 +449,7 @@ class App:
         self.startup()
         self._run_prepare_hooks()
         dt = self._frame_dt() if dt is None else float(dt)
+        self.last_dt = dt          # host frame hooks (audio drain) read this
         order = list(self.main_order)
         for label in (ExtractSchedule, Render):
             if label in self.schedules and label not in order:

@@ -130,12 +130,49 @@ class AudioMixer:
         return np.clip(out, -1.0, 1.0)
 
 
-class AudioPlugin(Plugin):
-    """ref: AudioPlugin — exposes `app.audio` (mixer) and registers the
-    .wav loader with the asset server if present."""
 
-    def __init__(self, sample_rate=44100):
+
+class WavOutput:
+    """Host audio "device": drains the mixer in real-time-sized chunks
+    each frame and writes a 16-bit PCM .wav on save (the headless stand-
+    in for rodio's OutputStream — ref: audio_output.rs)."""
+
+    def __init__(self, path, sample_rate=44100):
+        self.path = path
         self.sample_rate = sample_rate
+        self.chunks = []
+
+    def push(self, samples: np.ndarray):
+        self.chunks.append(np.asarray(samples, np.float32))
+
+    @property
+    def frames_written(self):
+        return sum(len(c) for c in self.chunks)
+
+    def save(self):
+        import struct
+        import wave
+
+        data = (np.clip(np.concatenate(self.chunks) if self.chunks
+                        else np.zeros(1, np.float32), -1, 1)
+                * 32767).astype(np.int16)
+        with wave.open(str(self.path), "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(self.sample_rate)
+            f.writeframes(data.tobytes())
+        return self.path
+
+
+class AudioPlugin(Plugin):
+    """ref: AudioPlugin — exposes `app.audio` (mixer), registers the
+    .wav loader with the asset server if present, and (when `output` is
+    given) drains one frame's worth of mixed samples per update into the
+    output driver — the full decode → mix → device chain, headless."""
+
+    def __init__(self, sample_rate=44100, output=None):
+        self.sample_rate = sample_rate
+        self.output = output
 
     def build(self, app):
         app.audio = AudioMixer(self.sample_rate)
@@ -143,3 +180,12 @@ class AudioPlugin(Plugin):
         if server is not None:
             server.register_loader(
                 ".wav", lambda p: AudioSource.from_wav(p))
+        out = self.output
+        if out is not None:
+            sr = self.sample_rate
+
+            def drain(app_):
+                dt = getattr(app_, "last_dt", 1.0 / 60.0) or 1.0 / 60.0
+                out.push(app_.audio.render(max(int(sr * dt), 1)))
+
+            app.add_frame_hook(drain)
