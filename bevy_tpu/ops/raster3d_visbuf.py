@@ -62,7 +62,7 @@ def _pad_to(x, m):
 
 def pack_planes_h(cc, cn, valid, width, height, viewport=None,
                   materials=None, cuv=None, tex_rect=None, build_srec=True,
-                  id_base=0, tangents=None, nm_rect=None):
+                  id_base=0, tangents=None, nm_rect=None, lm_rect=None):
     """Homogeneous (clipless) triangle setup.
 
     cc: (T, 3, 4) clip-space corner positions; cn: (T, 3, 3) per-corner
@@ -164,10 +164,14 @@ def pack_planes_h(cc, cn, valid, width, height, viewport=None,
             nm_part = jnp.concatenate([tangents, nm_rect], 1)   # (T, 7)
         else:
             nm_part = jnp.zeros((t, 7), jnp.float32)
+        # lightmap atlas rect (ref: bevy_pbr/src/lightmap — per-instance
+        # uv rect; sampled by the mesh UVs at resolve)
+        lm_part = lm_rect if lm_rect is not None else \
+            jnp.zeros((t, 4), jnp.float32)
         srec = jnp.concatenate([
             iw_plane, combo(cn[:, :, 0]), combo(cn[:, :, 1]),
-            combo(cn[:, :, 2]), materials, uv_part, nm_part,
-            jnp.zeros((t, SREC - 38), jnp.float32)], 1)
+            combo(cn[:, :, 2]), materials, uv_part, nm_part, lm_part,
+            jnp.zeros((t, SREC - 42), jnp.float32)], 1)
     else:
         srec = None      # flat-shading path builds 8-wide records instead
     return zrec, srec, valid
@@ -633,13 +637,32 @@ def resolve_flat(winner, flat_rec, color_planar):
 def resolve_forward(winner, srec, light_vec, color_planar, atlas=None):
     """Forward (Lambert directional + ambient) shade of visbuffer winners —
     same lighting as the legacy `_plane_kernel` so images are comparable.
-    color_planar (4, H, W) is composed over (winner == -1 keeps input)."""
+    color_planar (4, H, W) is composed over (winner == -1 keeps input).
+    Lightmapped surfaces (srec slots 38:42 hold an atlas rect) add
+    albedo * lightmap (ref: the lightmap term of pbr shading)."""
     n, mat, ok = resolve_shade(winner, srec, atlas)
     lam = jnp.maximum(0.0, -(n[..., 0] * light_vec[0] +
                              n[..., 1] * light_vec[1] +
                              n[..., 2] * light_vec[2]))
     rgb = mat[..., 0:3] * (light_vec[6:9] +
                            light_vec[3:6] * lam[..., None]) + mat[..., 4:7]
+    if atlas is not None:
+        H, W = winner.shape
+        rec = srec[jnp.maximum(winner, 0)]
+        px, py = _pixel_grids(H, W)
+        iw = rec[..., 0] * px + rec[..., 1] * py + rec[..., 2]
+        iw = jnp.where(jnp.abs(iw) > 1e-12, iw, 1.0)
+        u = (rec[..., 21] * px + rec[..., 22] * py + rec[..., 23]) / iw
+        v = (rec[..., 24] * px + rec[..., 25] * py + rec[..., 26]) / iw
+        l0u, l0v = rec[..., 38], rec[..., 39]
+        l1u, l1v = rec[..., 40], rec[..., 41]
+        has_lm = (l1u > l0u) & ok
+        fu = u - jnp.floor(u)
+        fv = v - jnp.floor(v)
+        lm = sample_atlas(atlas, jnp.stack(
+            [l0u + fu * (l1u - l0u), l0v + fv * (l1v - l0v)], -1))
+        rgb = rgb + jnp.where(has_lm[..., None],
+                              mat[..., 0:3] * lm[..., :3], 0.0)
     out = jnp.concatenate([rgb, mat[..., 3:4]], -1)   # (H, W, 4)
     out_p = jnp.moveaxis(out, -1, 0)
     return jnp.where(ok[None], out_p, color_planar)

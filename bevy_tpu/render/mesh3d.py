@@ -58,6 +58,8 @@ class MeshMaterial:
     uv_max = field(2)
     nm_min = field(2)       # normal-map atlas rect (equal = no map)
     nm_max = field(2)
+    lm_min = field(2)       # lightmap atlas rect (ref: Lightmap uv_rect)
+    lm_max = field(2)
 
 
 @component
@@ -237,7 +239,7 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                    window_budget=65536, eval_tris=None, corner_uv=None,
                    uvr_i=None, atlas=None, visible_budget=65536,
                    flat_ok=False, vis_state=None, phase_budget=16384,
-                   tan_i=None, nmr_i=None):
+                   tan_i=None, nmr_i=None, lmr_i=None):
     """Visibility-buffer raster of one uniform batch (ref: bevy meshlet sw
     raster, bevy_pbr/src/meshlet/ — cluster cull → visbuffer → material
     resolve). clip (Ni, VC, 4) clip-space positions, nrm (Ni, VC, 3) world
@@ -364,12 +366,16 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                                       (k, cs, 4)).reshape(tv, 4)
         else:
             tan_tri = nm_tri = None
+        lm_tri = jnp.broadcast_to(lmr_i[inst_v][:, None, :],
+                                  (k, cs, 4)).reshape(tv, 4) \
+            if lmr_i is not None and cuv is not None else None
         id_base = cluster_base * cs
         zrec, srec, valid = pack_planes_h(
             cc_v, cn_v, tri_ok_v, width, height, viewport=viewport,
             materials=mat_tri, cuv=cuv, tex_rect=rect_tri,
             build_srec=not flat and not flat_def and not depth_only,
-            id_base=id_base, tangents=tan_tri, nm_rect=nm_tri)
+            id_base=id_base, tangents=tan_tri, nm_rect=nm_tri,
+            lm_rect=lm_tri)
         frec = pack_flat_shade(cn_v, mat_tri, light_vec, valid) \
             if flat else None
         fab = pack_flat_gbuf(cn_v, mat_tri, valid) if flat_def else None
@@ -720,6 +726,9 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         nmr = jnp.concatenate(
                             [q.mesh_material.nm_min[rows],
                              q.mesh_material.nm_max[rows]], 1)
+                        lmr = jnp.concatenate(
+                            [q.mesh_material.lm_min[rows],
+                             q.mesh_material.lm_max[rows]], 1)
                         # mesh-space per-tri tangents rotate with the
                         # instance exactly like normals
                         tcp_m = (m.num_triangles + 11) // 12 * 12
@@ -728,7 +737,7 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         tan = quat_rotate_vec3(gt_r[:, None, :],
                                                jnp.asarray(tan_l)[None])
                     else:
-                        uvr = cuv = nmr = tan = None
+                        uvr = cuv = nmr = tan = lmr = None
                     # static flat-mesh detection: identical corner
                     # normals per tri ⇒ Gouraud == flat EXACTLY, so the
                     # narrow flat-shade resolve is image-identical
@@ -756,7 +765,8 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         corner_uv=cuv, uvr_i=uvr, visible_budget=visible_budget,
                         atlas=matlas.data if has_tex else None,
                         flat_ok=flat_ok, vis_state=vs,
-                        phase_budget=phase_budget, tan_i=tan, nmr_i=nmr)
+                        phase_budget=phase_budget, tan_i=tan, nmr_i=nmr,
+                        lmr_i=lmr)
                     if vs is not None:
                         setattr(vism, vkey, vs["mask"])
                 # transparent phase: weighted-blended OIT over the opaque
