@@ -155,3 +155,55 @@ class LogDiagnosticsPlugin(Plugin):
                 print(" | ".join(parts))
 
         app.add_frame_hook(tick)
+
+
+class SystemInfoDiagnosticsPlugin(Plugin):
+    """ref: SystemInformationDiagnosticsPlugin (sysinfo CPU/mem) — reads
+    /proc on Linux hosts each `every` frames."""
+
+    CPU_USAGE = "system/cpu_usage"
+    MEM_USAGE = "system/mem_usage"
+
+    def __init__(self, every: int = 30):
+        self.every = every
+        self._prev = None
+
+    def build(self, app):
+        store = getattr(app, "diagnostics", None)
+        if store is None:
+            store = DiagnosticsStore()
+            app.diagnostics = store
+        store.register(Diagnostic(self.CPU_USAGE))
+        store.register(Diagnostic(self.MEM_USAGE))
+        state = {"n": 0}
+        plugin = self
+
+        def tick(app_):
+            state["n"] += 1
+            if state["n"] % plugin.every:
+                return
+            try:
+                with open("/proc/stat") as f:
+                    parts = f.readline().split()[1:8]
+                vals = list(map(int, parts))
+                idle = vals[3] + vals[4]
+                total = sum(vals)
+                if plugin._prev is not None:
+                    didle = idle - plugin._prev[0]
+                    dtotal = max(total - plugin._prev[1], 1)
+                    store.add_measurement(
+                        plugin.CPU_USAGE, 100.0 * (1.0 - didle / dtotal))
+                plugin._prev = (idle, total)
+                info = {}
+                with open("/proc/meminfo") as f:
+                    for line in f:
+                        k, v = line.split(":", 1)
+                        info[k] = int(v.split()[0])
+                used = info["MemTotal"] - info.get(
+                    "MemAvailable", info.get("MemFree", 0))
+                store.add_measurement(
+                    plugin.MEM_USAGE, 100.0 * used / info["MemTotal"])
+            except (OSError, KeyError, ValueError):
+                pass
+
+        app.add_frame_hook(tick)
