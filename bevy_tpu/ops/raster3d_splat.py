@@ -59,12 +59,11 @@ def compact_cluster_tris(zrec, cs: int):
     Returns (zrec_sorted, max_valid_per_cluster)."""
     t = zrec.shape[0]
     ncl = t // cs
-    invalid = zrec[:, 12].reshape(ncl, cs) < 0
+    r = zrec.reshape(ncl, cs, ZREC)
+    invalid = r[:, :, 12] < 0
     order = jnp.argsort(invalid, axis=1, stable=True)
-    # flat global-row gather (contiguous ZREC rows — fast regime)
-    rows = (jnp.arange(ncl, dtype=jnp.int32)[:, None] * cs +
-            order.astype(jnp.int32)).reshape(t)
-    return zrec[rows], jnp.max(jnp.sum(~invalid, axis=1))
+    r = jnp.take_along_axis(r, order[:, :, None], axis=1)
+    return r.reshape(t, ZREC), jnp.max(jnp.sum(~invalid, axis=1))
 
 
 def build_windows(aabb, cl_valid, *, win_h, width, height, budget,
@@ -167,12 +166,10 @@ def eval_windows(zrec, cs: int, owner, meta, wvalid, *, win_h,
     ntri = cs if eval_tris is None else min(eval_tris, cs)
     assert cs <= (1 << ID_BITS), "cluster size exceeds packed id bits"
 
+    recs = zrec.reshape(ncl, cs, ZREC)[:, :ntri]
+
     def gather_rec(o):
-        # flat contiguous-row gather (strided (ncl, cs, ZREC) gathers
-        # cost ~2x on the profiler)
-        rows = (o[:, None] * cs +
-                jnp.arange(ntri, dtype=jnp.int32)[None, :]).reshape(-1)
-        return zrec[rows].reshape(o.shape[0], ntri, ZREC)
+        return recs[o]
 
     b = owner.shape[0]
     if b <= chunk:

@@ -319,11 +319,8 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
              _np.zeros((tcp - tc0, 3, 2), _np.float32)], 0))
     else:
         cuv_static = None
-    # flat per-cluster rows: gathers of contiguous 4*cs*12-byte rows hit
-    # the fast wide-row regime (the strided (n_cl, cs, 3, 4) form costs
-    # ~18 ms at 160k on the profiler)
-    cc_cl = cc.reshape(n_cl, cs * 12)
-    cn_cl = cn.reshape(n_cl, cs * 9)
+    cc_cl = cc.reshape(n_cl, cs, 3, 4)
+    cn_cl = cn.reshape(n_cl, cs, 3, 3)
 
     def run_phase(sel, k, cluster_base, depth, winner, order="index"):
         """Select ≤k clusters from `sel`, pack their planes with ids
