@@ -191,6 +191,12 @@ class UiPlugin(Plugin):
         self._text_inputs = []
         self._virtual_lists = []
         self._next_list_id = 0
+        # directional navigation (ref: bevy_input_focus directional +
+        # bevy_ui auto_directional_navigation): arrow keys move
+        # `focused_row` between interactive nodes by spatial position
+        self.focusables = []          # rows of interactive nodes
+        self.focused_row = None
+        self.on_activate = {}         # row → callback (Enter/Space)
         self.focus = None            # focused text-input id
         self._rects = {}             # row → (x, y, w, h) from layout
         self._prev_keys = None
@@ -217,6 +223,8 @@ class UiPlugin(Plugin):
         comps.extend(extra_components)
         e = world.spawn(*comps)
         node = _Node(style, e.index)
+        if interactive:
+            self.focusables.append(e.index)
         self._by_row[e.index] = node
         if parent is None:
             self.roots.append(node)
@@ -501,6 +509,49 @@ _SHIFT_DIGITS = {26: ")", 27: "!", 28: "@", 29: "#", 30: "$", 31: "%",
                  32: "^", 33: "&", 34: "*", 35: "("}
 
 
+
+
+def _directional_nav(plugin, just, keys):
+    """Arrow-key focus movement among interactive nodes: pick the
+    nearest focusable whose center lies in the pressed direction
+    (ref: directional navigation's quadrant heuristic)."""
+    from bevy_tpu.input import KeyCode
+
+    dirs = {KeyCode.ArrowLeft: (-1, 0), KeyCode.ArrowRight: (1, 0),
+            KeyCode.ArrowUp: (0, -1), KeyCode.ArrowDown: (0, 1)}
+    pressed = [d for k, d in dirs.items() if just[k]]
+    if not pressed or not plugin.focusables:
+        return False
+    dx, dy = pressed[0]
+
+    def center(row):
+        r = plugin._rects.get(row)
+        return None if r is None else (r[0] + r[2] / 2, r[1] + r[3] / 2)
+
+    if plugin.focused_row is None or center(plugin.focused_row) is None:
+        plugin.focused_row = plugin.focusables[0]
+        return True
+    cx, cy = center(plugin.focused_row)
+    best, best_d = None, 1e30
+    for row in plugin.focusables:
+        if row == plugin.focused_row:
+            continue
+        c = center(row)
+        if c is None:
+            continue
+        vx, vy = c[0] - cx, c[1] - cy
+        along = vx * dx + vy * dy
+        if along <= 1e-3:
+            continue                      # not in that direction
+        ortho = abs(vx * dy) + abs(vy * dx)
+        d = along + 2.0 * ortho           # prefer aligned candidates
+        if d < best_d:
+            best, best_d = row, d
+    if best is not None:
+        plugin.focused_row = best
+    return True
+
+
 def _ui_host_tick_for(plugin):
     """Per-frame host hook: focus management (click hit-test against the
     solved layout rects, Tab cycling) + keystroke editing for the
@@ -509,7 +560,7 @@ def _ui_host_tick_for(plugin):
 
     def tick(app):
         inp = getattr(app, "input", None)
-        if inp is None or not plugin._text_inputs:
+        if inp is None or not (plugin._text_inputs or plugin.focusables):
             return
         keys = np.asarray(inp.keys, bool)
         prev = plugin._prev_keys if plugin._prev_keys is not None \
@@ -527,10 +578,27 @@ def _ui_host_tick_for(plugin):
                 if r and r[0] <= mx <= r[0] + r[2] and \
                         r[1] <= my <= r[1] + r[3]:
                     plugin.focus = ti["id"]
+        _directional_nav(plugin, just, keys)
+        # Enter/Space activates the focused node (toggle Checked, or a
+        # registered on_activate callback — ref: FocusedInput dispatch)
+        if plugin.focused_row is not None and \
+                (just[KeyCode.Enter] or just[KeyCode.Space]) and \
+                plugin.focus is None:
+            row = plugin.focused_row
+            cb = plugin.on_activate.get(row)
+            if cb is not None:
+                cb(row)
+            else:
+                cur = app.world.get(row, Checked)
+                if cur is not None:
+                    import numpy as _np
+                    app.world.insert(row, Checked(
+                        value=1 - int(_np.asarray(cur.value)),
+                        group=int(_np.asarray(cur.group))))
         if just[KeyCode.Tab] and plugin._text_inputs:
             cur = plugin.focus if plugin.focus is not None else -1
             plugin.focus = (cur + 1) % len(plugin._text_inputs)
-        if plugin.focus is None:
+        if plugin.focus is None or not plugin._text_inputs:
             return
         ti = plugin._text_inputs[plugin.focus]
         shift = bool(keys[KeyCode.ShiftLeft] or keys[KeyCode.ShiftRight])

@@ -231,3 +231,40 @@ def test_virtual_list_windows_and_scrolls():
     r0b = float(np.asarray(jax.device_get(
         app.world.get(vl["rows"][0], Sprite).color))[0])
     assert r0b > r0 + 0.1, (r0, r0b)              # shows a later item
+
+
+def test_directional_navigation_and_activate():
+    """ref model: bevy_input_focus directional navigation — arrows move
+    focus spatially; Enter toggles the focused checkbox."""
+    from bevy_tpu.input import KeyCode
+
+    app = _app()
+    ui = app.ui
+    left = ui.checkbox(app.world, Style(width=20, height=20, left=20,
+                                        top=50))
+    right = ui.checkbox(app.world, Style(width=20, height=20, left=120,
+                                         top=50))
+    below = ui.button(app.world, Style(width=20, height=20, left=120,
+                                       top=100))
+    hits = []
+    ui.on_activate[below] = hits.append
+    app.update(dt=1 / 60)
+
+    def press(key):
+        app.input.press(key)
+        app.update(dt=1 / 60)
+        app.input.release(key)
+        app.update(dt=1 / 60)
+
+    press(KeyCode.ArrowRight)          # focus first focusable
+    assert ui.focused_row == left
+    press(KeyCode.ArrowRight)
+    assert ui.focused_row == right
+    press(KeyCode.ArrowDown)
+    assert ui.focused_row == below
+    press(KeyCode.Enter)
+    assert hits == [below]
+    press(KeyCode.ArrowUp)
+    assert ui.focused_row == right
+    press(KeyCode.Enter)               # toggles the checkbox
+    assert int(app.world.get(right, Checked).value) == 1
