@@ -157,11 +157,16 @@ class RemoteServer:
             comps = params["components"]
             deadline = _time.monotonic() + float(params.get("timeout", 5.0))
             last = params.get("version")
+            ver = last or ""
             while True:
-                vals = {c: self._get(world, row, c) for c in comps}
-                ver = hashlib.sha1(
-                    _json.dumps(vals, sort_keys=True).encode()).hexdigest()
-                if ver != last:
+                try:
+                    vals = {c: self._get(world, row, c) for c in comps}
+                    ver = hashlib.sha1(_json.dumps(
+                        vals, sort_keys=True).encode()).hexdigest()
+                except Exception:
+                    # the app thread may be mid-update; retry next poll
+                    vals = None
+                if vals is not None and ver != last:
                     return {"components": vals, "version": ver}
                 if _time.monotonic() >= deadline:
                     return {"components": None, "version": ver}
