@@ -51,6 +51,19 @@ def test_golden_breakout():
     _check("breakout_f25", frame_image(app))
 
 
+def test_golden_cubes_splat():
+    """The pallas/splat raster path at small scale (interpret mode) —
+    locks the window-splat + flat-resolve image."""
+    import many_cubes
+    from bevy_tpu.render.plugin import frame_image
+
+    app = many_cubes.build_app(n_cubes=300, width=320, height=180,
+                               backend="pallas_interpret", capacity=512,
+                               window_budget=4096)
+    app.run(max_frames=2, dt=1 / 60)
+    _check("cubes_splat_f2", frame_image(app))
+
+
 def test_golden_cubes():
     import many_cubes
     from bevy_tpu.render.plugin import frame_image
