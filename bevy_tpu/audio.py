@@ -129,6 +129,41 @@ class AudioMixer:
             sink.cursor = float(idx[-1] + step)
         return np.clip(out, -1.0, 1.0)
 
+    def render_stereo(self, n: int) -> np.ndarray:
+        """(n, 2) stereo mix: spatial sinks pan by listener-relative x
+        with equal-power panning (ref: rodio's SpatialSink dual-ear
+        model, collapsed to constant-power pan)."""
+        out = np.zeros((n, 2), np.float32)
+        for sink in list(self.sinks):
+            if sink.finished:
+                self.sinks.remove(sink)
+                continue
+            if sink.settings.paused:
+                continue
+            src = sink.source.samples
+            mono = src if src.ndim == 1 else src.mean(-1)
+            step = sink.settings.speed * sink.source.sample_rate / \
+                self.sample_rate
+            idx = sink.cursor + np.arange(n) * step
+            if sink.settings.looped:
+                idx = idx % len(mono)
+            valid = idx < len(mono)
+            samples = np.where(valid, mono[np.minimum(
+                idx.astype(np.int64), len(mono) - 1)], 0.0)
+            vol = sink.settings.volume
+            pan = 0.5
+            if sink.settings.spatial:
+                rel = sink.settings.position - self.listener
+                d = np.linalg.norm(rel)
+                vol = vol / (1.0 + d * self.spatial_scale)
+                if d > 1e-6:
+                    pan = 0.5 + 0.5 * np.clip(rel[0] / max(d, 1e-6), -1, 1)
+            theta = pan * np.pi / 2
+            out[:, 0] += samples * vol * np.cos(theta)
+            out[:, 1] += samples * vol * np.sin(theta)
+            sink.cursor = float(idx[-1] + step)
+        return np.clip(out, -1.0, 1.0)
+
 
 
 

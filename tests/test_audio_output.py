@@ -24,3 +24,16 @@ def test_wav_output_drains_mixer(tmp_path):
         data = np.frombuffer(f.readframes(f.getnframes()), np.int16)
     # the sine actually made it through the mixer
     assert np.abs(data.astype(np.int32)).max() > 1000
+
+
+def test_stereo_spatial_pan():
+    """ref model: rodio SpatialSink — a source to the listener's right
+    is louder in the right channel."""
+    from bevy_tpu.audio import AudioMixer, AudioSource, PlaybackSettings
+
+    m = AudioMixer(sample_rate=8000, listener=(0.0, 0.0, 0.0))
+    m.play(AudioSource.sine(440.0, 0.5, 8000),
+           PlaybackSettings(spatial=True, position=(5.0, 0.0, 0.0)))
+    out = m.render_stereo(800)
+    assert out.shape == (800, 2)
+    assert np.abs(out[:, 1]).max() > np.abs(out[:, 0]).max() * 2
