@@ -60,3 +60,17 @@ def test_scene_tools_runs(capsys):
     mod.main()
     out = capsys.readouterr().out
     assert "entities restored" in out and "skipped" in out
+
+
+def test_load_gltf_example():
+    import importlib
+
+    from bevy_tpu.render.plugin import frame_image
+    mod = importlib.import_module("load_gltf")
+    app = mod.build_app(width=240, height=135, backend="pallas_interpret")
+    app.update(dt=1 / 60)
+    img = frame_image(app)
+    bg = img[0, 0].astype(int)
+    import numpy as np
+    cov = np.abs(img.astype(int) - bg).max(-1) > 10
+    assert cov.mean() > 0.02
