@@ -63,6 +63,83 @@ def sprite_from_handle(handle, color=(1.0, 1.0, 1.0, 1.0), size=None,
         anchor=anchor, uv_min=(u0, v0), uv_max=(u1, v1), tex=handle["tex"])
 
 
+def spawn_sliced(world, handle, size, border, pos=(0.0, 0.0), z=10.0,
+                 color=(1.0, 1.0, 1.0, 1.0)):
+    """9-slice sprite (ref: SpriteImageMode::Sliced + ComputedTextureSlices
+    — corner patches keep their pixel size, edges stretch one axis,
+    the center stretches both). `border` = (left, top, right, bottom) px
+    in image space. Spawns 9 sprite entities; returns their rows."""
+    from bevy_tpu.transform import GlobalTransform, Transform
+
+    u0, v0 = handle["uv_min"]
+    u1, v1 = handle["uv_max"]
+    iw, ih = handle["size"]
+    bl, bt, br, bb = (border, border, border, border) \
+        if isinstance(border, (int, float)) else border
+    w, h = size
+    cw = max(w - bl - br, 0.0)          # stretched center width
+    chh = max(h - bt - bb, 0.0)
+    # x slice edges (screen, from left) and u edges (texture)
+    xs = [0.0, bl, bl + cw, w]
+    us = [u0, u0 + (u1 - u0) * bl / iw, u1 - (u1 - u0) * br / iw, u1]
+    ys = [0.0, bt, bt + chh, h]
+    vs = [v0, v0 + (v1 - v0) * bt / ih, v1 - (v1 - v0) * bb / ih, v1]
+    rows = []
+    px, py = pos
+    for j in range(3):
+        for i in range(3):
+            sw = xs[i + 1] - xs[i]
+            sh = ys[j + 1] - ys[j]
+            if sw <= 0 or sh <= 0:
+                continue
+            cx = px - w / 2 + xs[i] + sw / 2
+            cy = py + h / 2 - ys[j] - sh / 2
+            e = world.spawn(
+                Sprite(color=color, size=(sw, sh),
+                       uv_min=(us[i], vs[j]), uv_max=(us[i + 1], vs[j + 1]),
+                       tex=handle["tex"]),
+                Transform(translation=(cx, cy, z)),
+                GlobalTransform(translation=(cx, cy, z)))
+            rows.append(e.index if hasattr(e, "index") else e)
+    return rows
+
+
+def spawn_tiled(world, handle, size, pos=(0.0, 0.0), z=10.0, scale=1.0,
+                color=(1.0, 1.0, 1.0, 1.0)):
+    """Tiled sprite (ref: SpriteImageMode::Tiled): repeats the image at
+    its natural size (x scale) to fill `size`; edge tiles crop via a
+    trimmed uv rect. Returns spawned rows."""
+    from bevy_tpu.transform import GlobalTransform, Transform
+
+    u0, v0 = handle["uv_min"]
+    u1, v1 = handle["uv_max"]
+    tw = handle["size"][0] * scale
+    th = handle["size"][1] * scale
+    w, h = size
+    px, py = pos
+    rows = []
+    y = 0.0
+    while y < h - 1e-6:
+        sh = min(th, h - y)
+        x = 0.0
+        while x < w - 1e-6:
+            sw = min(tw, w - x)
+            e = world.spawn(
+                Sprite(color=color, size=(sw, sh),
+                       uv_min=(u0, v0),
+                       uv_max=(u0 + (u1 - u0) * sw / tw,
+                               v0 + (v1 - v0) * sh / th),
+                       tex=handle["tex"]),
+                Transform(translation=(px - w / 2 + x + sw / 2,
+                                       py + h / 2 - y - sh / 2, z)),
+                GlobalTransform(translation=(px - w / 2 + x + sw / 2,
+                                             py + h / 2 - y - sh / 2, z)))
+            rows.append(e.index if hasattr(e, "index") else e)
+            x += tw
+        y += th
+    return rows
+
+
 def make_sprite_pass(width, height, tile_h=32, tile_w=128,
                      pairs_per_sprite=4, max_per_tile=256, bilinear=True,
                      backend="auto", max_visible=None):
