@@ -93,3 +93,62 @@ class CiTestingPlugin(Plugin):
 
         app.add_frame_hook(tick)
         app._ci_exit = False
+
+# ----------------------------------------------------------------------
+# Schedule introspection (ref: bevy_dev_tools — the schedule graph dump
+# the reference exposes via bevy_mod_debugdump / Schedule::graph()).
+
+
+def dump_schedule(app, label: str, dot: bool = False) -> str:
+    """Human-readable (or graphviz `dot=True`) dump of one schedule:
+    final execution order, system sets, host/run_if markers, explicit
+    ordering edges, and detected ambiguities."""
+    sched = app.schedules.get(label)
+    if sched is None:
+        return f"schedule '{label}': <empty>"
+    order = sched.build_order()
+    idx = {id(e): i for i, e in enumerate(order)}
+    if dot:
+        lines = [f'digraph "{label}" {{', "  rankdir=LR;"]
+        for i, e in enumerate(order):
+            shape = "box" if not e.system.host else "ellipse"
+            extra = ' style=dashed' if e.run_if is not None else ""
+            lines.append(f'  n{i} [label="{e.system.name}" '
+                         f'shape={shape}{extra}];')
+        for e in order:
+            for t in e.after:
+                for j in sched._resolve(t):
+                    src = idx.get(id(sched.entries[j]))
+                    if src is not None:
+                        lines.append(f"  n{src} -> n{idx[id(e)]};")
+            for t in e.before:
+                for j in sched._resolve(t):
+                    dst = idx.get(id(sched.entries[j]))
+                    if dst is not None:
+                        lines.append(f"  n{idx[id(e)]} -> n{dst};")
+        lines.append("}")
+        return "\n".join(lines)
+    lines = [f"schedule '{label}' ({len(order)} systems):"]
+    for i, e in enumerate(order):
+        tags = []
+        if e.system.host:
+            tags.append("host")
+        if e.run_if is not None:
+            tags.append(f"run_if={e.run_if.name}")
+        if e.sets:
+            tags.append("sets=" + ",".join(str(s) for s in e.sets))
+        suffix = ("  [" + " ".join(tags) + "]") if tags else ""
+        lines.append(f"  {i:3d}. {e.system.name}{suffix}")
+    if sched.ambiguities:
+        lines.append(f"  ambiguities ({len(sched.ambiguities)}):")
+        for a, b, conflict in sched.ambiguities:
+            lines.append(f"    {a} <-> {b} on {sorted(conflict)}")
+    return "\n".join(lines)
+
+
+def dump_schedules(app) -> str:
+    """Dump every non-empty schedule in the app, in label order."""
+    parts = [dump_schedule(app, label)
+             for label in app.schedules
+             if app.schedules[label].entries]
+    return "\n\n".join(parts)

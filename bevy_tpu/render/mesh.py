@@ -115,6 +115,130 @@ def plane(x=1.0, z=1.0) -> Mesh:
     return Mesh(pos, nrm, uv, tri)
 
 
+def cylinder(radius=0.5, height=1.0, sectors=32) -> Mesh:
+    """ref: bevy_mesh/src/primitives/dim3/cylinder.rs — side + caps."""
+    pos, nrm, uv, tri = [], [], [], []
+    hh = height / 2
+    # side
+    for i in range(sectors + 1):
+        a = 2 * np.pi * i / sectors
+        x, z = np.cos(a), np.sin(a)
+        for y, v in ((hh, 0.0), (-hh, 1.0)):
+            pos.append((radius * x, y, radius * z))
+            nrm.append((x, 0.0, z))
+            uv.append((i / sectors, v))
+    for i in range(sectors):
+        b = i * 2
+        tri += [(b, b + 2, b + 1), (b + 1, b + 2, b + 3)]
+    # caps
+    for sign, ny in ((1.0, 1.0), (-1.0, -1.0)):
+        center = len(pos)
+        pos.append((0.0, sign * hh, 0.0))
+        nrm.append((0.0, ny, 0.0))
+        uv.append((0.5, 0.5))
+        ring = len(pos)
+        for i in range(sectors + 1):
+            a = 2 * np.pi * i / sectors
+            pos.append((radius * np.cos(a), sign * hh, radius * np.sin(a)))
+            nrm.append((0.0, ny, 0.0))
+            uv.append((0.5 + 0.5 * np.cos(a), 0.5 + 0.5 * np.sin(a)))
+        for i in range(sectors):
+            if sign > 0:
+                tri.append((center, ring + i + 1, ring + i))
+            else:
+                tri.append((center, ring + i, ring + i + 1))
+    return Mesh(pos, nrm, uv, tri)
+
+
+def torus(major_radius=0.75, minor_radius=0.25, major_sectors=32,
+          minor_sectors=16) -> Mesh:
+    """ref: primitives/dim3/torus.rs."""
+    pos, nrm, uv, tri = [], [], [], []
+    for i in range(major_sectors + 1):
+        a = 2 * np.pi * i / major_sectors
+        ca, sa = np.cos(a), np.sin(a)
+        for j in range(minor_sectors + 1):
+            b = 2 * np.pi * j / minor_sectors
+            cb, sb = np.cos(b), np.sin(b)
+            pos.append(((major_radius + minor_radius * cb) * ca,
+                        minor_radius * sb,
+                        (major_radius + minor_radius * cb) * sa))
+            nrm.append((cb * ca, sb, cb * sa))
+            uv.append((i / major_sectors, j / minor_sectors))
+    stride = minor_sectors + 1
+    for i in range(major_sectors):
+        for j in range(minor_sectors):
+            b0 = i * stride + j
+            tri += [(b0, b0 + 1, b0 + stride),
+                    (b0 + 1, b0 + stride + 1, b0 + stride)]
+    return Mesh(pos, nrm, uv, tri)
+
+
+def cone(radius=0.5, height=1.0, sectors=32) -> Mesh:
+    """ref: primitives/dim3/cone.rs — apex up, flat base."""
+    pos, nrm, uv, tri = [], [], [], []
+    hh = height / 2
+    slope = radius / height
+    for i in range(sectors + 1):
+        a = 2 * np.pi * i / sectors
+        x, z = np.cos(a), np.sin(a)
+        n = np.asarray([x, slope, z])
+        n /= np.linalg.norm(n)
+        pos.append((0.0, hh, 0.0))
+        nrm.append(tuple(n))
+        uv.append((i / sectors, 0.0))
+        pos.append((radius * x, -hh, radius * z))
+        nrm.append(tuple(n))
+        uv.append((i / sectors, 1.0))
+    for i in range(sectors):
+        b = i * 2
+        tri.append((b, b + 3, b + 1))
+    base = len(pos)
+    pos.append((0.0, -hh, 0.0))
+    nrm.append((0.0, -1.0, 0.0))
+    uv.append((0.5, 0.5))
+    ring = len(pos)
+    for i in range(sectors + 1):
+        a = 2 * np.pi * i / sectors
+        pos.append((radius * np.cos(a), -hh, radius * np.sin(a)))
+        nrm.append((0.0, -1.0, 0.0))
+        uv.append((0.5 + 0.5 * np.cos(a), 0.5 + 0.5 * np.sin(a)))
+    for i in range(sectors):
+        tri.append((base, ring + i, ring + i + 1))
+    return Mesh(pos, nrm, uv, tri)
+
+
+def capsule(radius=0.5, length=1.0, sectors=24, stacks=8) -> Mesh:
+    """ref: primitives/dim3/capsule.rs — hemisphere caps on a cylinder
+    (one continuous ring strip, so the surface is watertight)."""
+    pos, nrm, uv, tri = [], [], [], []
+    hl = length / 2
+    rows = []                 # (ring radius factor, normal y, y offset)
+    for i in range(stacks + 1):                # top pole → equator
+        phi = (np.pi / 2) * i / stacks
+        rows.append((np.sin(phi), np.cos(phi), hl))
+    for i in range(1, stacks + 1):             # equator → bottom pole
+        psi = (np.pi / 2) * i / stacks
+        rows.append((np.cos(psi), -np.sin(psi), -hl))
+    for r, (sr, ny, yoff) in enumerate(rows):
+        y = ny * radius + yoff
+        for j in range(sectors + 1):
+            a = 2 * np.pi * j / sectors
+            x, z = np.cos(a) * sr, np.sin(a) * sr
+            pos.append((radius * x, y, radius * z))
+            n = np.asarray([x, ny, z])
+            ln = np.linalg.norm(n)
+            nrm.append(tuple(n / ln) if ln > 1e-6 else (0.0, 1.0, 0.0))
+            uv.append((j / sectors, r / (len(rows) - 1)))
+    stride = sectors + 1
+    for i in range(len(rows) - 1):
+        for j in range(sectors):
+            b0 = i * stride + j
+            tri += [(b0, b0 + 1, b0 + stride),
+                    (b0 + 1, b0 + stride + 1, b0 + stride)]
+    return Mesh(pos, nrm, uv, tri)
+
+
 class MeshPool:
     """Host-side builder of the single device slab; `add` returns a mesh id
     (the Mesh3d component's handle). ref: MeshAllocator allocate/slab."""

@@ -27,28 +27,87 @@ ASCII_START, ASCII_END = 32, 127
 
 
 class FontAtlas:
-    """Glyph atlas from PIL's built-in bitmap font (host bake)."""
+    """Glyph atlas baked on the host (ref: bevy_text font_atlas_set.rs —
+    rasterize once into a texture atlas, sample per glyph quad).
 
-    def __init__(self, builder, scale: int = 2):
+    Default is PIL's built-in bitmap font (monospace layout). Pass
+    `path=` to a .ttf/.otf file (plus `size=` in px) to rasterize a real
+    vector font instead — glyphs then carry per-character advances and
+    bearings, and `spawn_text` lays them out proportionally (the role
+    parley/cosmic-text shaping plays in the reference)."""
+
+    def __init__(self, builder, scale: int = 2, path: str | None = None,
+                 size: int | None = None):
         from PIL import Image, ImageDraw, ImageFont
-        font = ImageFont.load_default()
+        if path is not None:
+            font = ImageFont.truetype(path, size or 16)
+        elif size is not None:
+            font = ImageFont.load_default(size)   # FreeType default font
+        else:
+            font = ImageFont.load_default()
+        self.proportional = hasattr(font, "getlength") and \
+            (path is not None or size is not None)
         self.handles: Dict[str, dict] = {}
-        self.scale = scale
+        self.advances: Dict[str, float] = {}
+        self.bearings: Dict[str, tuple] = {}
+        self.scale = scale if path is None and size is None else 1
+        scale = self.scale
+        try:
+            ascent, descent = font.getmetrics()
+            line_h = ascent + descent
+        except AttributeError:
+            ascent, line_h = None, None
         for code in range(ASCII_START, ASCII_END):
             ch = chr(code)
             box = font.getbbox(ch)
-            w = max(box[2], 1)
-            h = max(box[3], 1)
+            x0, y0 = (box[0], box[1]) if self.proportional else (0, 0)
+            w = max(box[2] - x0, 1)
+            h = max(box[3] - y0, 1)
             img = Image.new("L", (w, h), 0)
-            ImageDraw.Draw(img).text((0, 0), ch, fill=255, font=font)
+            ImageDraw.Draw(img).text((-x0, -y0), ch, fill=255, font=font)
             a = np.asarray(img, np.float32) / 255.0
             if scale != 1:
                 a = np.repeat(np.repeat(a, scale, 0), scale, 1)
             rgba = np.ones(a.shape + (4,), np.float32)
             rgba[..., 3] = a
             self.handles[ch] = builder.add(rgba, f"glyph:{ch}", srgb=False)
-        self.char_w = self.handles["M"]["size"][0]
-        self.char_h = self.handles["M"]["size"][1]
+            adv = font.getlength(ch) if self.proportional else w
+            self.advances[ch] = float(adv) * scale
+            self.bearings[ch] = (float(x0) * scale, float(y0) * scale)
+        self.char_w = (self.advances["M"] if self.proportional
+                       else self.handles["M"]["size"][0])
+        self.char_h = (float(line_h) if line_h is not None
+                       else self.handles["M"]["size"][1])
+        self.ascent = float(ascent) if ascent is not None else self.char_h
+
+    def measure(self, text: str) -> float:
+        """Pixel width of a single line at native size."""
+        return sum(self.advances.get(ch, self.char_w) for ch in text)
+
+
+def wrap_lines_measured(text: str, max_width: float, measure):
+    """Word wrap by measured pixel width (proportional fonts)."""
+    lines = []
+    for raw in text.split("\n"):
+        cur = ""
+        for word in raw.split(" "):
+            while measure(word) > max_width:      # unbreakable long word
+                if cur:
+                    lines.append(cur)
+                    cur = ""
+                cut = len(word)
+                while cut > 1 and measure(word[:cut]) > max_width:
+                    cut -= 1
+                lines.append(word[:cut])
+                word = word[cut:]
+            cand = f"{cur} {word}" if cur else word
+            if measure(cand) <= max_width:
+                cur = cand
+            else:
+                lines.append(cur)
+                cur = word
+        lines.append(cur)
+    return lines
 
 
 def wrap_lines(text: str, chars_per_line: int):
@@ -83,27 +142,46 @@ def spawn_text(world, font: FontAtlas, text: str, pos=(0.0, 0.0), z=10.0,
     widest line when max_width is None (ref: Justify)."""
     rows = []
     cw = size or font.char_w
-    ch_h = cw * font.char_h / font.char_w
+    k = cw / font.char_w                       # uniform scale factor
+    ch_h = font.char_h * k
+    prop = getattr(font, "proportional", False)
+
+    def line_w(line):
+        return font.measure(line) * k if prop else len(line) * cw
+
     if max_width is not None:
-        lines = wrap_lines(text, max(1, int(max_width // cw)))
+        if prop:
+            lines = wrap_lines_measured(text, max_width / max(k, 1e-6),
+                                        font.measure)
+        else:
+            lines = wrap_lines(text, max(1, int(max_width // cw)))
         box_w = float(max_width)
     else:
         lines = text.split("\n")
-        box_w = max(len(l) for l in lines) * cw if lines else 0.0
+        box_w = max(line_w(l) for l in lines) if lines else 0.0
     y = float(pos[1])
     for line in lines:
-        slack = box_w - len(line) * cw
+        slack = box_w - line_w(line)
         x = float(pos[0]) + {"left": 0.0, "center": slack / 2,
                              "right": slack}[justify]
         for ch in line:
+            adv = font.advances.get(ch, font.char_w) * k if prop else cw
             if ch != " " and ch in font.handles:
                 h = font.handles[ch]
+                gw, gh = h["size"][0] * k, h["size"][1] * k
+                if prop:
+                    bx, by = font.bearings[ch]
+                    gx = x + bx * k + gw / 2
+                    gy = y - by * k - gh / 2
+                else:
+                    gw, gh = cw, ch_h
+                    gx, gy = x + cw / 2, y - ch_h / 2
                 rows.append(world.spawn(
-                    Sprite(size=(cw, ch_h), color=color,
+                    Sprite(size=(gw, gh), color=color,
                            uv_min=h["uv_min"], uv_max=h["uv_max"], tex=h["tex"]),
-                    Transform(translation=(x + cw / 2, y - ch_h / 2, z)),
-                    GlobalTransform(translation=(x + cw / 2, y - ch_h / 2, z))))
-            x += cw
+                    Transform(translation=(gx, gy, z)),
+                    GlobalTransform(translation=(gx, gy, z))))
+            x += adv
         y -= ch_h * 1.2
     return rows
 
