@@ -67,6 +67,145 @@ class GizmosView:
             self.line_2d(jnp.asarray(corners[i]),
                          jnp.asarray(corners[(i + 1) % 4]), color, width)
 
+    # -- shape vocabulary (ref: bevy_gizmos src/circles.rs, arcs.rs,
+    # primitives/, grid.rs — all decompose to batched segments) ------
+
+    def linestrip(self, points, color=(1.0, 1.0, 1.0, 1.0), width=2.0):
+        p = jnp.asarray(points, jnp.float32)
+        self.line(p[:-1], p[1:], color, width)
+
+    def linestrip_2d(self, points, color=(1.0, 1.0, 1.0, 1.0), width=2.0):
+        p = jnp.asarray(points, jnp.float32)
+        self.line_2d(p[:-1], p[1:], color, width)
+
+    def arc_2d(self, center, radius, start=0.0, sweep=2 * 3.14159265,
+               color=(1.0, 1.0, 1.0, 1.0), width=2.0, segments=32):
+        t = start + jnp.linspace(0.0, sweep, segments + 1)
+        c = jnp.asarray(center, jnp.float32)
+        pts = c + radius * jnp.stack([jnp.cos(t), jnp.sin(t)], 1)
+        self.linestrip_2d(pts, color, width)
+
+    def circle_2d(self, center, radius, color=(1.0, 1.0, 1.0, 1.0),
+                  width=2.0, segments=32):
+        self.arc_2d(center, radius, 0.0, 2 * 3.14159265, color, width,
+                    segments)
+
+    def circle(self, center, normal, radius, color=(1.0, 1.0, 1.0, 1.0),
+               width=2.0, segments=32):
+        """3D circle in the plane perpendicular to `normal`."""
+        n = jnp.asarray(normal, jnp.float32)
+        n = n / jnp.maximum(jnp.linalg.norm(n), 1e-6)
+        ref = jnp.where(jnp.abs(n[0]) < 0.9,
+                        jnp.asarray([1.0, 0.0, 0.0]),
+                        jnp.asarray([0.0, 1.0, 0.0]))
+        u = jnp.cross(n, ref)
+        u = u / jnp.maximum(jnp.linalg.norm(u), 1e-6)
+        v = jnp.cross(n, u)
+        t = jnp.linspace(0.0, 2 * 3.14159265, segments + 1)
+        c = jnp.asarray(center, jnp.float32)
+        pts = c + radius * (jnp.cos(t)[:, None] * u + jnp.sin(t)[:, None] * v)
+        self.linestrip(pts, color, width)
+
+    def sphere(self, center, radius, color=(1.0, 1.0, 1.0, 1.0),
+               width=2.0, segments=32):
+        """Three orthogonal great circles (ref: SphereBuilder)."""
+        for axis in ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)):
+            self.circle(center, axis, radius, color, width, segments)
+
+    def cuboid(self, center, half_size, color=(1.0, 1.0, 1.0, 1.0),
+               width=2.0):
+        """Wireframe box: 12 edges as one batched append."""
+        c = jnp.asarray(center, jnp.float32)
+        h = jnp.asarray(half_size, jnp.float32)
+        sgn = jnp.asarray([[sx, sy, sz] for sx in (-1, 1)
+                           for sy in (-1, 1) for sz in (-1, 1)], jnp.float32)
+        corners = c + sgn * h                      # (8,3), bit i = axis sign
+        edges = [(0, 1), (2, 3), (4, 5), (6, 7),   # z edges
+                 (0, 2), (1, 3), (4, 6), (5, 7),   # y edges
+                 (0, 4), (1, 5), (2, 6), (3, 7)]   # x edges
+        ea = corners[jnp.asarray([e[0] for e in edges])]
+        eb = corners[jnp.asarray([e[1] for e in edges])]
+        self.line(ea, eb, color, width)
+
+    def grid_2d(self, center, cell_size, counts,
+                color=(1.0, 1.0, 1.0, 1.0), width=1.0):
+        cx, cy = float(center[0]), float(center[1])
+        sx, sy = float(cell_size[0]), float(cell_size[1])
+        nx, ny = int(counts[0]), int(counts[1])
+        hw, hh = nx * sx / 2, ny * sy / 2
+        xs = cx - hw + jnp.arange(nx + 1, dtype=jnp.float32) * sx
+        ys = cy - hh + jnp.arange(ny + 1, dtype=jnp.float32) * sy
+        va = jnp.stack([xs, jnp.full(nx + 1, cy - hh)], 1)
+        vb = jnp.stack([xs, jnp.full(nx + 1, cy + hh)], 1)
+        ha = jnp.stack([jnp.full(ny + 1, cx - hw), ys], 1)
+        hb = jnp.stack([jnp.full(ny + 1, cx + hw), ys], 1)
+        self.line_2d(va, vb, color, width)
+        self.line_2d(ha, hb, color, width)
+
+    def grid(self, center, cell_size, counts,
+             color=(1.0, 1.0, 1.0, 1.0), width=1.0):
+        """XZ-plane 3D grid (ref: GridBuilder default orientation)."""
+        cx, cy, cz = (float(center[i]) for i in range(3))
+        sx, sz = float(cell_size[0]), float(cell_size[1])
+        nx, nz = int(counts[0]), int(counts[1])
+        hw, hd = nx * sx / 2, nz * sz / 2
+        xs = cx - hw + jnp.arange(nx + 1, dtype=jnp.float32) * sx
+        zs = cz - hd + jnp.arange(nz + 1, dtype=jnp.float32) * sz
+        va = jnp.stack([xs, jnp.full(nx + 1, cy), jnp.full(nx + 1, cz - hd)], 1)
+        vb = jnp.stack([xs, jnp.full(nx + 1, cy), jnp.full(nx + 1, cz + hd)], 1)
+        ha = jnp.stack([jnp.full(nz + 1, cx - hw), jnp.full(nz + 1, cy), zs], 1)
+        hb = jnp.stack([jnp.full(nz + 1, cx + hw), jnp.full(nz + 1, cy), zs], 1)
+        self.line(va, vb, color, width)
+        self.line(ha, hb, color, width)
+
+    def axes(self, position, rotation=None, length=1.0, width=2.0):
+        """RGB basis axes at a pose (ref: axes.rs)."""
+        from bevy_tpu.math.quat import quat_rotate_vec3 as quat_rotate
+        p = jnp.asarray(position, jnp.float32)
+        for axis, col in (((1.0, 0.0, 0.0), (1.0, 0.2, 0.2, 1.0)),
+                          ((0.0, 1.0, 0.0), (0.2, 1.0, 0.2, 1.0)),
+                          ((0.0, 0.0, 1.0), (0.2, 0.4, 1.0, 1.0))):
+            d = jnp.asarray(axis, jnp.float32)
+            if rotation is not None:
+                d = quat_rotate(jnp.asarray(rotation, jnp.float32), d)
+            self.line(p, p + d * length, col, width)
+
+    def arrow(self, a, b, color=(1.0, 1.0, 1.0, 1.0), width=2.0,
+              tip=0.15):
+        """Segment with a two-line head at `b` (ref: arrows.rs)."""
+        a = jnp.asarray(a, jnp.float32)
+        b = jnp.asarray(b, jnp.float32)
+        d = b - a
+        ln = jnp.maximum(jnp.linalg.norm(d), 1e-6)
+        dn = d / ln
+        ref = jnp.where(jnp.abs(dn[0]) < 0.9,
+                        jnp.asarray([1.0, 0.0, 0.0]),
+                        jnp.asarray([0.0, 1.0, 0.0]))
+        side = jnp.cross(dn, ref)
+        side = side / jnp.maximum(jnp.linalg.norm(side), 1e-6)
+        t = ln * tip
+        self.line(a, b, color, width)
+        self.line(b, b - dn * t + side * t * 0.5, color, width)
+        self.line(b, b - dn * t - side * t * 0.5, color, width)
+
+    def arrow_2d(self, a, b, color=(1.0, 1.0, 1.0, 1.0), width=2.0,
+                 tip=0.15):
+        a = jnp.asarray(a, jnp.float32)
+        b = jnp.asarray(b, jnp.float32)
+        d = b - a
+        ln = jnp.maximum(jnp.linalg.norm(d), 1e-6)
+        dn = d / ln
+        side = jnp.stack([-dn[1], dn[0]])
+        t = ln * tip
+        self.line_2d(a, b, color, width)
+        self.line_2d(b, b - dn * t + side * t * 0.5, color, width)
+        self.line_2d(b, b - dn * t - side * t * 0.5, color, width)
+
+    def ray(self, origin, direction, color=(1.0, 1.0, 1.0, 1.0),
+            width=2.0):
+        o = jnp.asarray(origin, jnp.float32)
+        self.line(o, o + jnp.asarray(direction, jnp.float32), color, width)
+
     def merge(self, state, tick):
         if not self._segments:
             return state

@@ -523,3 +523,54 @@ class TonemappingPlugin(Plugin):
                 [tonemap(c[:3], mode, exposure), c[3:4]], axis=0)
 
         app.add_systems(Render, tonemap_pass, in_set=POST_SET)
+
+
+class AutoExposurePlugin(Plugin):
+    """Eye adaptation (ref: bevy_post_process/src/auto_exposure — histogram
+    metering + asymmetric brighten/darken speeds; here the meter is the
+    mean log2 luminance of the HDR frame, an XLA reduction).
+
+    Runs before tonemapping: scales the frame by a smoothed exposure that
+    steers mean luminance toward `target_luma`."""
+
+    def __init__(self, target_luma=0.18, speed_brighten=3.0,
+                 speed_darken=1.0, min_exp=-4.0, max_exp=4.0):
+        self.target_luma = target_luma
+        self.speed_brighten = speed_brighten
+        self.speed_darken = speed_darken
+        self.min_exp = min_exp
+        self.max_exp = max_exp
+
+    def build(self, app):
+        target_luma = self.target_luma
+        sb, sd = self.speed_brighten, self.speed_darken
+        lo, hi = self.min_exp, self.max_exp
+
+        from bevy_tpu.ecs.query import Res
+
+        app.insert_resource("auto_exposure_state", {
+            "ev": jnp.zeros((), jnp.float32),
+            "valid": jnp.zeros((), jnp.bool_),
+        })
+
+        @system(name="auto_exposure_pass")
+        def auto_exposure_pass(target=ResMut(RenderTarget.RESOURCE),
+                               st=ResMut("auto_exposure_state"),
+                               time=Res("time")):
+            c = target.color
+            luma = (0.2126 * c[0] + 0.7152 * c[1] + 0.0722 * c[2])
+            mean_log = jnp.mean(jnp.log2(jnp.maximum(luma, 1e-4)))
+            # EV that maps the metered luminance onto the target
+            want = jnp.clip(jnp.log2(target_luma) - mean_log, lo, hi)
+            dt = time.delta
+            speed = jnp.where(want > st.ev, sb, sd)
+            blend = 1.0 - jnp.exp(-dt * speed)
+            ev = jnp.where(st.valid, st.ev + (want - st.ev) * blend, want)
+            st.ev = ev
+            st.valid = jnp.ones((), jnp.bool_)
+            gain = jnp.exp2(ev)
+            target.color = jnp.concatenate([c[:3] * gain, c[3:4]], axis=0)
+
+        from bevy_tpu.app.main_schedule import Render
+        app.add_systems(Render, auto_exposure_pass, in_set=POST_SET,
+                        before="tonemap_pass")

@@ -79,9 +79,14 @@ class FontAtlas:
         self.char_h = (float(line_h) if line_h is not None
                        else self.handles["M"]["size"][1])
         self.ascent = float(ascent) if ascent is not None else self.char_h
+        self._font = font if self.proportional else None
 
     def measure(self, text: str) -> float:
-        """Pixel width of a single line at native size."""
+        """Pixel width of a single line at native size. FreeType fonts
+        measure the whole run, so kerning pairs are included (the role
+        swash/parley shaping plays in the reference)."""
+        if self._font is not None:
+            return float(self._font.getlength(text)) * self.scale
         return sum(self.advances.get(ch, self.char_w) for ch in text)
 
 
@@ -162,16 +167,20 @@ def spawn_text(world, font: FontAtlas, text: str, pos=(0.0, 0.0), z=10.0,
     y = float(pos[1])
     for line in lines:
         slack = box_w - line_w(line)
-        x = float(pos[0]) + {"left": 0.0, "center": slack / 2,
-                             "right": slack}[justify]
-        for ch in line:
+        x0 = float(pos[0]) + {"left": 0.0, "center": slack / 2,
+                              "right": slack}[justify]
+        x = x0
+        for i, ch in enumerate(line):
+            if prop:
+                # kerned pen position: measured width of the prefix
+                pen = x0 + font.measure(line[:i]) * k
             adv = font.advances.get(ch, font.char_w) * k if prop else cw
             if ch != " " and ch in font.handles:
                 h = font.handles[ch]
                 gw, gh = h["size"][0] * k, h["size"][1] * k
                 if prop:
                     bx, by = font.bearings[ch]
-                    gx = x + bx * k + gw / 2
+                    gx = pen + bx * k + gw / 2
                     gy = y - by * k - gh / 2
                 else:
                     gw, gh = cw, ch_h

@@ -55,3 +55,47 @@ def test_rect_outline():
     assert img[32 - 10, 64, 1] > 150     # top edge
     assert img[32, 64 - 20, 1] > 150     # left edge
     assert img[32, 64, 1] < 120          # hollow center
+
+
+def test_circle_2d_and_grid():
+    @system
+    def draw(g=Gizmos(budget=512)):
+        g.circle_2d((0.0, 0.0), 20.0, color=(0.0, 0.0, 1.0, 1.0), width=2.0)
+        g.grid_2d((0.0, 0.0), (16.0, 16.0), (6, 3),
+                  color=(1.0, 1.0, 0.0, 1.0), width=1.0)
+
+    app = _app(draw)
+    app.update(dt=1 / 60)
+    img = frame_image(app)
+    # circle: blue on the ring (right point), not at center
+    assert img[32, 64 + 20, 2] > 140
+    # grid: yellow on the vertical rule at x=16 and horizontal at y=8
+    assert img[32, 64 + 16, 1] > 100
+    assert img[32 - 8, 64 + 40, 1] > 100
+
+
+def test_3d_shapes_draw():
+    from bevy_tpu.render.camera import Camera3d
+
+    @system
+    def draw3(g=Gizmos(budget=512)):
+        g.sphere((0.0, 0.0, 0.0), 1.0, color=(1.0, 0.0, 1.0, 1.0))
+        g.cuboid((0.0, 0.0, 0.0), (1.2, 1.2, 1.2),
+                 color=(0.0, 1.0, 1.0, 1.0))
+        g.axes((0.0, 0.0, 0.0), length=1.5)
+        g.arrow((0.0, -1.5, 0.0), (0.0, 1.5, 0.0),
+                color=(1.0, 1.0, 1.0, 1.0))
+
+    app = App(capacity=32)
+    app.add_plugins(TimePlugin(), TransformPlugin(),
+                    RenderPlugin(width=128, height=96), SpritePlugin(),
+                    GizmosPlugin(capacity=512))
+    app.world.spawn(Camera3d(), *transform_bundle(translation=(0, 0, 5)))
+    app.add_systems(Update, draw3)
+    app.update(dt=1 / 60)
+    img = frame_image(app).astype(int)
+    bg = img[2, 2]
+    cov = np.abs(img - bg).max(-1) > 30
+    assert cov.mean() > 0.02, "3D gizmo shapes not visible"
+    # sphere ring magenta near left edge of the unit sphere's projection
+    assert cov[48 - 2:48 + 2, 30:98].any()
