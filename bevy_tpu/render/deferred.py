@@ -33,6 +33,7 @@ class PointLight:
     color = field(3, default=(1.0, 1.0, 1.0))
     intensity = field((), jnp.float32, default=1.0)
     range = field((), jnp.float32, default=20.0)
+    shadows = field((), jnp.int32)  # 1 = shadow-casting (PointShadowPlugin)
 
 
 @component
@@ -118,11 +119,13 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
             # shadow-casting spots shade in the XLA pass of
             # SpotShadowPlugin instead of the binned kernel
             s_mask = slight.mask & (slight.spot_light.shadows == 0)
-            lmask = jnp.concatenate([plight.mask, s_mask])
+            p_mask = plight.mask & (plight.point_light.shadows == 0)
+            lmask = jnp.concatenate([p_mask, s_mask])
         else:
             records = jnp.concatenate([
                 p_pos, p_col, p_rng[:, None], jnp.zeros((np_, 1))], axis=1)
-            pos, rng, lmask = p_pos, p_rng, plight.mask
+            pos, rng = p_pos, p_rng
+            lmask = plight.mask & (plight.point_light.shadows == 0)
 
         # --- conservative screen AABBs ---
         ph = jnp.concatenate([pos, jnp.ones((pos.shape[0], 1))], 1)
