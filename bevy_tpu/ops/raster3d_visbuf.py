@@ -152,7 +152,11 @@ def pack_planes_h(cc, cn, valid, width, height, viewport=None,
         jnp.zeros((t, ZREC - 17), jnp.float32)], 1)
     if build_srec:
         if materials is None:
-            materials = jnp.zeros((t, 9), jnp.float32)
+            materials = jnp.zeros((t, 11), jnp.float32)
+        if materials.shape[1] == 9:       # no clearcoat columns supplied
+            materials = jnp.concatenate(
+                [materials, jnp.zeros((t, 2), jnp.float32)], 1)
+        mat9, cc_part = materials[:, :9], materials[:, 9:11]
         if cuv is not None and tex_rect is not None:
             uv_part = jnp.concatenate([
                 combo(cuv[:, :, 0]), combo(cuv[:, :, 1]), tex_rect], 1)
@@ -170,8 +174,8 @@ def pack_planes_h(cc, cn, valid, width, height, viewport=None,
             jnp.zeros((t, 4), jnp.float32)
         srec = jnp.concatenate([
             iw_plane, combo(cn[:, :, 0]), combo(cn[:, :, 1]),
-            combo(cn[:, :, 2]), materials, uv_part, nm_part, lm_part,
-            jnp.zeros((t, SREC - 42), jnp.float32)], 1)
+            combo(cn[:, :, 2]), mat9, uv_part, nm_part, lm_part,
+            cc_part, jnp.zeros((t, SREC - 44), jnp.float32)], 1)
     else:
         srec = None      # flat-shading path builds 8-wide records instead
     return zrec, srec, valid
@@ -536,7 +540,7 @@ def resolve_shade(winner, srec, atlas=None):
     n = jnp.stack([nx, ny, nz], -1)
     n = n * jax.lax.rsqrt(jnp.maximum(jnp.sum(n * n, -1, keepdims=True),
                                       1e-12))
-    mat = rec[..., 12:21]
+    mat = jnp.concatenate([rec[..., 12:21], rec[..., 42:44]], -1)
     if atlas is not None:
         u = (rec[..., 21] * px + rec[..., 22] * py + rec[..., 23]) / iw
         v = (rec[..., 24] * px + rec[..., 25] * py + rec[..., 26]) / iw
@@ -600,15 +604,18 @@ def pack_flat_gbuf(cn, materials, valid):
     """Flat-mesh G-buffer records as TWO 8-wide tables (8-wide row
     gathers are the fast TPU regime; one 16-wide table is not):
     a = [albedo rgba, normal xyz, pad], b = [emissive rgb, metallic,
-    roughness, pad]."""
+    roughness, clearcoat, clearcoat roughness, pad]."""
     t = cn.shape[0]
     n = cn[:, 0]
     n = n * jax.lax.rsqrt(jnp.maximum(jnp.sum(n * n, -1, keepdims=True),
                                       1e-12))
+    if materials.shape[1] == 9:
+        materials = jnp.concatenate(
+            [materials, jnp.zeros((t, 2), jnp.float32)], 1)
     a = jnp.concatenate([materials[:, 0:4], n,
                          jnp.zeros((t, 1), jnp.float32)], 1)
-    b = jnp.concatenate([materials[:, 4:9],
-                         jnp.zeros((t, 3), jnp.float32)], 1)
+    b = jnp.concatenate([materials[:, 4:11],
+                         jnp.zeros((t, 1), jnp.float32)], 1)
     gate = valid[:, None]
     return jnp.where(gate, a, 0.0), jnp.where(gate, b, 0.0)
 
@@ -621,7 +628,7 @@ def resolve_gbuf_flat(winner, frec_a, frec_b, gbuf):
     idx = jnp.maximum(winner, 0)
     a = frec_a[idx]                             # (H, W, 8)
     b = frec_b[idx]
-    planes = jnp.concatenate([a[..., 0:7], b[..., 0:5]], -1)   # 12
+    planes = jnp.concatenate([a[..., 0:7], b[..., 0:7]], -1)   # 14
     return jnp.where(ok[None], jnp.moveaxis(planes, -1, 0), gbuf)
 
 
@@ -670,9 +677,10 @@ def resolve_forward(winner, srec, light_vec, color_planar, atlas=None):
 
 def resolve_gbuf(winner, srec, gbuf, atlas=None):
     """G-buffer write from visbuffer winners (ref: the deferred prepass,
-    bevy_core_pipeline/src/deferred/). gbuf (12, H, W): albedo rgba,
-    world normal xyz, emissive rgb, metallic, roughness."""
+    bevy_core_pipeline/src/deferred/). gbuf (14, H, W): albedo rgba,
+    world normal xyz, emissive rgb, metallic, roughness, clearcoat,
+    clearcoat roughness."""
     n, mat, ok = resolve_shade(winner, srec, atlas)
     planes = jnp.concatenate([mat[..., 0:4], n, mat[..., 4:7],
-                              mat[..., 7:9]], -1)     # (H, W, 12)
+                              mat[..., 7:11]], -1)    # (H, W, 14)
     return jnp.where(ok[None], jnp.moveaxis(planes, -1, 0), gbuf)

@@ -118,6 +118,9 @@ def _shade_kernel(counts_ref, params_ref,
     er, eg, eb = gbuf_ref[7], gbuf_ref[8], gbuf_ref[9]
     met = gbuf_ref[10]
     rough = jnp.clip(gbuf_ref[11], 0.045, 1.0)
+    cc = gbuf_ref[12]                      # clearcoat weight (0 = off)
+    ccr = jnp.clip(gbuf_ref[13], 0.045, 1.0)
+    cc_a2 = (ccr * ccr) * (ccr * ccr)
 
     # view vector + PBR terms shared across lights (ref: pbr_lighting.wesl
     # Cook-Torrance GGX; diffuse kept un-normalized by π to match the
@@ -151,8 +154,18 @@ def _shade_kernel(counts_ref, params_ref,
         sr = dist * vis * (f0r + (1.0 - f0r) * fres)
         sg = dist * vis * (f0g + (1.0 - f0g) * fres)
         sb = dist * vis * (f0b + (1.0 - f0b) * fres)
-        return ((dr + sr) * cr * nol, (dg + sg) * cg * nol,
-                (db + sb) * cb * nol)
+        # clearcoat: second GGX lobe on the base normal with Kelemen
+        # visibility and f0=0.04; the base layer is attenuated by the
+        # coat's fresnel (ref: pbr_lighting.wesl clearcoat terms)
+        ccden = noh * noh * (cc_a2 - 1.0) + 1.0
+        ccdist = cc_a2 / jnp.maximum(3.14159265 * ccden * ccden, 1e-9)
+        ccvis = 0.25 / jnp.maximum(loh * loh, 1e-4)
+        fc = (0.04 + 0.96 * fres) * cc
+        coat = ccdist * ccvis * fc
+        keep = 1.0 - fc
+        return (((dr + sr) * keep + coat) * cr * nol,
+                ((dg + sg) * keep + coat) * cg * nol,
+                ((db + sb) * keep + coat) * cb * nol)
 
     # directional (shadowed) + ambient
     lit = shadow_ref[:]
@@ -207,7 +220,7 @@ def _shade_kernel(counts_ref, params_ref,
 def deferred_shade(gbuffer, depth, light_table, tile_counts, params,
                    shadow=None, *, tile_h=32, tile_w=128, max_per_tile=256,
                    interpret=False, spot=True):
-    """gbuffer (12,H,W), depth (H,W); light_table (num_tiles, 8, mpt) from
+    """gbuffer (14,H,W), depth (H,W); light_table (num_tiles, 8, mpt) from
     bin_lights; params (40,) f32 (see _shade_kernel); shadow (H,W) lit
     factor for the directional light (None = fully lit).
     Returns color (4,H,W)."""
@@ -226,7 +239,8 @@ def deferred_shade(gbuffer, depth, light_table, tile_counts, params,
         grid=(nty, ntx),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),          # light_table
-            pl.BlockSpec((12, tile_h, tile_w), lambda i, j, *_: (0, i, j),
+            pl.BlockSpec((int(gbuffer.shape[0]), tile_h, tile_w),
+                         lambda i, j, *_: (0, i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
                          memory_space=pltpu.VMEM),

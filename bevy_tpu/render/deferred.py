@@ -209,7 +209,7 @@ class DeferredLightingPlugin(Plugin):
         app.world.register_component(PointLight)
         app.world.register_component(SpotLight)
         store = app.world.state["res"][RenderTarget.RESOURCE]
-        store["gbuffer"] = jnp.zeros((12, rp.height, rp.width), jnp.float32)
+        store["gbuffer"] = jnp.zeros((14, rp.height, rp.width), jnp.float32)
         app.world.structure_version += 1
         app.add_systems(Render, clear_gbuffer, in_set=CLEAR_SET)
         app.add_systems(Render,

@@ -54,6 +54,8 @@ class MeshMaterial:
     emissive = field(3)
     metallic = field((), jnp.float32)
     perceptual_roughness = field((), jnp.float32, default=0.5)
+    clearcoat = field((), jnp.float32)          # ref: clearcoat lobe weight
+    clearcoat_roughness = field((), jnp.float32, default=0.5)
     uv_min = field(2)
     uv_max = field(2)
     nm_min = field(2)       # normal-map atlas rect (equal = no map)
@@ -239,7 +241,8 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                    window_budget=65536, eval_tris=None, corner_uv=None,
                    uvr_i=None, atlas=None, visible_budget=65536,
                    flat_ok=False, vis_state=None, phase_budget=16384,
-                   tan_i=None, nmr_i=None, lmr_i=None):
+                   tan_i=None, nmr_i=None, lmr_i=None, cc_i=None,
+                   ccr_i=None):
     """Visibility-buffer raster of one uniform batch (ref: bevy meshlet sw
     raster, bevy_pbr/src/meshlet/ — cluster cull → visbuffer → material
     resolve). clip (Ni, VC, 4) clip-space positions, nrm (Ni, VC, 3) world
@@ -312,7 +315,8 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         corner_uv is None
     if not depth_only:
         mat_inst = jnp.concatenate(
-            [col_i, emi_i, _col(met_i, 0.0), _col(rgh_i, 0.5)], axis=1)
+            [col_i, emi_i, _col(met_i, 0.0), _col(rgh_i, 0.5),
+             _col(cc_i, 0.0), _col(ccr_i, 0.5)], axis=1)
     if corner_uv is not None and uvr_i is not None and not depth_only:
         cuv_static = jnp.asarray(_np.concatenate(
             [_np.asarray(corner_uv, _np.float32),
@@ -352,7 +356,7 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
             mat_tri = None
         else:
             mat_tri = jnp.broadcast_to(mat_inst[inst_v][:, None, :],
-                                       (k, cs, 9)).reshape(tv, 9)
+                                       (k, cs, 11)).reshape(tv, 11)
         if cuv_static is not None:
             cuv = cuv_static.reshape(cc_num, cs, 3, 2)[cmesh_v].reshape(
                 tv, 3, 2)
@@ -760,6 +764,8 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         interpret=interpret, deferred=deferred,
                         met_i=q.mesh_material.metallic[rows],
                         rgh_i=q.mesh_material.perceptual_roughness[rows],
+                        cc_i=q.mesh_material.clearcoat[rows],
+                        ccr_i=q.mesh_material.clearcoat_roughness[rows],
                         viewport=viewport, win_h=win_h,
                         window_budget=window_budget, eval_tris=eval_tris,
                         corner_uv=cuv, uvr_i=uvr, visible_budget=visible_budget,

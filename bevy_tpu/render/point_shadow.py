@@ -211,7 +211,8 @@ class PointShadowPlugin(Plugin):
             lcol = (plight.point_light.color[li] *
                     plight.point_light.intensity[li])[None, None, :] * \
                 (atten * lit)[..., None]
-            add = ggx_light(albedo, n, g[10], g[11], vdir, ldir, lcol)
+            add = ggx_light(albedo, n, g[10], g[11], vdir, ldir, lcol,
+                            cc=g[12], ccr=g[13])
             geom = (z > 0) & has & has_cam
             rgb = jnp.where(geom[None],
                             c[:3] + jnp.moveaxis(add, -1, 0), c[:3])

@@ -43,9 +43,12 @@ def clear_spot_shadow(target=ResMut(RenderTarget.RESOURCE)):
     target.spot_shadow_depth = jnp.zeros_like(target.spot_shadow_depth)
 
 
-def ggx_light(albedo, n, metallic, rough, view_dir, ldir, lcol):
+def ggx_light(albedo, n, metallic, rough, view_dir, ldir, lcol,
+              cc=None, ccr=None):
     """Cook-Torrance GGX matching ops/shade_pallas.py shade_light.
-    All (..., 3)/(...,) planes; ldir points TOWARD the light."""
+    All (..., 3)/(...,) planes; ldir points TOWARD the light. Optional
+    clearcoat weight/roughness planes add the second lobe (Kelemen
+    visibility) with base-layer fresnel attenuation."""
     rough = jnp.clip(rough, 0.045, 1.0)
     alpha = rough * rough
     a2 = alpha * alpha
@@ -65,7 +68,16 @@ def ggx_light(albedo, n, metallic, rough, view_dir, ldir, lcol):
     fres = (1.0 - loh[..., None]) ** 5
     spec = (dist * vis)[..., None] * (f0 + (1.0 - f0) * fres)
     diff = albedo * (1.0 - metallic[..., None])
-    return (diff + spec) * lcol * nol[..., None]
+    base = diff + spec
+    if cc is not None:
+        ccr_c = jnp.clip(ccr, 0.045, 1.0)
+        cc_a2 = (ccr_c * ccr_c) ** 2
+        ccden = noh * noh * (cc_a2 - 1.0) + 1.0
+        ccdist = cc_a2 / jnp.maximum(jnp.pi * ccden * ccden, 1e-9)
+        ccvis = 0.25 / jnp.maximum(loh * loh, 1e-4)
+        fc = ((0.04 + 0.96 * fres[..., 0]) * cc)[..., None]
+        base = base * (1.0 - fc) + (ccdist * ccvis)[..., None] * fc
+    return base * lcol * nol[..., None]
 
 
 class SpotShadowPlugin(Plugin):
@@ -219,7 +231,8 @@ class SpotShadowPlugin(Plugin):
             lcol = (slight.spot_light.color[li] *
                     slight.spot_light.intensity[li])[None, None, :] * \
                 (atten * lit)[..., None]
-            add = ggx_light(albedo, n, g[10], g[11], vdir, ldir, lcol)
+            add = ggx_light(albedo, n, g[10], g[11], vdir, ldir, lcol,
+                            cc=g[12], ccr=g[13])
             geom = (z > 0) & has & has_cam
             rgb = jnp.where(geom[None],
                             c[:3] + jnp.moveaxis(add, -1, 0), c[:3])
