@@ -59,9 +59,17 @@ class RenderPlugin(Plugin):
     """width/height are static (they size the framebuffer arrays and the
     raster tile grid — the one retrace trigger for resolution change)."""
 
-    def __init__(self, width: int = 1280, height: int = 720):
-        self.width = width
-        self.height = height
+    def __init__(self, width: int = 1280, height: int = 720, ssaa: int = 1):
+        # ssaa=N renders every pass at N x N subsamples per output pixel
+        # and box-resolves in frame_image (ref: Msaa — the TPU form is
+        # ordered-grid supersampling: same arrays, bigger grid, zero
+        # kernel changes). 3D cameras reframe automatically (fov);
+        # 2D cameras should set Camera2d(scale=1/N).
+        self.ssaa = int(ssaa)
+        self.width = width * self.ssaa
+        self.height = height * self.ssaa
+        self.out_width = width
+        self.out_height = height
 
     def build(self, app):
         h, w = self.height, self.width
@@ -70,6 +78,7 @@ class RenderPlugin(Plugin):
             "color": jnp.zeros((4, h, w), jnp.float32),
             "depth": jnp.zeros((h, w), jnp.float32),
             "size": jnp.asarray([w, h], jnp.float32),
+            "ssaa": jnp.asarray(self.ssaa, jnp.int32),
         })
         if TextureAtlas.RESOURCE not in app.world.state["res"]:
             app.insert_resource(TextureAtlas.RESOURCE,
@@ -87,5 +96,10 @@ class RenderPlugin(Plugin):
 def frame_image(app) -> np.ndarray:
     """Host readback of the framebuffer as sRGB u8 (H, W, 4) — the
     present/screenshot position (ref: screenshot.rs:83)."""
-    fb = app.world.state["res"][RenderTarget.RESOURCE]["color"]
+    store = app.world.state["res"][RenderTarget.RESOURCE]
+    fb = store["color"]
+    s = int(store.get("ssaa", 1))
+    if s > 1:                      # box-filter resolve (linear space)
+        _, h, w = fb.shape
+        fb = fb.reshape(4, h // s, s, w // s, s).mean((2, 4))
     return np.asarray(jax.device_get(image_to_srgb_u8(fb.transpose(1, 2, 0))))
