@@ -56,6 +56,8 @@ class MeshMaterial:
     perceptual_roughness = field((), jnp.float32, default=0.5)
     clearcoat = field((), jnp.float32)          # ref: clearcoat lobe weight
     clearcoat_roughness = field((), jnp.float32, default=0.5)
+    specular_transmission = field((), jnp.float32)   # ref: transmission
+    ior = field((), jnp.float32, default=1.5)
     uv_min = field(2)
     uv_max = field(2)
     nm_min = field(2)       # normal-map atlas rect (equal = no map)
@@ -113,15 +115,21 @@ def _rebuild_expansion(world, pool_host, plugin):
     if len(rows):
         alpha = np.asarray(jax.device_get(
             world.column(MeshMaterial, "base_color")))[:, 3]
+        trans = np.asarray(jax.device_get(
+            world.column(MeshMaterial, "specular_transmission")))
     else:
         alpha = np.zeros(0, np.float32)
+        trans = np.zeros(0, np.float32)
     plugin._groups = []
     for mid in np.unique(mesh_ids):
         grows = rows[mesh_ids == mid].astype(np.int32)
         ga = alpha[grows]
-        plugin._groups.append({
+        gx = trans[grows] > 0.0         # transmissive phase (ref:
+        plugin._groups.append({         # Transmissive3d)
             "rows": grows, "mesh": int(mid),
-            "rows_o": grows[ga >= 0.999], "rows_t": grows[ga < 0.999]})
+            "rows_o": grows[(ga >= 0.999) & ~gx],
+            "rows_t": grows[(ga < 0.999) & ~gx],
+            "rows_x": grows[gx]})
     plugin._uniform = plugin._groups[0] if len(plugin._groups) == 1 else None
     if plugin._groups and getattr(plugin, "_resolved_backend", "pallas") == "pallas":
         # pallas renders per-group uniform batches; the expanded tables are
