@@ -34,13 +34,54 @@ class Tonemapping:
     REINHARD = 1
     REINHARD_LUMINANCE = 2
     ACES = 3
+    LUT = 4            # 3D LUT (ref: TonyMcMapface/AgX/Blender-Filmic —
+                       # all LUT-based modes of bevy tonemapping_luts)
 
 
 def _luminance(rgb):
     return (0.2126 * rgb[0] + 0.7152 * rgb[1] + 0.0722 * rgb[2])
 
 
-def tonemap(rgb, mode: int, exposure: float):
+def neutral_lut(n=33, shoulder=4.0):
+    """Procedural neutral filmic 3D LUT (n,n,n,3): the LUT grid is
+    indexed by PQ-ish encoded linear rgb in [0, shoulder] and stores a
+    Reinhard-luminance + mild crosstalk response. Stand-in for the
+    shipped TonyMcMapface .ktx2 (load a real LUT with lut=np.load(...)
+    of shape (n,n,n,3) to reproduce it exactly)."""
+    import numpy as _np
+    ax = _np.linspace(0.0, 1.0, n, dtype=_np.float32)
+    r, g, b = _np.meshgrid(ax, ax, ax, indexing="ij")
+    rgb = _np.stack([r, g, b], -1) ** 2 * shoulder       # decode
+    l = (0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] +
+         0.0722 * rgb[..., 2])
+    scale = (1.0 / (1.0 + l))[..., None]
+    out = rgb * scale
+    # gentle crosstalk desaturates near white (the filmic look)
+    m = out.mean(-1, keepdims=True)
+    t = _np.clip(l / shoulder, 0.0, 1.0)[..., None] ** 2
+    return (out * (1 - 0.3 * t) + m * (0.3 * t)).astype(_np.float32)
+
+
+def sample_lut3d(rgb, lut, shoulder=4.0):
+    """Trilinear 3D-LUT lookup. rgb (3, H, W) linear; lut (n,n,n,3).
+    Grid coords use the sqrt shaper matching neutral_lut's decode."""
+    n = lut.shape[0]
+    lutj = jnp.asarray(lut)
+    co = jnp.sqrt(jnp.clip(rgb / shoulder, 0.0, 1.0)) * (n - 1)
+    i0 = jnp.clip(jnp.floor(co).astype(jnp.int32), 0, n - 2)
+    f = co - i0
+    out = 0.0
+    for dr in (0, 1):
+        for dg in (0, 1):
+            for db in (0, 1):
+                w = (jnp.abs(1 - dr - f[0]) * jnp.abs(1 - dg - f[1]) *
+                     jnp.abs(1 - db - f[2]))
+                tex = lutj[i0[0] + dr, i0[1] + dg, i0[2] + db]
+                out = out + w[..., None] * tex
+    return jnp.moveaxis(out, -1, 0)
+
+
+def tonemap(rgb, mode: int, exposure: float, lut=None):
     """rgb: (3, H, W) linear planes."""
     rgb = rgb * exposure
     if mode == Tonemapping.NONE:
@@ -55,6 +96,8 @@ def tonemap(rgb, mode: int, exposure: float):
         a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
         return jnp.clip((rgb * (a * rgb + b)) /
                         (rgb * (c * rgb + d) + e), 0.0, 1.0)
+    if mode == Tonemapping.LUT:
+        return sample_lut3d(rgb, lut if lut is not None else neutral_lut())
     raise ValueError(mode)
 
 
@@ -509,18 +552,22 @@ class FxaaPlugin(Plugin):
 class TonemappingPlugin(Plugin):
     """ref: Tonemapping component on cameras — global here (one target)."""
 
-    def __init__(self, mode: int = Tonemapping.ACES, exposure: float = 1.0):
+    def __init__(self, mode: int = Tonemapping.ACES, exposure: float = 1.0,
+                 lut=None):
         self.mode = mode
         self.exposure = exposure
+        self.lut = lut        # (n,n,n,3) array for Tonemapping.LUT
 
     def build(self, app):
-        mode, exposure = self.mode, self.exposure
+        mode, exposure, lut = self.mode, self.exposure, self.lut
+        if mode == Tonemapping.LUT and lut is None:
+            lut = neutral_lut()
 
         @system(name="tonemap_pass")
         def tonemap_pass(target=ResMut(RenderTarget.RESOURCE)):
             c = target.color
             target.color = jnp.concatenate(
-                [tonemap(c[:3], mode, exposure), c[3:4]], axis=0)
+                [tonemap(c[:3], mode, exposure, lut), c[3:4]], axis=0)
 
         app.add_systems(Render, tonemap_pass, in_set=POST_SET)
 
