@@ -78,7 +78,7 @@ def _shade_kernel(counts_ref, params_ref,
                   gbuf_ref, dep_ref, shadow_ref,
                   col_out_ref,
                   lights_ref, sem,
-                  *, tile_h, tile_w, max_per_tile, spot):
+                  *, tile_h, tile_w, max_per_tile, spot, clearcoat=True):
     i = pl.program_id(0)
     j = pl.program_id(1)
     ntx = pl.num_programs(1)
@@ -118,9 +118,10 @@ def _shade_kernel(counts_ref, params_ref,
     er, eg, eb = gbuf_ref[7], gbuf_ref[8], gbuf_ref[9]
     met = gbuf_ref[10]
     rough = jnp.clip(gbuf_ref[11], 0.045, 1.0)
-    cc = gbuf_ref[12]                      # clearcoat weight (0 = off)
-    ccr = jnp.clip(gbuf_ref[13], 0.045, 1.0)
-    cc_a2 = (ccr * ccr) * (ccr * ccr)
+    if clearcoat:
+        cc = gbuf_ref[12]                  # clearcoat weight (0 = off)
+        ccr = jnp.clip(gbuf_ref[13], 0.045, 1.0)
+        cc_a2 = (ccr * ccr) * (ccr * ccr)
 
     # view vector + PBR terms shared across lights (ref: pbr_lighting.wesl
     # Cook-Torrance GGX; diffuse kept un-normalized by π to match the
@@ -154,6 +155,10 @@ def _shade_kernel(counts_ref, params_ref,
         sr = dist * vis * (f0r + (1.0 - f0r) * fres)
         sg = dist * vis * (f0g + (1.0 - f0g) * fres)
         sb = dist * vis * (f0b + (1.0 - f0b) * fres)
+        if not clearcoat:       # trace-time specialization (no coat
+            return ((dr + sr) * cr * nol,   # materials in the world)
+                    (dg + sg) * cg * nol,
+                    (db + sb) * cb * nol)
         # clearcoat: second GGX lobe on the base normal with Kelemen
         # visibility and f0=0.04; the base layer is attenuated by the
         # coat's fresnel (ref: pbr_lighting.wesl clearcoat terms)
@@ -216,10 +221,10 @@ def _shade_kernel(counts_ref, params_ref,
 
 
 @partial(jax.jit, static_argnames=("tile_h", "tile_w", "max_per_tile",
-                                   "interpret", "spot"))
+                                   "interpret", "spot", "clearcoat"))
 def deferred_shade(gbuffer, depth, light_table, tile_counts, params,
                    shadow=None, *, tile_h=32, tile_w=128, max_per_tile=256,
-                   interpret=False, spot=True):
+                   interpret=False, spot=True, clearcoat=True):
     """gbuffer (14,H,W), depth (H,W); light_table (num_tiles, 8, mpt) from
     bin_lights; params (40,) f32 (see _shade_kernel); shadow (H,W) lit
     factor for the directional light (None = fully lit).
@@ -255,7 +260,8 @@ def deferred_shade(gbuffer, depth, light_table, tile_counts, params,
         ],
     )
     kernel = partial(_shade_kernel, tile_h=tile_h, tile_w=tile_w,
-                     max_per_tile=max_per_tile, spot=spot)
+                     max_per_tile=max_per_tile, spot=spot,
+                     clearcoat=clearcoat)
     col = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

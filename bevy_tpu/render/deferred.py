@@ -90,6 +90,19 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
         # records and the cone-free kernel (the 0→nonzero transition bumps
         # structure_version, retracing into the full path) ---
         has_spots = world is None or world.component_rows(SpotLight) > 0
+        # same trace-time specialization for the clearcoat lobe: worlds
+        # whose materials all have clearcoat == 0 at trace time compile
+        # the coat-free kernel (a later in-jit clearcoat edit needs a
+        # structural change to retrace, like the alpha phase split)
+        has_cc = True
+        if world is not None:
+            from bevy_tpu.render.mesh3d import MeshMaterial as _MM
+            try:
+                import numpy as _np
+                has_cc = bool(_np.any(_np.asarray(jax.device_get(
+                    world.column(_MM, "clearcoat"))) > 0.0))
+            except KeyError:
+                has_cc = False
         np_ = plight.mask.shape[0]
         p_pos = plight.global_transform.translation
         p_rng = plight.point_light.range
@@ -186,7 +199,7 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
         target.color = deferred_shade(
             target.gbuffer, target.depth, table, counts, params, shadow,
             tile_h=tile_h, tile_w=tile_w, max_per_tile=max_lights_per_tile,
-            interpret=interpret, spot=has_spots)
+            interpret=interpret, spot=has_spots, clearcoat=has_cc)
         stats.pair_overflow = stats.pair_overflow + lstats["light_pair_overflow"]
         stats.tile_overflow = stats.tile_overflow + lstats["light_tile_overflow"]
 
