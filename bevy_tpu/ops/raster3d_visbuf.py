@@ -125,7 +125,8 @@ def pack_planes_h(cc, cn, valid, width, height, viewport=None,
     # id_base offsets ids when multiple packs share one winner/record
     # space (the two occlusion phases)
     tri_id = jnp.where(valid,
-                       jnp.arange(t, dtype=jnp.float32) + float(id_base),
+                       jnp.arange(t, dtype=jnp.float32) +
+                       jnp.asarray(id_base, jnp.float32),   # traced OK
                        -1.0)
 
     # per-tri conservative screen AABB (full viewport for near-straddlers)
