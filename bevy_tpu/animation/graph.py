@@ -37,11 +37,13 @@ class AnimationGraphPlayer:
 
 
 class GraphNode:
-    def __init__(self, kind, clip=-1, children=None, weight=1.0):
+    def __init__(self, kind, clip=-1, children=None, weight=1.0,
+                 mask=None):
         self.kind = kind                  # "clip" | "blend" | "add"
         self.clip = clip
         self.children: List[int] = children or []
         self.weight = weight
+        self.mask = mask                  # (J,) joint mask or None (all)
 
 
 class AnimationGraph:
@@ -56,8 +58,11 @@ class AnimationGraph:
         self.nodes: List[GraphNode] = []
         self.root: Optional[int] = None
 
-    def add_clip(self, clip: int, weight=1.0) -> int:
-        self.nodes.append(GraphNode("clip", clip=clip, weight=weight))
+    def add_clip(self, clip: int, weight=1.0, mask=None) -> int:
+        """`mask` (J,) restricts the clip to a joint subset (ref:
+        graph.rs node masks — upper/lower body splits)."""
+        self.nodes.append(GraphNode("clip", clip=clip, weight=weight,
+                                    mask=mask))
         return self._added()
 
     def add_blend(self, children: List[int], weight=1.0) -> int:
@@ -99,19 +104,25 @@ class AnimationGraph:
         times = player_cols.times[rows]          # (Ni, MAX_NODES)
         weights = player_cols.weights[rows]
         poses = [None] * len(self.nodes)
-        eff_w = [None] * len(self.nodes)
+        eff_w = [None] * len(self.nodes)         # (Ni, J) per-joint
+
+        def joint_w(w, n, j):
+            wj = jnp.broadcast_to(w[:, None], (w.shape[0], j))
+            if n.mask is not None:
+                wj = wj * jnp.asarray(n.mask, jnp.float32)[None, :]
+            return wj
+
         for i, n in enumerate(self.nodes):
             w = weights[:, i]
             if n.kind == "clip":
                 cid = jnp.full(rows.shape[0], n.clip, jnp.int32)
                 poses[i] = sample_pose(clip_data, counts, rates, cid,
                                        times[:, i])
-                eff_w[i] = w
+                eff_w[i] = joint_w(w, n, poses[i]["translation"].shape[1])
             elif n.kind == "blend":
                 total = None
                 acc_t = acc_r = acc_s = None
                 for c in n.children:
-                    cw = eff_w[c][:, None, None]
                     p = poses[c]
                     if acc_t is None:
                         total = eff_w[c]
@@ -121,22 +132,21 @@ class AnimationGraph:
                     else:
                         new_total = total + eff_w[c]
                         frac = (eff_w[c] /
-                                jnp.maximum(new_total, 1e-8))[:, None, None]
+                                jnp.maximum(new_total, 1e-8))[:, :, None]
                         acc_t = acc_t * (1 - frac) + p["translation"] * frac
                         acc_r = quat_nlerp(acc_r, p["rotation"], frac)
                         acc_s = acc_s * (1 - frac) + p["scale"] * frac
                         total = new_total
-                    del cw
                 poses[i] = TRS(translation=acc_t, rotation=acc_r,
                                scale=acc_s)
-                eff_w[i] = w
+                eff_w[i] = joint_w(w, n, acc_t.shape[1])
             elif n.kind == "add":
                 base = poses[n.children[0]]
                 t = base["translation"]
                 r = base["rotation"]
                 s = base["scale"]
                 for c in n.children[1:]:
-                    lw = eff_w[c][:, None, None]
+                    lw = eff_w[c][:, :, None]
                     layer = poses[c]
                     t = t + layer["translation"] * lw
                     ident = jnp.zeros_like(layer["rotation"]).at[..., 3].set(1.0)
@@ -144,7 +154,7 @@ class AnimationGraph:
                     r = quat_mul(lr, r)
                     s = s * (1.0 + (layer["scale"] - 1.0) * lw)
                 poses[i] = TRS(translation=t, rotation=r, scale=s)
-                eff_w[i] = w
+                eff_w[i] = joint_w(w, n, t.shape[1])
             else:
                 raise ValueError(n.kind)
         return poses[self.root]

@@ -148,3 +148,33 @@ def test_graph_skinned_render():
         return xs.mean()
 
     assert centroid_x(img_right) > centroid_x(img_mid) + 3
+
+
+def test_joint_masks_split_body():
+    """Masked clips drive disjoint joint subsets (ref:
+    examples/animation/animation_masks.rs)."""
+
+    def two_joint_clip(tj0, tj1):
+        t = np.asarray([tj0, tj1], np.float32)
+
+        def pose(_t):
+            return {"translation": t,
+                    "rotation": np.tile(np.asarray([0, 0, 0, 1],
+                                                   np.float32), (2, 1)),
+                    "scale": np.ones((2, 3), np.float32)}
+
+        return AnimationClip(1.0, pose)
+
+    a = two_joint_clip([1.0, 0, 0], [1.0, 0, 0])   # clip 0: both → x=1
+    b = two_joint_clip([0, 1.0, 0], [0, 1.0, 0])   # clip 1: both → y=1
+    data, counts, rates = bake_clips([a, b])
+
+    g = AnimationGraph()
+    na = g.add_clip(0, mask=np.asarray([1.0, 0.0]))   # joint 0 only
+    nb = g.add_clip(1, mask=np.asarray([0.0, 1.0]))   # joint 1 only
+    g.add_blend([na, nb])
+    pose = g.sample(data, counts, rates, _player_cols(g),
+                    jnp.asarray([0], jnp.int32))
+    tr = np.asarray(pose["translation"][0])
+    np.testing.assert_allclose(tr[0], [1.0, 0.0, 0.0], atol=1e-5)
+    np.testing.assert_allclose(tr[1], [0.0, 1.0, 0.0], atol=1e-5)
