@@ -24,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from bevy_tpu.ecs.component import component, field
+from bevy_tpu.ecs.component import field as efield
+from bevy_tpu.ecs.message import MessageWriter, message
 from bevy_tpu.ecs.query import Query, Res
 from bevy_tpu.ecs.system import system
 from bevy_tpu.math.affine import TRS, trs_compose, trs_to_mat4
@@ -254,3 +256,55 @@ def skin_matrices(skeleton: Skeleton, global_trs: TRS) -> jnp.ndarray:
     mats = trs_to_mat4(global_trs)                     # (Ni, J, 4, 4)
     inv_bind = jnp.asarray(skeleton.inverse_bind())
     return jnp.einsum("njab,jbc->njac", mats, inv_bind)
+
+
+@message
+class AnimationEvent:
+    """ref: bevy_animation/src/animation_event.rs — a payload fired when
+    a player's clock crosses an authored timestamp."""
+    entity = efield((), jnp.int32)
+    code = efield((), jnp.int32)
+
+
+def make_animation_event_system(durations, events, budget: int = 64):
+    """Update-system factory (run AFTER advance_animations): fires an
+    AnimationEvent message for every (clip, timestamp, code) in `events`
+    whose timestamp the player's clock crossed this frame, wrap-aware
+    (ref: trigger_animation_events)."""
+    durs = jnp.asarray(durations, jnp.float32)
+    ev_clip = jnp.asarray([e[0] for e in events], jnp.int32)
+    ev_t = jnp.asarray([e[1] for e in events], jnp.float32)
+    ev_code = jnp.asarray([e[2] for e in events], jnp.int32)
+    n_ev = len(events)
+
+    @system(name="animation_events")
+    def animation_events(q=Query(AnimationPlayer), time=Res(Time),
+                         w=MessageWriter(AnimationEvent, budget=budget)):
+        p = q.animation_player
+        dt = jnp.where(p.playing, time.delta, 0.0) * p.speed
+        d = durs[jnp.clip(p.clip, 0, durs.shape[0] - 1)]
+        # clock BEFORE this frame's advance (advance ran already)
+        old = (p.time - dt) % jnp.maximum(d, 1e-6)
+        tnew = p.time[:, None]
+        told = old[:, None]
+        ts = ev_t[None, :]
+        match = (p.clip[:, None] == ev_clip[None, :]) & \
+            q.mask[:, None] & (dt[:, None] > 0)
+        nowrap = (told < ts) & (ts <= tnew)
+        wrapped = (tnew < told) & ((ts > told) | (ts <= tnew))
+        fire = (match & (nowrap | wrapped)).reshape(-1)
+        ni = p.time.shape[0]
+        ent = jnp.broadcast_to(
+            jnp.arange(ni, dtype=jnp.int32)[:, None], (ni, n_ev)
+        ).reshape(-1)
+        code = jnp.broadcast_to(ev_code[None, :], (ni, n_ev)).reshape(-1)
+        pos = jnp.cumsum(fire.astype(jnp.int32)) - 1
+        tgt = jnp.where(fire & (pos < budget), pos, budget)
+        ent_buf = jnp.zeros(budget + 1, jnp.int32).at[tgt].set(
+            ent, mode="drop")[:budget]
+        code_buf = jnp.zeros(budget + 1, jnp.int32).at[tgt].set(
+            code, mode="drop")[:budget]
+        total = jnp.minimum(jnp.sum(fire.astype(jnp.int32)), budget)
+        w.send(count=total, entity=ent_buf, code=code_buf)
+
+    return animation_events
