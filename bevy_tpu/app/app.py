@@ -513,3 +513,27 @@ class App:
     @property
     def frame(self) -> int:
         return int(jax.device_get(self.world.state["frame"]))
+
+    # -- one-shot systems (ref: SystemRegistry, system/system_registry.rs:
+    # register once, run on demand outside any schedule) ----------------
+    def register_system(self, sys) -> int:
+        """Returns an id for `run_system` (ref: World::register_system)."""
+        if not hasattr(self, "_one_shot"):
+            self._one_shot = []
+        self._one_shot.append(sys)
+        return len(self._one_shot) - 1
+
+    def run_system(self, sys_or_id):
+        """Run one system immediately, outside the schedules (ref:
+        World::run_system / Commands::run_system). Host systems run
+        eagerly; device systems execute their ops eagerly against the
+        current world state."""
+        from bevy_tpu.ecs.schedule import SystemEntry, run_host_entry
+
+        sys = self._one_shot[sys_or_id] \
+            if isinstance(sys_or_id, int) else sys_or_id
+        sys.init_state(self.world)
+        if getattr(sys, "host", False):
+            run_host_entry(SystemEntry(sys), self.world)
+        else:
+            self.world.state = sys.run(self.world.state, self.world)

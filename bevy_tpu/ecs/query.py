@@ -129,6 +129,15 @@ class Query:
                     f"component '{spec.name}' has no storage; register or spawn it "
                     f"before running schedules")
         mask = state["ent"]["alive"]
+        # default query filter (ref: entity_disabling.rs
+        # DefaultQueryFilters): rows carrying Disabled are skipped unless
+        # the query mentions Disabled itself
+        if "disabled" in state["comp"]:
+            mentions = any(sp.name == "disabled" for sp in
+                           (*self.comps, *self.with_, *self.without,
+                            *self.changed, *self.added, *self.removed))
+            if not mentions:
+                mask = mask & ~state["comp"]["disabled"]["has"]
         for spec in self.comps + self.with_:
             mask = mask & state["comp"][spec.name]["has"]
         for spec in self.without:

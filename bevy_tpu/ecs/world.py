@@ -416,3 +416,18 @@ class World:
 
     def entity_count(self, *comps) -> int:
         return len(self.query_rows(*comps))
+
+
+def _define_disabled():
+    from bevy_tpu.ecs.component import component
+
+    @component
+    class Disabled:
+        """Marker excluding an entity from every query that does not
+        mention Disabled itself (ref: bevy_ecs entity_disabling.rs —
+        DefaultQueryFilters). Insert to disable, remove to re-enable."""
+
+    return Disabled
+
+
+Disabled = _define_disabled()
