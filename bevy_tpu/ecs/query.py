@@ -351,3 +351,21 @@ class LocalView:
         if not self._dirty:
             return state
         return set_in(state, ("sys", self._sys_id, "local", self._name), self._value)
+
+
+def pair_combinations(mask):
+    """All unordered entity pairs of a query (ref:
+    Query::iter_combinations — examples/ecs/iter_combinations.rs).
+
+    TPU form: the pair set is the static upper triangle of the
+    capacity x capacity grid — returns (idx_i, idx_j, valid) flat arrays
+    of length C*(C-1)/2 where valid = both rows matched. O(C^2) memory:
+    meant for small pools (orbital bodies, constraint pairs), like the
+    reference's O(N^2) iterator."""
+    import numpy as _np
+
+    c = mask.shape[0]
+    iu = _np.triu_indices(c, k=1)
+    idx_i = jnp.asarray(iu[0].astype(_np.int32))
+    idx_j = jnp.asarray(iu[1].astype(_np.int32))
+    return idx_i, idx_j, mask[idx_i] & mask[idx_j]
