@@ -169,3 +169,16 @@ def resource(cls=None, *, name: Optional[str] = None):
     reference backs resources with entities, `bevy_ecs/src/resource.rs:91` —
     here they are named pytrees in `state['res']`)."""
     return component(cls, name=name) if cls is not None else component(name=name)
+
+
+def define_component(name: str, fields: dict, requires=()):
+    """Create a component type at runtime (ref: examples/ecs/dynamic.rs —
+    components whose layout is only known at runtime, e.g. from config
+    or a network schema).
+
+        Pos = define_component("pos3", {"xyz": field(3)})
+
+    Field values are `field(...)` descriptors; the returned class is a
+    normal @component (usable in Query/spawn/Commands)."""
+    cls = type(name, (), dict(fields))
+    return component(cls, name=name, requires=requires)

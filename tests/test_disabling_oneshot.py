@@ -76,3 +76,14 @@ def test_one_shot_system_runs_on_demand():
     app.run_system(heal_all)            # also accepts the system itself
     after = float(app.world.get(0, Health).hp)
     assert after == before + 2.0
+
+
+def test_dynamic_component_definition():
+    """ref: examples/ecs/dynamic.rs — runtime-defined component layout."""
+    from bevy_tpu.ecs.component import define_component, field as f
+
+    Tag = define_component("rt_tag", {"value": f((), jnp.int32)})
+    app = App(capacity=4)
+    e = app.world.spawn(Tag(value=42))
+    app.update(dt=1 / 60)
+    assert int(app.world.get(e, Tag).value) == 42
