@@ -250,7 +250,7 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                    uvr_i=None, atlas=None, visible_budget=65536,
                    flat_ok=False, vis_state=None, phase_budget=16384,
                    tan_i=None, nmr_i=None, lmr_i=None, cc_i=None,
-                   ccr_i=None):
+                   ccr_i=None, material_fn=None):
     """Visibility-buffer raster of one uniform batch (ref: bevy meshlet sw
     raster, bevy_pbr/src/meshlet/ — cluster cull → visbuffer → material
     resolve). clip (Ni, VC, 4) clip-space positions, nrm (Ni, VC, 3) world
@@ -318,7 +318,7 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
     # G-buffer from two 8-wide record tables (both skip the 64-wide
     # varying-plane gather)
     flat = bool(flat_ok) and not deferred and not depth_only and \
-        corner_uv is None
+        corner_uv is None and material_fn is None
     flat_def = bool(flat_ok) and deferred and not depth_only and \
         corner_uv is None
     if not depth_only:
@@ -480,6 +480,16 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                                       atlas=atlas)
     elif flat:
         target.color = resolve_flat(win_i, flat_rec, target.color)
+    elif material_fn is not None:
+        # custom material (ref: the Material trait + custom shader
+        # examples — user shading code in the resolve position): fn
+        # receives (normal (H,W,3), mat (H,W,11), ok (H,W), light_vec)
+        # and returns (H,W,4) rgba
+        from bevy_tpu.ops.raster3d_visbuf import resolve_shade
+        n_pl, mat_pl, ok_pl = resolve_shade(win_i, srec, atlas)
+        rgba = material_fn(n_pl, mat_pl, ok_pl, light_vec)
+        target.color = jnp.where(ok_pl[None],
+                                 jnp.moveaxis(rgba, -1, 0), target.color)
     else:
         target.color = resolve_forward(win_i, srec, light_vec, target.color,
                                        atlas=atlas)
@@ -650,7 +660,8 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                    pairs_per_tri=2, max_per_tile=256, backend="auto",
                    deferred=False, win_h=32, window_budget=65536,
                    eval_tris=None, visible_budget=65536,
-                   occlusion_cull=False, phase_budget=16384):
+                   occlusion_cull=False, phase_budget=16384,
+                   material_fn=None):
     from bevy_tpu.transform import GlobalTransform
 
     if backend == "auto":
@@ -780,7 +791,7 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         atlas=matlas.data if has_tex else None,
                         flat_ok=flat_ok, vis_state=vs,
                         phase_budget=phase_budget, tan_i=tan, nmr_i=nmr,
-                        lmr_i=lmr)
+                        lmr_i=lmr, material_fn=material_fn)
                     if vs is not None:
                         setattr(vism, vkey, vs["mask"])
                 # transparent phase: weighted-blended OIT over the opaque
@@ -941,7 +952,8 @@ class Mesh3dPlugin(Plugin):
                  pairs_per_tri=2, max_per_tile=256, backend="auto",
                  deferred=False, win_h=32, window_budget=65536,
                  eval_tris=None, atlas=None, visible_budget=65536,
-                 occlusion_cull=False, phase_budget=16384):
+                 occlusion_cull=False, phase_budget=16384,
+                 material_fn=None):
         self.pool = pool or MeshPool()
         self._uniform = None
         self._groups = None
@@ -957,7 +969,8 @@ class Mesh3dPlugin(Plugin):
                         window_budget=window_budget, eval_tris=eval_tris,
                         visible_budget=visible_budget,
                         occlusion_cull=occlusion_cull,
-                        phase_budget=phase_budget)
+                        phase_budget=phase_budget,
+                        material_fn=material_fn)
 
     def build(self, app):
         from bevy_tpu.render.plugin import RenderPlugin
