@@ -64,6 +64,7 @@ class InputState:
         self.scroll = np.zeros(2, np.float32)
         self.gamepad_axes = np.zeros(NUM_GAMEPAD_AXES, np.float32)
         self.gamepad_buttons = np.zeros(NUM_GAMEPAD_BUTTONS, bool)
+        self.touches = np.zeros((MAX_TOUCHES, 3), np.float32)  # active,x,y
         self.pending_rumble = []   # drained by a host gamepad driver
 
     # -- the API a host driver / test calls between frames ---------------
@@ -101,6 +102,46 @@ class InputState:
 
     def set_gamepad_button(self, button, pressed=True):
         self.gamepad_buttons[button] = pressed
+
+    def touch(self, tid, x, y):
+        """Begin/move a touch point (ref: TouchInput Started/Moved)."""
+        self.touches[tid % MAX_TOUCHES] = (1.0, x, y)
+
+    def touch_end(self, tid):
+        self.touches[tid % MAX_TOUCHES, 0] = 0.0
+
+
+MAX_TOUCHES = 8
+
+
+@system(name="process_touch")
+def process_touch(fin=Res("frame_input"), t=ResMut("touches")):
+    """ref: bevy_input touch.rs Touches + gestures.rs pinch/rotate —
+    per-point phase transitions plus two-finger gesture deltas, all
+    derived in-jit from the raw frame-input table."""
+    cur = fin.touch_points                    # (MAX_TOUCHES, 3)
+    active = cur[:, 0] > 0.5
+    was = t.pressed
+    t.just_pressed = active & ~was
+    t.just_released = ~active & was
+    pos = cur[:, 1:3]
+    # pinch/rotate: the two lowest-id active points
+    idx = jnp.argsort(jnp.where(active, 0, 1), stable=True)
+    a, b = idx[0], idx[1]
+    two = jnp.sum(active.astype(jnp.int32)) >= 2
+    d = pos[b] - pos[a]
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d), 1e-12))
+    ang = jnp.arctan2(d[1], d[0])
+    had_two = t.gesture_valid
+    t.pinch_delta = jnp.where(two & had_two, dist - t.gesture_dist, 0.0)
+    raw = ang - t.gesture_angle
+    wrapped = jnp.arctan2(jnp.sin(raw), jnp.cos(raw))
+    t.rotate_delta = jnp.where(two & had_two, wrapped, 0.0)
+    t.gesture_dist = jnp.where(two, dist, t.gesture_dist)
+    t.gesture_angle = jnp.where(two, ang, t.gesture_angle)
+    t.gesture_valid = two
+    t.pressed = active
+    t.position = pos
 
 
 @system(name="process_keyboard")
@@ -165,10 +206,24 @@ class InputPlugin(Plugin):
             "delta": jnp.zeros(2, jnp.float32),
             "scroll": jnp.zeros(2, jnp.float32),
         })
+        app.register_frame_input(
+            "touch_points", np.zeros((MAX_TOUCHES, 3), np.float32),
+            lambda: state.touches.copy())
+        app.insert_resource("touches", {
+            "pressed": jnp.zeros(MAX_TOUCHES, bool),
+            "just_pressed": jnp.zeros(MAX_TOUCHES, bool),
+            "just_released": jnp.zeros(MAX_TOUCHES, bool),
+            "position": jnp.zeros((MAX_TOUCHES, 2), jnp.float32),
+            "pinch_delta": jnp.zeros((), jnp.float32),
+            "rotate_delta": jnp.zeros((), jnp.float32),
+            "gesture_dist": jnp.zeros((), jnp.float32),
+            "gesture_angle": jnp.zeros((), jnp.float32),
+            "gesture_valid": jnp.zeros((), bool),
+        })
         app.insert_resource("gamepad", {
             "pressed": jnp.zeros(NUM_GAMEPAD_BUTTONS, bool),
             "just_pressed": jnp.zeros(NUM_GAMEPAD_BUTTONS, bool),
             "axes": jnp.zeros(NUM_GAMEPAD_AXES, jnp.float32),
         })
         app.add_systems(First, [process_keyboard, process_mouse,
-                                process_gamepad])
+                                process_gamepad, process_touch])
