@@ -106,7 +106,9 @@ class Style:
                  max_height=None, content_size=(0.0, 0.0),
                  grid_cols=None, grid_rows=None, grid_col=0,
                  grid_col_span=1, grid_row=0, grid_row_span=1,
-                 overflow="visible"):
+                 overflow="visible", border=0.0,
+                 border_color=(0.0, 0.0, 0.0, 1.0), border_radius=0.0,
+                 gradient=None, box_shadow=None):
         self.width = width
         self.height = height
         self.flex_direction = flex_direction
@@ -128,6 +130,13 @@ class Style:
         self.min_width, self.min_height = min_width, min_height
         self.max_width, self.max_height = max_width, max_height
         self.content_size = content_size
+        # decorations (ref: bevy_ui border/border_radius/gradients/
+        # box_shadow) — baked to atlas textures at layout time
+        self.border = border
+        self.border_color = border_color
+        self.border_radius = border_radius
+        self.gradient = gradient        # (c0, c1, "vertical"|"horizontal")
+        self.box_shadow = box_shadow    # (dx, dy, blur, rgba)
         self.grid_cols, self.grid_rows = grid_cols, grid_rows
         self.grid_col, self.grid_col_span = grid_col, grid_col_span
         self.grid_row, self.grid_row_span = grid_row, grid_row_span
@@ -164,13 +173,67 @@ class _Node:
         self.parent: Optional["_Node"] = None
 
 
+def _rounded_dist(w, h, radius):
+    """Signed distance (px) to a w x h rounded rect, negative inside."""
+    r = float(min(radius, min(w, h) / 2))
+    yy, xx = np.mgrid[0:int(np.ceil(h)), 0:int(np.ceil(w))]
+    px = xx + 0.5
+    py = yy + 0.5
+    dx = np.abs(px - w / 2) - (w / 2 - r)
+    dy = np.abs(py - h / 2) - (h / 2 - r)
+    outer = np.hypot(np.maximum(dx, 0), np.maximum(dy, 0))
+    inner = np.minimum(np.maximum(dx, dy), 0.0)
+    return outer + inner - r
+
+
+def _bake_node_texture(w, h, s):
+    """Rounded-rect fill (+gradient) + border ring, antialiased (ref:
+    bevy_ui_render rounded-box SDF shading — done as a host bake)."""
+    dist = _rounded_dist(w, h, s.border_radius)
+    hh, ww = dist.shape
+    if s.gradient is not None:
+        c0, c1, axis = s.gradient
+        t = (np.mgrid[0:hh, 0:ww][0] / max(hh - 1, 1)) \
+            if axis == "vertical" else \
+            (np.mgrid[0:hh, 0:ww][1] / max(ww - 1, 1))
+        fill = (np.asarray(c0, np.float32)[None, None] * (1 - t[..., None])
+                + np.asarray(c1, np.float32)[None, None] * t[..., None])
+    else:
+        fill = np.broadcast_to(np.asarray(s.background, np.float32),
+                               (hh, ww, 4)).copy()
+    if s.border > 0:
+        ring = dist > -float(s.border)
+        fill = np.where(ring[..., None],
+                        np.asarray(s.border_color, np.float32), fill)
+    aa = np.clip(0.5 - dist, 0.0, 1.0)
+    out = fill.astype(np.float32)
+    out[..., 3] = out[..., 3] * aa
+    return out
+
+
+def _bake_shadow_texture(w, h, radius, blur, color):
+    """Blurred rounded-rect silhouette (ref: bevy_ui box_shadow)."""
+    pad = int(np.ceil(blur * 2))
+    dist = _rounded_dist(w + 2 * pad, h + 2 * pad, radius + pad) + pad
+    sigma = max(blur, 1.0) * 0.6
+    alpha = np.where(dist <= 0, 1.0, np.exp(-(dist / sigma) ** 2))
+    out = np.broadcast_to(np.asarray(color, np.float32),
+                          dist.shape + (4,)).copy()
+    out[..., 3] = out[..., 3] * alpha
+    return out.astype(np.float32), pad
+
+
 class UiPlugin(Plugin):
     """ref: UiPlugin. `spawn_node`/widget helpers build the tree; layout
     re-solves on world-structure change via the native flexbox solver."""
 
-    def __init__(self, width=1280, height=720):
+    def __init__(self, width=1280, height=720, atlas_builder=None):
+        # atlas_builder: share the app's AtlasBuilder when node
+        # decorations (border radius/border/gradient/shadow) must pack
+        # into the same TextureAtlas as fonts/sprites
         self.width = width
         self.height = height
+        self._builder = atlas_builder
         self.roots: List[_Node] = []
         self._by_row: Dict[int, _Node] = {}
 
@@ -190,6 +253,9 @@ class UiPlugin(Plugin):
         # text input + focus (host-side editing; see text_input)
         self._text_inputs = []
         self._virtual_lists = []
+        self._deco_handles = {}       # bake cache: key → atlas handle
+        self._shadow_rows = {}        # node row → shadow sprite row
+        self._atlas_dirty = False
         self._next_list_id = 0
         # directional navigation (ref: bevy_input_focus directional +
         # bevy_ui auto_directional_navigation): arrow keys move
@@ -433,9 +499,73 @@ class UiPlugin(Plugin):
                      UiNode(size=(w, h)))
         from bevy_tpu.ecs.component import ComponentInstance, get_spec
         spec = get_spec(Sprite)
-        world.insert(node.row, ComponentInstance(spec, {
-            "size": np.asarray([w, h], np.float32),
-            "color": np.asarray(s.background, np.float32)}))
+        fields = {"size": np.asarray([w, h], np.float32),
+                  "color": np.asarray(s.background, np.float32)}
+        if (s.border_radius > 0 or s.border > 0 or
+                s.gradient is not None) and w >= 1 and h >= 1:
+            hd = self._deco_handle(
+                ("n", round(w), round(h), s.border_radius, s.border,
+                 tuple(s.border_color), str(s.gradient),
+                 tuple(s.background)),
+                lambda: _bake_node_texture(w, h, s))
+            fields["color"] = np.ones(4, np.float32)
+            fields["uv_min"] = np.asarray(hd["uv_min"], np.float32)
+            fields["uv_max"] = np.asarray(hd["uv_max"], np.float32)
+            fields["tex"] = np.asarray(hd["tex"], np.int32)
+        world.insert(node.row, ComponentInstance(spec, fields))
+        if s.box_shadow is not None and w >= 1 and h >= 1:
+            dx, dy, blur, scol = s.box_shadow
+            hd, pad = self._deco_handle(
+                ("s", round(w), round(h), s.border_radius, blur,
+                 tuple(scol)),
+                lambda: _bake_shadow_texture(w, h, s.border_radius, blur,
+                                             scol))
+            srow = self._shadow_rows.get(node.row)
+            sw, sh = w + 2 * pad, h + 2 * pad
+            sx, sy = wx + dx, wy - dy
+            comps = [
+                ComponentInstance(spec, {
+                    "size": np.asarray([sw, sh], np.float32),
+                    "color": np.ones(4, np.float32),
+                    "uv_min": np.asarray(hd["uv_min"], np.float32),
+                    "uv_max": np.asarray(hd["uv_max"], np.float32),
+                    "tex": np.asarray(hd["tex"], np.int32)}),
+                Transform(translation=(sx, sy, z - 0.05)),
+                GlobalTransform(translation=(sx, sy, z - 0.05))]
+            if srow is None:
+                self._shadow_rows[node.row] = world.spawn(*comps).index
+            else:
+                world.insert(srow, *comps)
+
+    def _deco_handle(self, key, bake):
+        """Bake-once atlas entry (placement is fixed at add() time, so
+        handles stay valid when the atlas image is rebuilt)."""
+        if key in self._deco_handles:
+            return self._deco_handles[key]
+        from bevy_tpu.render.texture import AtlasBuilder, TextureAtlas
+        app = self.app
+        builder = self._builder or getattr(app, "_atlas_builder", None)
+        if builder is None:
+            res = app.world.state["res"].get(TextureAtlas.RESOURCE)
+            if res is not None and res["data"].shape[:2] != (1, 1):
+                raise RuntimeError(
+                    "UI decorations need to pack into the app's texture "
+                    "atlas: pass the AtlasBuilder via "
+                    "UiPlugin(atlas_builder=...) so existing uv rects "
+                    "stay valid")
+            builder = AtlasBuilder(1024, 512)
+            app._atlas_builder = builder
+        self._builder = builder
+        out = bake()
+        pad = None
+        if isinstance(out, tuple):
+            out, pad = out
+        hd = builder.add(out, f"ui_deco:{key}", srgb=False)
+        res = hd if pad is None else (hd, pad)
+        self._deco_handles[key] = res
+        app.insert_resource(TextureAtlas.RESOURCE,
+                            {"data": jnp.asarray(builder.data)})
+        return res
 
 
 def make_virtual_list_system(plugin, list_id, data, row_h):
