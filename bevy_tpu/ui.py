@@ -303,6 +303,13 @@ class UiPlugin(Plugin):
         """ref: bevy_ui_widgets button — an interactive node."""
         return self.spawn_node(world, style, parent, interactive=True)
 
+    def image(self, world, style: Style, handle, parent=None):
+        """Image node (ref: bevy_ui widget/image.rs — ImageNode): shows
+        an atlas texture handle; the node rect scales it."""
+        row = self.spawn_node(world, style, parent)
+        self._by_row[row].image = handle
+        return row
+
     def checkbox(self, world, style: Style, parent=None, checked=False):
         """Toggles on click release (ref: ui_widgets checkbox)."""
         return self.spawn_node(
@@ -501,6 +508,12 @@ class UiPlugin(Plugin):
         spec = get_spec(Sprite)
         fields = {"size": np.asarray([w, h], np.float32),
                   "color": np.asarray(s.background, np.float32)}
+        img_h = getattr(node, "image", None)
+        if img_h is not None:
+            fields["color"] = np.ones(4, np.float32)
+            fields["uv_min"] = np.asarray(img_h["uv_min"], np.float32)
+            fields["uv_max"] = np.asarray(img_h["uv_max"], np.float32)
+            fields["tex"] = np.asarray(img_h["tex"], np.int32)
         if (s.border_radius > 0 or s.border > 0 or
                 s.gradient is not None) and w >= 1 and h >= 1:
             hd = self._deco_handle(

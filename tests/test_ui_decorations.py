@@ -67,3 +67,30 @@ def test_box_shadow_behind_node():
     # darker pixels below-right of the node where the shadow falls
     cy, cx = 60 + 24, 100 + 32
     assert img[cy, cx, :3].sum() < plain[cy, cx, :3].sum() - 40
+
+
+def test_image_node_shows_texture():
+    from bevy_tpu.render.texture import AtlasBuilder, TextureAtlas
+
+    app = App(capacity=64)
+    builder = AtlasBuilder(64, 64)
+    img = np.zeros((8, 8, 4), np.float32)
+    img[:, :4] = (1.0, 0.0, 1.0, 1.0)           # magenta left half
+    img[:, 4:] = (1.0, 1.0, 0.0, 1.0)           # yellow right half
+    h = builder.add(img, srgb=False)
+    ui = UiPlugin(width=200, height=120, atlas_builder=builder)
+    app.add_plugins(TimePlugin(), TransformPlugin(), InputPlugin(),
+                    RenderPlugin(width=200, height=120), SpritePlugin(), ui)
+    app.insert_resource(TextureAtlas.RESOURCE,
+                        {"data": np.asarray(builder.data)})
+    app.world.spawn(Camera2d(), *transform_bundle())
+    root = ui.spawn_node(app.world, Style(
+        width=200, height=120, align_items="center",
+        justify_content="center"))
+    ui.image(app.world, Style(width=80, height=40), h, parent=root)
+    app.update(dt=1 / 60)
+    out = frame_image(app).astype(int)
+    left = out[60, 100 - 20]
+    right = out[60, 100 + 20]
+    assert left[0] > 150 and left[2] > 150 and left[1] < 120, left
+    assert right[0] > 150 and right[1] > 150 and right[2] < 120, right
