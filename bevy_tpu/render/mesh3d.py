@@ -363,8 +363,12 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         if depth_only:
             mat_tri = None
         else:
-            mat_tri = jnp.broadcast_to(mat_inst[inst_v][:, None, :],
-                                       (k, cs, 11)).reshape(tv, 11)
+            # flat-forward shading never reads the clearcoat columns —
+            # keep the broadcast/gather at 9 wide on that hot path
+            src = mat_inst[:, :9] if flat else mat_inst
+            mw = src.shape[1]
+            mat_tri = jnp.broadcast_to(src[inst_v][:, None, :],
+                                       (k, cs, mw)).reshape(tv, mw)
         if cuv_static is not None:
             cuv = cuv_static.reshape(cc_num, cs, 3, 2)[cmesh_v].reshape(
                 tv, 3, 2)
