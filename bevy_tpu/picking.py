@@ -127,3 +127,105 @@ def pick_at_pixel(app, plugin, px, py):
         jnp.asarray(fov), float(size[0]), float(size[1]),
         jnp.asarray(float(px)), jnp.asarray(float(py)))
     return pick_mesh3d(app.world, plugin, origin, direction)
+
+
+# ----------------------------------------------------------------------
+# Sprite picking backend (ref: bevy_sprite_render's sprite picking +
+# bevy_picking's HoverMap/Pointer<Over/Out/Click> events — backends emit
+# hits, core dispatches pointer events; here one in-jit system does both)
+
+from bevy_tpu.app.main_schedule import PreUpdate
+from bevy_tpu.app.plugin import Plugin
+from bevy_tpu.ecs.observer import Trigger, event
+from bevy_tpu.ecs.query import Read, Res, ResMut
+from bevy_tpu.ecs.component import field as _f
+
+
+@event
+class PointerOver:
+    """Cursor entered a sprite (ref: Pointer<Over>)."""
+    row = _f((), jnp.int32)
+
+
+@event
+class PointerOut:
+    """Cursor left a sprite (ref: Pointer<Out>)."""
+    row = _f((), jnp.int32)
+
+
+@event
+class PointerClick:
+    """Press began over a sprite (ref: Pointer<Click>)."""
+    row = _f((), jnp.int32)
+
+
+class SpritePickingPlugin(Plugin):
+    """Per-frame in-jit hover resolution over every sprite (rotation
+    aware, topmost z wins) + pointer event dispatch via observers."""
+
+    def __init__(self, width, height):
+        self.width = width
+        self.height = height
+
+    def build(self, app):
+        from bevy_tpu.ecs.query import Query
+        from bevy_tpu.ecs.system import system
+        from bevy_tpu.render.camera import Camera2d, pick_camera, \
+            quat_z_angle
+        from bevy_tpu.render.sprite import Sprite
+        from bevy_tpu.transform import GlobalTransform
+
+        from bevy_tpu.ecs.observer import register_event_storage
+        for ev in (PointerOver, PointerOut, PointerClick):
+            register_event_storage(app.world, ev, 64)
+        width, height = self.width, self.height
+        app.insert_resource("pointer_state",
+                            {"hovered": jnp.full((), -1, jnp.int32)})
+
+        @system(name="sprite_picking")
+        def sprite_picking(q=Query(Read(Sprite), Read(GlobalTransform)),
+                           cam=Query(Read(Camera2d),
+                                     Read(GlobalTransform)),
+                           mouse=Res("mouse"),
+                           ps=ResMut("pointer_state"),
+                           over=Trigger(PointerOver),
+                           out=Trigger(PointerOut),
+                           click=Trigger(PointerClick)):
+            ci, has_cam = pick_camera(cam.mask)
+            cgt = cam.global_transform
+            ang = quat_z_angle(cgt.rotation[ci])
+            scale = cam.camera2d.scale[ci]
+            # screen px → world (inverse of world_to_screen_2d)
+            vx = (mouse.position[0] - width / 2) * scale
+            vy = (height / 2 - mouse.position[1]) * scale
+            ca, sa = jnp.cos(ang), jnp.sin(ang)
+            wx = ca * vx - sa * vy + cgt.translation[ci, 0]
+            wy = sa * vx + ca * vy + cgt.translation[ci, 1]
+            # point into each sprite's local frame
+            d = jnp.stack([wx - q.global_transform.translation[:, 0],
+                           wy - q.global_transform.translation[:, 1]], 1)
+            sang = quat_z_angle(q.global_transform.rotation)
+            cs_, sn_ = jnp.cos(-sang), jnp.sin(-sang)
+            lx = cs_ * d[:, 0] - sn_ * d[:, 1]
+            ly = sn_ * d[:, 0] + cs_ * d[:, 1]
+            half = q.sprite.size * q.global_transform.scale[:, :2] * 0.5
+            inside = (jnp.abs(lx) <= half[:, 0]) & \
+                (jnp.abs(ly) <= half[:, 1]) & q.mask & has_cam & \
+                (q.sprite.color[:, 3] > 0.01)
+            z = q.global_transform.translation[:, 2]
+            key = jnp.where(inside, z, -jnp.inf)
+            top = jnp.argmax(key)
+            hovered = jnp.where(jnp.any(inside), top.astype(jnp.int32),
+                                -1)
+            prev = ps.hovered
+            changed = hovered != prev
+            over.trigger(count=(changed & (hovered >= 0)).astype(jnp.int32),
+                         row=hovered)
+            out.trigger(count=(changed & (prev >= 0)).astype(jnp.int32),
+                        row=prev)
+            click.trigger(
+                count=(mouse.just_pressed[0] & (hovered >= 0))
+                .astype(jnp.int32), row=hovered)
+            ps.hovered = hovered
+
+        app.add_systems(PreUpdate, sprite_picking)

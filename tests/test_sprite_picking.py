@@ -1,0 +1,81 @@
+"""Sprite picking backend (ref models: bevy_picking pointer events +
+the sprite picking backend of bevy_sprite_render)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from bevy_tpu import App, Update
+from bevy_tpu.ecs.observer import On
+from bevy_tpu.ecs.query import ResMut
+from bevy_tpu.ecs.system import system
+from bevy_tpu.input import InputPlugin, MouseButton
+from bevy_tpu.picking import (
+    PointerClick, PointerOut, PointerOver, SpritePickingPlugin,
+)
+from bevy_tpu.render import Camera2d, RenderPlugin, SpritePlugin
+from bevy_tpu.render.sprite import Sprite
+from bevy_tpu.time import TimePlugin
+from bevy_tpu.transform import TransformPlugin, transform_bundle
+
+W, H = 160, 120
+
+
+def _app():
+    app = App(capacity=16)
+    app.add_plugins(TimePlugin(), TransformPlugin(), InputPlugin(),
+                    RenderPlugin(width=W, height=H), SpritePlugin(),
+                    SpritePickingPlugin(W, H))
+    app.world.spawn(Camera2d(), *transform_bundle())
+    app.insert_resource("log", {"over": jnp.zeros((), jnp.int32),
+                                "out": jnp.zeros((), jnp.int32),
+                                "click": jnp.zeros((), jnp.int32),
+                                "last": jnp.full((), -1, jnp.int32)})
+
+    @system(name="tally")
+    def tally(r=ResMut("log"), ov=On(PointerOver), ou=On(PointerOut),
+              cl=On(PointerClick)):
+        fo, mo = ov.read()
+        r.over = r.over + jnp.sum(mo.astype(jnp.int32))
+        r.last = jnp.where(jnp.any(mo), fo["row"][jnp.argmax(mo)], r.last)
+        _, mu = ou.read()
+        r.out = r.out + jnp.sum(mu.astype(jnp.int32))
+        _, mc = cl.read()
+        r.click = r.click + jnp.sum(mc.astype(jnp.int32))
+
+    app.add_systems(Update, tally)
+    return app
+
+
+def test_hover_click_out_sequence():
+    app = _app()
+    s = app.world.spawn(Sprite(size=(40, 30), color=(1, 0, 0, 1)),
+                        *transform_bundle(translation=(20.0, 10.0, 5.0)))
+    app.update(dt=1 / 60)
+    # move over the sprite (screen px: world (20,10) → (100, 50))
+    app.input.move_to(100.0, 50.0)
+    app.update(dt=1 / 60)
+    log = app.world.resource("log")
+    assert int(log.over) == 1 and int(log.last) == s.index
+    # click it
+    app.input.press_mouse(MouseButton.Left)
+    app.update(dt=1 / 60)
+    assert int(app.world.resource("log").click) == 1
+    app.input.release_mouse(MouseButton.Left)
+    # move away
+    app.input.move_to(5.0, 5.0)
+    app.update(dt=1 / 60)
+    log = app.world.resource("log")
+    assert int(log.out) == 1
+    assert int(log.over) == 1          # no extra over
+
+
+def test_topmost_sprite_wins():
+    app = _app()
+    app.world.spawn(Sprite(size=(60, 60), color=(0, 1, 0, 1)),
+                    *transform_bundle(translation=(0.0, 0.0, 1.0)))
+    top = app.world.spawn(Sprite(size=(20, 20), color=(0, 0, 1, 1)),
+                          *transform_bundle(translation=(0.0, 0.0, 9.0)))
+    app.update(dt=1 / 60)
+    app.input.move_to(W / 2, H / 2)
+    app.update(dt=1 / 60)
+    assert int(app.world.resource("log").last) == top.index
