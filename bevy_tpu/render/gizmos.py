@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from bevy_tpu.app.main_schedule import Render
 from bevy_tpu.app.plugin import Plugin
 from bevy_tpu.ecs._state import set_in
+from bevy_tpu.ecs.component import component, field
 from bevy_tpu.ecs.query import Query, Read, ResMut
 from bevy_tpu.ecs.system import system
 from bevy_tpu.render.camera import (
@@ -212,7 +213,9 @@ class GizmosView:
         store = dict(state["res"][GIZMO_RES])
         cap = store["a"].shape[0]
         budget = self._param.budget
-        for a, b, color, width, is3d in self._segments:
+        for seg in self._segments:
+            a, b, color, width, is3d = seg[:5]
+            valid = seg[5] if len(seg) > 5 else None
             a = jnp.atleast_2d(jnp.asarray(a, jnp.float32))
             b = jnp.atleast_2d(jnp.asarray(b, jnp.float32))
             n = a.shape[0]
@@ -220,8 +223,14 @@ class GizmosView:
                 a = jnp.concatenate([a, jnp.zeros((n, 1))], 1)
                 b = jnp.concatenate([b, jnp.zeros((n, 1))], 1)
             n = min(n, budget)
-            rows = store["count"] + jnp.arange(n, dtype=jnp.int32)
-            ok = rows < cap
+            if valid is not None:
+                # compact valid rows so masked appends consume no budget
+                v = valid[:n]
+                rows = store["count"] + jnp.cumsum(v.astype(jnp.int32)) - 1
+                ok = v & (rows < cap)
+            else:
+                rows = store["count"] + jnp.arange(n, dtype=jnp.int32)
+                ok = rows < cap
             rows = jnp.where(ok, rows, cap)
             col = jnp.broadcast_to(jnp.asarray(color, jnp.float32), (n, 4))
             store = dict(
@@ -352,8 +361,57 @@ class GizmosPlugin(Plugin):
                         make_gizmo_pass(rp.width, rp.height, self.backend),
                         in_set=OVERLAY_SET, after="sprite_pass")
         app.add_systems(Render, clear_gizmos, in_set=POST_SET)
+        from bevy_tpu.app.main_schedule import Update
+        app.world.register_component(RetainedGizmo)
+        app.add_systems(Update, draw_retained_gizmos)
 
 
 from bevy_tpu.ecs.system import register_param_type  # noqa: E402
 
 register_param_type(Gizmos)
+
+
+@component
+class RetainedGizmo:
+    """Persistent line segment drawn every frame (ref: bevy_gizmos
+    src/retained.rs — retained gizmo assets vs the immediate API).
+    Edit fields in-jit to animate; despawn to remove."""
+    a = field(3)
+    b = field(3)
+    color = field(4, default=(1.0, 1.0, 1.0, 1.0))
+    width = field((), jnp.float32, default=2.0)
+    is3d = field((), jnp.bool_, default=True)
+
+
+@system(name="draw_retained_gizmos")
+def draw_retained_gizmos(q=Query(RetainedGizmo), g=Gizmos(budget=1024)):
+    sel = q.retained_gizmo
+    # masked batched append: only live rows consume gizmo budget
+    g._segments.append((sel.a, sel.b, sel.color, sel.width, sel.is3d,
+                        q.mask))
+
+
+class UiDebugOverlayPlugin(Plugin):
+    """Draw every UI node's layout rect (ref: bevy_dev_tools's UI debug
+    overlay). Requires UiPlugin + GizmosPlugin."""
+
+    def __init__(self, color=(0.2, 1.0, 0.6, 0.9), width=1.0):
+        self.color = color
+        self.width = width
+
+    def build(self, app):
+        from bevy_tpu.app.main_schedule import Update
+
+        color, lw = self.color, self.width
+
+        @system(name="ui_debug_overlay")
+        def ui_debug_overlay(g=Gizmos(budget=1024)):
+            ui = getattr(app, "ui", None)
+            if ui is None:
+                return
+            for row, (x, y, w, h) in ui._rects.items():
+                cx = x + w / 2 - ui.width / 2
+                cy = ui.height / 2 - (y + h / 2)
+                g.rect_2d((cx, cy), (w, h), color, lw)
+
+        app.add_systems(Update, ui_debug_overlay)

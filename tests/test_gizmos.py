@@ -99,3 +99,46 @@ def test_3d_shapes_draw():
     assert cov.mean() > 0.02, "3D gizmo shapes not visible"
     # sphere ring magenta near left edge of the unit sphere's projection
     assert cov[48 - 2:48 + 2, 30:98].any()
+
+
+def test_retained_gizmos_persist_and_despawn():
+    from bevy_tpu.render.gizmos import RetainedGizmo
+
+    app = App(capacity=32)
+    app.add_plugins(TimePlugin(), TransformPlugin(),
+                    RenderPlugin(width=128, height=64), SpritePlugin(),
+                    GizmosPlugin(capacity=64))
+    app.world.spawn(Camera2d(), *transform_bundle())
+    e = app.world.spawn(RetainedGizmo(
+        a=(-30.0, 0.0, 0.0), b=(30.0, 0.0, 0.0),
+        color=(1.0, 0.0, 0.0, 1.0), width=2.0, is3d=False))
+    app.update(dt=1 / 60)
+    app.update(dt=1 / 60)                     # persists with no re-issue
+    img = frame_image(app)
+    assert img[32, 64, 0] > 150
+    app.world.despawn(e)
+    app.update(dt=1 / 60)
+    img = frame_image(app)
+    assert img[32, 64, 0] < 120
+
+
+def test_ui_debug_overlay_draws_rects():
+    from bevy_tpu.input import InputPlugin
+    from bevy_tpu.render.gizmos import UiDebugOverlayPlugin
+    from bevy_tpu.ui import Style, UiPlugin
+
+    app = App(capacity=64)
+    ui = UiPlugin(width=128, height=64)
+    app.add_plugins(TimePlugin(), TransformPlugin(), InputPlugin(),
+                    RenderPlugin(width=128, height=64), SpritePlugin(),
+                    ui, GizmosPlugin(capacity=256),
+                    UiDebugOverlayPlugin())
+    app.world.spawn(Camera2d(), *transform_bundle())
+    root = ui.spawn_node(app.world, Style(width=128, height=64))
+    ui.spawn_node(app.world, Style(width=40, height=20,
+                                   background=(0, 0, 0, 0)), parent=root)
+    app.update(dt=1 / 60)
+    app.update(dt=1 / 60)
+    img = frame_image(app)
+    # overlay outline along the child's top edge (child at top-left)
+    assert img[0:22, 0:42, 1].max() > 150
