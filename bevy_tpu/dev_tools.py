@@ -152,3 +152,63 @@ def dump_schedules(app) -> str:
              for label in app.schedules
              if app.schedules[label].entries]
     return "\n\n".join(parts)
+
+
+class FrameTimeGraphPlugin(Plugin):
+    """ref: bevy_dev_tools src/frame_time_graph/ — a live bar graph of
+    recent frame times. Host feeds a ring of the last N dt samples
+    through a frame-input channel; an in-jit system draws the curve with
+    gizmos (green at/below target, toward red above)."""
+
+    def __init__(self, samples: int = 64, width: float = 128.0,
+                 height: float = 36.0, target_ms: float = 16.7,
+                 corner=(8.0, 8.0)):
+        self.samples = samples
+        self.width = width
+        self.height = height
+        self.target_ms = target_ms
+        self.corner = corner
+
+    def build(self, app):
+        import jax.numpy as jnp
+
+        from bevy_tpu.ecs.query import Res
+        from bevy_tpu.ecs.system import system
+        from bevy_tpu.render.gizmos import Gizmos
+        from bevy_tpu.render.plugin import RenderPlugin
+
+        rp = next(p for p in app._plugins if isinstance(p, RenderPlugin))
+        n = self.samples
+        gw, gh, target = self.width, self.height, self.target_ms
+        x0 = -rp.out_width / 2 + self.corner[0]
+        y0 = rp.out_height / 2 - self.corner[1] - gh
+
+        ring = {"buf": np.zeros(n, np.float32), "i": 0}
+
+        def feed():
+            dt = getattr(app, "last_dt", 1 / 60) or 1 / 60
+            ring["buf"][ring["i"] % n] = dt * 1000.0
+            ring["i"] += 1
+            i = ring["i"] % n
+            return np.concatenate([ring["buf"][i:], ring["buf"][:i]])
+
+        app.register_frame_input("frame_times_ms", np.zeros(n, np.float32),
+                                 feed)
+
+        @system(name="frame_time_graph")
+        def frame_time_graph(fin=Res("frame_input"),
+                             g=Gizmos(budget=4 * n)):
+            ms = fin.frame_times_ms
+            ceil = jnp.maximum(jnp.max(ms), target * 2.0)
+            ys = y0 + jnp.clip(ms / ceil, 0.0, 1.0) * gh
+            xs = x0 + jnp.arange(n, dtype=jnp.float32) * (gw / (n - 1))
+            pts = jnp.stack([xs, ys], 1)
+            hot = jnp.clip(jnp.mean(ms) / target - 1.0, 0.0, 1.0)
+            col = (0.3 + 0.7 * hot, 1.0 - 0.8 * hot, 0.2, 0.9)
+            g.linestrip_2d(pts, col, 1.0)
+            ty = y0 + jnp.clip(target / ceil, 0.0, 1.0) * gh
+            g.line_2d(jnp.stack([jnp.asarray(x0), ty]),
+                      jnp.stack([jnp.asarray(x0 + gw), ty]),
+                      (1.0, 1.0, 1.0, 0.4), 1.0)
+
+        app.add_systems(Update, frame_time_graph)

@@ -142,3 +142,21 @@ def test_ui_debug_overlay_draws_rects():
     img = frame_image(app)
     # overlay outline along the child's top edge (child at top-left)
     assert img[0:22, 0:42, 1].max() > 150
+
+
+def test_frame_time_graph_draws():
+    from bevy_tpu.dev_tools import FrameTimeGraphPlugin
+    from bevy_tpu.render.plugin import frame_image as fi
+
+    app = App(capacity=32)
+    app.add_plugins(TimePlugin(), TransformPlugin(),
+                    RenderPlugin(width=160, height=96), SpritePlugin(),
+                    GizmosPlugin(capacity=512),
+                    FrameTimeGraphPlugin(samples=32, width=100, height=30))
+    app.world.spawn(Camera2d(), *transform_bundle())
+    for _ in range(5):
+        app.update(dt=1 / 60)
+    img = fi(app)
+    # the curve occupies the top-left corner region
+    region = img[4:40, 4:110]
+    assert (region.max(-1) > 120).sum() > 30
