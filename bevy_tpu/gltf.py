@@ -99,17 +99,21 @@ class GltfDocument:
         return skin.skeleton, prim.mesh, remapped.dense_weights(j), clips
 
     def spawn(self, world, mesh_plugin, root_translation=(0.0, 0.0, 0.0),
-              atlas=None):
+              atlas=None, convert_coordinates=False):
         """Instantiate all mesh nodes as Mesh3d entities (ref: glTF scene
         spawning with labeled sub-assets). Pass the Mesh3dPlugin's
         AtlasBuilder as `atlas` to pack each primitive's base-color
-        texture and bind its uv rect on the material."""
+        texture and bind its uv rect on the material.
+        `convert_coordinates` applies the glTF(+Z forward)→engine(-Z
+        forward) 180° yaw (ref: bevy_gltf convert_coordinates.rs)."""
+        from bevy_tpu.math.quat import quat_mul as _qm
         from bevy_tpu.render.mesh3d import Mesh3d, MeshMaterial
         from bevy_tpu.transform import GlobalTransform, Transform
 
         rows = []
         packed = {}
         root = np.asarray(root_translation, np.float32)
+        yaw = np.asarray([0.0, 1.0, 0.0, 0.0], np.float32)  # 180° about Y
         for node in self.nodes:
             for prim in node.primitives:
                 mid = mesh_plugin.add_mesh(prim.mesh)
@@ -120,17 +124,22 @@ class GltfDocument:
                         packed[key] = atlas.add(prim.base_color_image)
                     h = packed[key]
                     uv_min, uv_max = h["uv_min"], h["uv_max"]
-                t = tuple(np.asarray(node.translation) + root)
+                nt = np.asarray(node.translation, np.float32)
+                nr = np.asarray(node.rotation, np.float32)
+                if convert_coordinates:
+                    nt = np.asarray([-nt[0], nt[1], -nt[2]], np.float32)
+                    nr = np.asarray(_qm(yaw, nr), np.float32)
+                t = tuple(nt + root)
                 rows.append(world.spawn(
                     Mesh3d(mesh=mid),
                     MeshMaterial(base_color=tuple(prim.base_color),
                                  metallic=prim.metallic,
                                  perceptual_roughness=prim.roughness,
                                  uv_min=uv_min, uv_max=uv_max),
-                    Transform(translation=t, rotation=tuple(node.rotation),
+                    Transform(translation=t, rotation=tuple(nr),
                               scale=tuple(node.scale)),
                     GlobalTransform(translation=t,
-                                    rotation=tuple(node.rotation),
+                                    rotation=tuple(nr),
                                     scale=tuple(node.scale))))
         return rows
 

@@ -180,3 +180,26 @@ def test_skinned_render_end_to_end(tmp_path):
     assert (img0[..., :3].sum(-1) > 0).mean() > 0.002   # something rendered
     moved = (np.abs(img0 - img1).max(-1) > 10).mean()
     assert moved > 0.001, "animation did not move the mesh"
+
+
+def test_convert_coordinates_yaw(tmp_path):
+    """ref: bevy_gltf convert_coordinates.rs — +Z-forward assets get a
+    180-degree yaw and mirrored x/z translations."""
+    import numpy as np
+
+    from bevy_tpu.gltf import load_glb
+    from bevy_tpu.render.mesh3d import Mesh3dPlugin
+    from bevy_tpu.transform import Transform
+    from bevy_tpu import App
+
+    path = tmp_path / "conv.glb"
+    _build_skinned_glb(path)
+    doc = load_glb(path)
+    plugin = Mesh3dPlugin(backend="xla")
+    app = App(capacity=32)
+    rows_p = doc.spawn(app.world, plugin)
+    rows_c = doc.spawn(app.world, plugin, convert_coordinates=True)
+    for rp, rc in zip(rows_p, rows_c):
+        tp = np.asarray(app.world.get(rp, Transform).translation)
+        tc = np.asarray(app.world.get(rc, Transform).translation)
+        assert np.allclose(tc, [-tp[0], tp[1], -tp[2]], atol=1e-6)
