@@ -369,3 +369,48 @@ def pair_combinations(mask):
     idx_i = jnp.asarray(iu[0].astype(_np.int32))
     idx_j = jnp.asarray(iu[1].astype(_np.int32))
     return idx_i, idx_j, mask[idx_i] & mask[idx_j]
+
+
+class Single(Query):
+    """Query expecting (at most) one match (ref: bevy's Single<T> system
+    param). Field reads give the matched row's scalars; field writes
+    scatter back to that row only. `.exists` is a traced bool; when no
+    row matches, reads return row 0's values gated by nothing — guard
+    with `.exists` (the reference skips the system instead)."""
+
+    def build(self, state, world, sysctx):
+        view = super().build(state, world, sysctx)
+        return SingleView(view)
+
+
+class SingleView:
+    def __init__(self, qview):
+        object.__setattr__(self, "_q", qview)
+        idx = jnp.argmax(qview.mask)
+        object.__setattr__(self, "row", idx)
+        object.__setattr__(self, "exists", jnp.any(qview.mask))
+        for name, cview in qview._views.items():
+            object.__setattr__(self, name, _SingleComponentView(
+                cview, idx, self.exists))
+
+    def merge(self, state, tick):
+        return object.__getattribute__(self, "_q").merge(state, tick)
+
+
+class _SingleComponentView:
+    def __init__(self, cview, row, exists):
+        object.__setattr__(self, "_c", cview)
+        object.__setattr__(self, "_row", row)
+        object.__setattr__(self, "_exists", exists)
+
+    def __getattr__(self, fname):
+        col = getattr(object.__getattribute__(self, "_c"), fname)
+        return col[object.__getattribute__(self, "_row")]
+
+    def __setattr__(self, fname, value):
+        c = object.__getattribute__(self, "_c")
+        row = object.__getattribute__(self, "_row")
+        ok = object.__getattribute__(self, "_exists")
+        col = getattr(c, fname)
+        new = col.at[row].set(jnp.where(ok, value, col[row]))
+        setattr(c, fname, new)

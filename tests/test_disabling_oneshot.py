@@ -87,3 +87,40 @@ def test_dynamic_component_definition():
     e = app.world.spawn(Tag(value=42))
     app.update(dt=1 / 60)
     assert int(app.world.get(e, Tag).value) == 42
+
+
+def test_single_param_reads_and_writes():
+    """ref: the Single<T> system param."""
+    from bevy_tpu.ecs.query import Single
+
+    app = App(capacity=8)
+    app.world.spawn(Health(hp=3.0))
+
+    @system(name="boost")
+    def boost(s=Single(Health)):
+        s.health.hp = s.health.hp * 2.0
+
+    app.add_systems(Update, boost)
+    app.update(dt=1 / 60)
+    assert float(app.world.get(0, Health).hp) == 6.0
+
+
+def test_single_no_match_is_noop():
+    from bevy_tpu.ecs.query import Single
+
+    @component
+    class Rare:
+        v = field((), jnp.float32)
+
+    app = App(capacity=8)
+    app.world.register_component(Rare)
+    e = app.world.spawn(Health(hp=1.0))
+
+    @system(name="maybe")
+    def maybe(s=Single(Rare), q=Query(Health)):
+        q.health.hp = jnp.where(q.mask & s.exists,
+                                q.health.hp + s.rare.v, q.health.hp)
+
+    app.add_systems(Update, maybe)
+    app.update(dt=1 / 60)
+    assert float(app.world.get(e, Health).hp) == 1.0
