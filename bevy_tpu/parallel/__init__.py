@@ -22,9 +22,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 ENTITY_AXIS = "entity"
 
 
-def make_mesh(n_devices: int | None = None, axis: str = ENTITY_AXIS) -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, axis: str = ENTITY_AXIS,
+              devices=None) -> Mesh:
+    devs = list(devices) if devices is not None else jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(f"mesh wants {n} devices, platform has {len(devs)}")
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 
