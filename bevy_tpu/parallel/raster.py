@@ -116,3 +116,125 @@ def sharded_flat_raster(mesh: Mesh, cc, cn, tri_ok, mat_tri, light_vec,
         out_specs=(P(None, axis, None), P(axis, None)),
         check_vma=False))       # pallas_call outputs carry no vma info
     return fn(cc, cn, tri_ok, mat_tri, light_vec)
+
+
+def sharded_instance_raster(mesh: Mesh, clip, nrm, triangles, inst_ok,
+                            mat_inst, light_vec, color, depth, *,
+                            width, height, cluster_size=12, win_h=32,
+                            window_budget=8192, eval_tris=None,
+                            interpret=True):
+    """Full flat-opaque mesh pass sharded over INSTANCES (the product
+    path Mesh3dPlugin(shards=...) uses for e.g. many_cubes; reference
+    position: gpu_preprocessing.rs scaled past one device).
+
+    Per device (shard_map over `mesh`'s one axis):
+      1. its instance slice runs corner extraction (one-hot MXU matmul),
+         cluster screen AABBs + conservative frustum cull, plane packing
+         with a per-device global id base, and flat shade records;
+      2. windows build/eval/composite into a PRIVATE full-res visbuffer
+         (packed reverse-z|id — associative max merge);
+      3. ONE all_to_all exchanges framebuffer row bands (the
+         reduce-scatter shape: H*W floats in, H*W out per device), each
+         device max-merges its band;
+      4. flat records all_gather (k*cs*8 floats, small) and the resolve
+         shades row-sharded bands only.
+
+    clip (Ni, VC, 4) clip-space vertices, nrm (Ni, VC, 3), triangles
+    (TC, 3) STATIC numpy, inst_ok (Ni,), mat_inst (Ni, 9). Ni and height
+    must divide by the device count. color (4, H, W) / depth (H, W) are
+    the background/target buffers. Returns (color, depth, overflow)
+    row-sharded."""
+    import numpy as _np
+
+    from bevy_tpu.ops.raster3d_splat import (
+        build_windows, compact_cluster_tris, composite_windows,
+        eval_windows)
+    from bevy_tpu.ops.raster3d_visbuf import (
+        cluster_screen_aabbs, pack_flat_shade, pack_planes_h,
+        resolve_flat)
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    cs = cluster_size
+    ni, vc = clip.shape[0], clip.shape[1]
+    assert ni % n == 0, "instance count must divide across the mesh"
+    assert height % n == 0, "height must divide across the mesh"
+    nis = ni // n                           # instances per device
+    tc0 = int(triangles.shape[0])
+    tcp = (tc0 + cs - 1) // cs * cs
+    tris = _np.zeros((tcp, 3), _np.int32)
+    tris[:tc0] = _np.asarray(triangles, _np.int32)
+    cc_num = tcp // cs
+    onehot = _np.zeros((vc, tcp * 3), _np.float32)
+    for ti in range(tcp):
+        for kk in range(3):
+            onehot[int(tris[ti, kk]), ti * 3 + kk] = 1.0
+    onehot_j = jnp.asarray(onehot)
+    k = nis * cc_num                        # per-device clusters (all)
+    tv = k * cs
+
+    def shard_fn(clip_s, nrm_s, ok_s, mat_s, light_vec, color_s, depth_s):
+        d = jax.lax.axis_index(axis)
+        quant = jnp.concatenate([jnp.moveaxis(clip_s, -1, 1),
+                                 jnp.moveaxis(nrm_s, -1, 1)], axis=1)
+        corners = jnp.einsum("nqv,vc->nqc", quant, onehot_j)
+        corners = corners.reshape(nis, 7, tcp, 3)
+        cc = jnp.moveaxis(corners[:, 0:4], 1, -1).reshape(tv, 3, 4)
+        cn = jnp.moveaxis(corners[:, 4:7], 1, -1).reshape(tv, 3, 3)
+        tri_ok = jnp.broadcast_to(ok_s[:, None], (nis, tcp)).reshape(tv)
+        aabb, cl_valid, _zmax = cluster_screen_aabbs(
+            cc, jnp.broadcast_to(ok_s[:, None], (nis, cc_num)
+                                 ).reshape(k), tri_ok, cs, width, height)
+        mat_tri = jnp.broadcast_to(
+            mat_s[:, None, None, :], (nis, cc_num, cs, mat_s.shape[1])
+        ).reshape(tv, -1)
+        id_base = d * tv                    # partitioned global id space
+        zrec, _, valid = pack_planes_h(cc, cn, tri_ok, width, height,
+                                       build_srec=False, id_base=id_base)
+        frec = pack_flat_shade(cn, mat_tri, light_vec, valid)
+        zrec_c, _ = compact_cluster_tris(zrec, cs)
+        depth_p = jnp.zeros((height, width), jnp.float32)
+        winner = jnp.full((height, width), -1.0, jnp.float32)
+        overflow = jnp.zeros((), jnp.int32)
+        # window height classes as in raster_batched
+        h_px = aabb[:, 3] - aabb[:, 1]
+        half_h = max(win_h // 2, 8)
+        for class_h, cmask in ((half_h, h_px <= half_h - 1.0),
+                               (win_h, h_px > half_h - 1.0)):
+            wins = build_windows(aabb, cl_valid & cmask, win_h=class_h,
+                                 width=width, height=height,
+                                 budget=window_budget)
+            windows = eval_windows(zrec_c, cs, wins["owner"],
+                                   wins["meta"], wins["wvalid"],
+                                   win_h=class_h, eval_tris=eval_tris,
+                                   id_base=id_base)
+            depth_p, winner = composite_windows(
+                depth_p, winner, windows, wins["owner"] + d * k,
+                wins["meta"], wins["wvalid"], win_h=class_h, cs=cs,
+                interpret=interpret)
+            overflow = overflow + wins["overflow"] + \
+                jnp.sum(wins["fallback"].astype(jnp.int32))
+        # ---- merge: band all_to_all + packed-depth max (order-free) ----
+        bh = height // n
+        db = jax.lax.all_to_all(depth_p.reshape(n, bh, width), axis, 0, 0,
+                                tiled=False)
+        wb = jax.lax.all_to_all(winner.reshape(n, bh, width), axis, 0, 0,
+                                tiled=False)
+        src = jnp.argmax(db, axis=0)
+        band_depth = jnp.maximum(jnp.max(db, axis=0), depth_s)
+        band_winner = jnp.take_along_axis(wb, src[None], axis=0)[0]
+        band_winner = jnp.where(jnp.max(db, axis=0) > depth_s,
+                                band_winner, -1.0)
+        # ---- row-sharded resolve over gathered global records ----
+        frec_all = jax.lax.all_gather(frec, axis).reshape(n * tv, -1)
+        band_color = resolve_flat(band_winner.astype(jnp.int32), frec_all,
+                                  color_s)
+        return band_color, band_depth, jax.lax.psum(overflow, axis)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(),
+                  P(None, axis, None), P(axis, None)),
+        out_specs=(P(None, axis, None), P(axis, None), P()),
+        check_vma=False)
+    return fn(clip, nrm, inst_ok, mat_inst, light_vec, color, depth)

@@ -339,10 +339,18 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         offset by cluster_base, and splat them (window classes +
         streaming-kernel fallback). order="near" sorts nearest-first so
         overflow degrades gracefully (two-phase); "index" compacts with
-        a sort-free cumsum scatter. Returns (depth, winner,
-        srec_or_None, flat_rec_or_None)."""
+        a sort-free cumsum scatter. When k covers every cluster the
+        selection is the identity and ALL the per-cluster gathers
+        compile out (the path instance-compacted scenes take — the
+        round-1 profile showed ~18 ms of layout-bound cc/cn gathers
+        here). Returns (depth, winner, srec_or_None, flat_rec_or_None)."""
         nsel = jnp.sum(sel.astype(jnp.int32))
-        if order == "near":
+        identity = k >= n_cl and order == "index"
+        if identity:
+            k = n_cl
+            ids = jnp.arange(n_cl, dtype=jnp.int32)
+            v = sel
+        elif order == "near":
             key = jnp.where(sel, 1.0 - zmax_all, 3.4e38)  # nearest first
             ids = jnp.argsort(key)[:k]
             v = sel[ids]
@@ -352,38 +360,52 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
             ids = jnp.zeros(k + 1, jnp.int32).at[tgt].set(
                 jnp.arange(n_cl, dtype=jnp.int32), mode="drop")[:k]
             v = jnp.arange(k, dtype=jnp.int32) < nsel
-        stats.pair_overflow = stats.pair_overflow + jnp.maximum(
-            nsel - k, 0)
-        inst_v = ids // cc_num                       # cluster → instance
-        cmesh_v = ids % cc_num                       # cluster-in-mesh
+        if not identity:
+            stats.pair_overflow = stats.pair_overflow + jnp.maximum(
+                nsel - k, 0)
         tv = k * cs
-        cc_v = cc_cl[ids].reshape(tv, 3, 4)
-        cn_v = cn_cl[ids].reshape(tv, 3, 3)
+        if identity:
+            cc_v = cc.reshape(tv, 3, 4)
+            cn_v = cn.reshape(tv, 3, 3)
+        else:
+            cc_v = cc_cl[ids].reshape(tv, 3, 4)
+            cn_v = cn_cl[ids].reshape(tv, 3, 3)
         tri_ok_v = jnp.broadcast_to(v[:, None], (k, cs)).reshape(tv)
+
+        def per_inst(src):
+            """(Ni, w) per-instance rows → (tv, w) per-triangle rows."""
+            w_ = src.shape[1]
+            if identity:
+                rep = jnp.broadcast_to(src[:, None, None, :],
+                                       (ni, cc_num, cs, w_))
+                return rep.reshape(tv, w_)
+            inst_v = ids // cc_num
+            return jnp.broadcast_to(src[inst_v][:, None, :],
+                                    (k, cs, w_)).reshape(tv, w_)
+
         if depth_only:
             mat_tri = None
         else:
             # flat-forward shading never reads the clearcoat columns —
             # keep the broadcast/gather at 9 wide on that hot path
-            src = mat_inst[:, :9] if flat else mat_inst
-            mw = src.shape[1]
-            mat_tri = jnp.broadcast_to(src[inst_v][:, None, :],
-                                       (k, cs, mw)).reshape(tv, mw)
+            mat_tri = per_inst(mat_inst[:, :9] if flat else mat_inst)
         if cuv_static is not None:
-            cuv = cuv_static.reshape(cc_num, cs, 3, 2)[cmesh_v].reshape(
-                tv, 3, 2)
-            rect_tri = jnp.broadcast_to(uvr_i[inst_v][:, None, :],
-                                        (k, cs, 4)).reshape(tv, 4)
+            cuv_cl = cuv_static.reshape(cc_num, cs, 3, 2)
+            if identity:
+                cuv = jnp.broadcast_to(cuv_cl[None], (ni, cc_num, cs, 3, 2)
+                                       ).reshape(tv, 3, 2)
+            else:
+                cuv = cuv_cl[ids % cc_num].reshape(tv, 3, 2)
+            rect_tri = per_inst(uvr_i)
         else:
             cuv = rect_tri = None
         if tan_i is not None and nmr_i is not None and cuv is not None:
-            tan_tri = tan_i.reshape(n_cl, cs, 3)[ids].reshape(tv, 3)
-            nm_tri = jnp.broadcast_to(nmr_i[inst_v][:, None, :],
-                                      (k, cs, 4)).reshape(tv, 4)
+            tan_tri = tan_i.reshape(n_cl, cs, 3)[ids].reshape(tv, 3) \
+                if not identity else tan_i.reshape(tv, 3)
+            nm_tri = per_inst(nmr_i)
         else:
             tan_tri = nm_tri = None
-        lm_tri = jnp.broadcast_to(lmr_i[inst_v][:, None, :],
-                                  (k, cs, 4)).reshape(tv, 4) \
+        lm_tri = per_inst(lmr_i) \
             if lmr_i is not None and cuv is not None else None
         id_base = cluster_base * cs
         zrec, srec, valid = pack_planes_h(
@@ -396,8 +418,8 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
             if flat else None
         fab = pack_flat_gbuf(cn_v, mat_tri, valid) if flat_def else None
         zrec_c, _ = compact_cluster_tris(zrec, cs)
-        aabb_p = aabb_all[ids]
-        zmax_p = zmax_all[ids]
+        aabb_p = aabb_all if identity else aabb_all[ids]
+        zmax_p = zmax_all if identity else zmax_all[ids]
         # window classes: half-height windows for small footprints
         h_px = aabb_p[:, 3] - aabb_p[:, 1]
         half_h = max(win_h // 2, 8)
@@ -665,7 +687,7 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                    deferred=False, win_h=32, window_budget=65536,
                    eval_tris=None, visible_budget=65536,
                    occlusion_cull=False, phase_budget=16384,
-                   material_fn=None):
+                   material_fn=None, cull_budget=None):
     from bevy_tpu.transform import GlobalTransform
 
     if backend == "auto":
@@ -733,17 +755,69 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                     if len(rows_np) == 0:
                         continue
                     rows = jnp.asarray(rows_np)
-                    gt_r = q.global_transform.rotation[rows]
+                    # two-phase occlusion: per (group, view) persistent
+                    # visibility mask (ref: meshlet second-pass state)
+                    vkey = f"g{gi}v{view_idx}"
+                    vs = {"mask": getattr(vism, vkey)} \
+                        if occlusion_cull and hasattr(vism, vkey) else None
+                    # -- instance-level sphere-frustum cull + compaction
+                    #    (ref: the GPU frustum cull of mesh_preprocess.wesl
+                    #    + check_visibility_cpu_culling): every downstream
+                    #    stage — vertex transform, corner extraction,
+                    #    cluster AABBs, plane packing, window build — then
+                    #    runs on <=cull_budget instances instead of the
+                    #    whole group (many_cubes: ~55k of 160k visible)
+                    use_cull = (cull_budget is not None and vs is None
+                                and len(rows_np) > cull_budget)
+                    if use_cull:
+                        gt_t_f = q.global_transform.translation[rows]
+                        gt_r_f = q.global_transform.rotation[rows]
+                        gt_s_f = q.global_transform.scale[rows]
+                        pos_np = np.asarray(m.positions, np.float32)
+                        cen_np = (pos_np.min(0) + pos_np.max(0)) * 0.5
+                        rad_np = float(np.linalg.norm(
+                            pos_np - cen_np, axis=1).max())
+                        wc = gt_t_f + quat_rotate_vec3(
+                            gt_r_f, jnp.asarray(cen_np)[None] * gt_s_f)
+                        r_i = rad_np * jnp.max(jnp.abs(gt_s_f), axis=1)
+                        vch = wc @ view[:3, :3].T + view[:3, 3]
+                        tf_ = jnp.tan(cam.camera3d.fov[ci] * 0.5)
+                        ta_ = tf_ * aspect
+                        vz = vch[:, 2]
+                        inside = -vz > cam.camera3d.near[ci] - r_i
+                        inside &= (-vz * ta_ - jnp.abs(vch[:, 0])) > \
+                            -r_i * jnp.sqrt(1.0 + ta_ * ta_)
+                        inside &= (-vz * tf_ - jnp.abs(vch[:, 1])) > \
+                            -r_i * jnp.sqrt(1.0 + tf_ * tf_)
+                        inside &= q.mask[rows] & visrow[rows]
+                        kb = min(cull_budget, len(rows_np))
+                        nin = rows_np.shape[0]
+                        posc = jnp.cumsum(inside.astype(jnp.int32)) - 1
+                        tgt = jnp.where(inside & (posc < kb), posc, kb)
+                        ids = jnp.zeros(kb + 1, jnp.int32).at[tgt].set(
+                            jnp.arange(nin, dtype=jnp.int32),
+                            mode="drop")[:kb]
+                        nvis = jnp.sum(inside.astype(jnp.int32))
+                        stats.pair_overflow = stats.pair_overflow + \
+                            jnp.maximum(nvis - kb, 0)
+                        rows = rows[ids]
+                        gt_t, gt_r, gt_s = gt_t_f[ids], gt_r_f[ids], \
+                            gt_s_f[ids]
+                        inst_ok = (jnp.arange(kb, dtype=jnp.int32) < nvis) \
+                            & has_cam
+                    else:
+                        gt_t = q.global_transform.translation[rows]
+                        gt_r = q.global_transform.rotation[rows]
+                        gt_s = q.global_transform.scale[rows]
+                        inst_ok = q.mask[rows] & has_cam & visrow[rows]
                     mats = trs_to_mat4(TRS(
-                        translation=q.global_transform.translation[rows],
-                        rotation=gt_r, scale=q.global_transform.scale[rows]))
+                        translation=gt_t, rotation=gt_r, scale=gt_s))
                     mvp = jnp.einsum("ij,njk->nik", vp, mats)
                     ph = jnp.concatenate([jnp.asarray(m.positions),
                                           jnp.ones((vc, 1), jnp.float32)], 1)
                     clip = jnp.einsum("nij,vj->nvi", mvp, ph)       # (Ni, VC, 4)
                     nrm = quat_rotate_vec3(gt_r[:, None, :],
                                            jnp.asarray(m.normals)[None])
-                    vis = visrow[rows]  # layers bitmask + LOD band
                     if has_tex:
                         uvr = jnp.concatenate(
                             [q.mesh_material.uv_min[rows],
@@ -772,13 +846,46 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         np.asarray(m.triangles, np.int64)]
                     flat_ok = bool(np.all(nrm_np[:, 0] == nrm_np[:, 1]) and
                                    np.all(nrm_np[:, 0] == nrm_np[:, 2]))
-                    # two-phase occlusion: per (group, view) persistent
-                    # visibility mask (ref: meshlet second-pass state)
-                    vkey = f"g{gi}v{view_idx}"
-                    vs = {"mask": getattr(vism, vkey)} \
-                        if occlusion_cull and hasattr(vism, vkey) else None
+                    # -- multi-chip: flat-opaque groups raster sharded
+                    #    over the plugin's device mesh (instance-axis
+                    #    shard_map, band all_to_all merge — see
+                    #    parallel/raster.py; ref position:
+                    #    gpu_preprocessing.rs scaled past one device)
+                    shm = getattr(plugin, "shard_mesh", None)
+                    if (shm is not None and flat_ok and not has_tex
+                            and vs is None and viewport is None
+                            and not deferred and material_fn is None):
+                        from bevy_tpu.parallel.raster import (
+                            sharded_instance_raster)
+                        nsh = shm.devices.size
+                        padn = (-clip.shape[0]) % nsh
+                        mat9 = jnp.concatenate(
+                            [q.mesh_material.base_color[rows],
+                             q.mesh_material.emissive[rows],
+                             q.mesh_material.metallic[rows][:, None],
+                             q.mesh_material.perceptual_roughness[rows][
+                                 :, None]], axis=1)
+                        okp = inst_ok
+                        if padn:
+                            clip = jnp.pad(clip, ((0, padn), (0, 0), (0, 0)))
+                            nrm = jnp.pad(nrm, ((0, padn), (0, 0), (0, 0)))
+                            okp = jnp.pad(inst_ok, (0, padn))
+                            mat9 = jnp.pad(mat9, ((0, padn), (0, 0)))
+                        sh_interp = interpret or \
+                            jax.default_backend() == "cpu"
+                        colr, dep, ovf = sharded_instance_raster(
+                            shm, clip, nrm, m.triangles, okp, mat9, lv,
+                            target.color, target.depth,
+                            width=width, height=height,
+                            win_h=win_h,
+                            window_budget=max(window_budget // nsh, 1024),
+                            eval_tris=eval_tris, interpret=sh_interp)
+                        target.color = colr
+                        target.depth = dep
+                        stats.pair_overflow = stats.pair_overflow + ovf
+                        continue
                     raster_batched(
-                        clip, nrm, m.triangles, q.mask[rows] & has_cam & vis,
+                        clip, nrm, m.triangles, inst_ok,
                         q.mesh_material.base_color[rows],
                         q.mesh_material.emissive[rows],
                         lv, target, stats,
@@ -957,10 +1064,14 @@ class Mesh3dPlugin(Plugin):
                  deferred=False, win_h=32, window_budget=65536,
                  eval_tris=None, atlas=None, visible_budget=65536,
                  occlusion_cull=False, phase_budget=16384,
-                 material_fn=None):
+                 material_fn=None, cull_budget=None, shards=None):
         self.pool = pool or MeshPool()
         self._uniform = None
         self._groups = None
+        # shards: None, a device count, or a jax.sharding.Mesh — flat
+        # opaque groups then raster multi-chip (parallel/raster.py)
+        self._shards = shards
+        self.shard_mesh = None
         # atlas: an AtlasBuilder (or prebuilt (AH, AW, 4) array) holding
         # material base-color textures (ref: the bindless material
         # texture arrays of material_bind_groups.rs)
@@ -974,7 +1085,7 @@ class Mesh3dPlugin(Plugin):
                         visible_budget=visible_budget,
                         occlusion_cull=occlusion_cull,
                         phase_budget=phase_budget,
-                        material_fn=material_fn)
+                        material_fn=material_fn, cull_budget=cull_budget)
 
     def build(self, app):
         from bevy_tpu.render.plugin import RenderPlugin
@@ -982,6 +1093,13 @@ class Mesh3dPlugin(Plugin):
         rp = next((p for p in app._plugins if isinstance(p, RenderPlugin)), None)
         if rp is None:
             raise RuntimeError("Mesh3dPlugin requires RenderPlugin")
+        if self._shards is not None:
+            from jax.sharding import Mesh as _Mesh
+            if isinstance(self._shards, _Mesh):
+                self.shard_mesh = self._shards
+            else:
+                from bevy_tpu.parallel import make_mesh
+                self.shard_mesh = make_mesh(int(self._shards))
         from bevy_tpu.transform import GlobalTransform, Transform
         for c in (Mesh3d, MeshMaterial, DirectionalLight, Camera3d,
                   Transform, GlobalTransform):

@@ -52,17 +52,22 @@ def orbit_camera(q=Query(Transform, With(Camera3d)), time=Res(Time)):
 def build_app(n_cubes=160_000, width=1280, height=720, capacity=None,
               max_per_tile=3072, pairs_per_tri=2, backend="auto",
               tile_h=16, tile_w=128, window_budget=131072,
-              eval_tris=8) -> App:
+              eval_tris=8, cull_budget=65536, shards=None) -> App:
     cap = capacity or 1
     while cap < n_cubes + 8:
         cap *= 2
     app = App(capacity=cap)
     # eval_tris=8: a convex cube shows at most ~7 front-facing triangles,
-    # so the compacted-cluster eval loop caps safely (see raster3d_splat)
+    # so the compacted-cluster eval loop caps safely (see raster3d_splat).
+    # cull_budget: instance-level frustum cull compacts to <=64k cubes
+    # before the vertex stage (the orbit peaks at ~55k visible).
+    if cull_budget is not None and cull_budget >= n_cubes:
+        cull_budget = None
     plugin = Mesh3dPlugin(max_per_tile=max_per_tile, tile_h=tile_h,
                           tile_w=tile_w, window_budget=window_budget,
-                          eval_tris=eval_tris,
-                          pairs_per_tri=pairs_per_tri, backend=backend)
+                          eval_tris=eval_tris, cull_budget=cull_budget,
+                          pairs_per_tri=pairs_per_tri, backend=backend,
+                          shards=shards)
     cube_id = plugin.add_mesh(cuboid(1.0, 1.0, 1.0))
     app.add_plugins(TimePlugin(), TransformPlugin(),
                     RenderPlugin(width=width, height=height), plugin)
