@@ -81,24 +81,69 @@ class TriggerView:
 
 class On:
     """Observer system param: vectorized view of this frame's events
-    (ref: On<E>). `.read()` -> (fields dict, valid mask); `.count()`."""
+    (ref: On<E>). `.read()` -> (fields dict, valid mask); `.count()`.
 
-    def __init__(self, ev):
+    `bubble=True` additionally reads a parent-link hierarchy so the view
+    can expand event targets up the ancestor chain (ref: event bubbling —
+    bevy_ecs observer Traversal + bevy_picking/src/events.rs, where
+    `Pointer<Click>` on a child is handleable on any ancestor).
+    `via` picks the relationship component to traverse — the reference's
+    generic `Traversal` type param — default the ChildOf hierarchy; any
+    component with an entity-row `parent` field works (e.g. the UI
+    tree's UiParent). `target_field` names the event's entity-row field
+    to bubble from (default "row")."""
+
+    def __init__(self, ev, bubble=False, target_field="row",
+                 max_depth=16, via=None, parent_field="parent"):
         self.spec = get_spec(ev)
+        self.bubble = bubble
+        self.target_field = target_field
+        self.max_depth = max_depth
+        self.via_name = get_spec(via).name if via is not None else "child_of"
+        self.parent_field = parent_field
 
     def reads(self):
-        return {f"obs:{self.spec.name}"}
+        r = {f"obs:{self.spec.name}"}
+        if self.bubble:
+            r.add(f"comp:{self.via_name}")
+        return r
 
     def writes(self):
         return set()
 
     def build(self, state, world, sysctx):
-        return OnView(state["obs"][self.spec.name])
+        via = state["comp"].get(self.via_name) if self.bubble else None
+        return OnView(state["obs"][self.spec.name], via,
+                      self.target_field, self.max_depth,
+                      self.parent_field)
+
+
+def bubble_rows(parent_col, has_childof, rows, valid, max_depth=16):
+    """Vectorized ancestor expansion (ref: observer Traversal /
+    `bevy_ecs/src/traversal.rs` — walk ChildOf up from the event target).
+    rows (E,) int32 target rows, valid (E,) bool. Returns a (capacity,)
+    bool mask marking every target and every ancestor on its chain —
+    an observer "attached" to entity X handles the event iff mask[X]."""
+    cap = parent_col.shape[0]
+    cur = jnp.where(valid, rows, cap)         # cap = out-of-range sentinel
+    mask = jnp.zeros(cap, bool)
+    for _ in range(max_depth):
+        mask = mask.at[cur].set(True, mode="drop")
+        safe = jnp.clip(cur, 0, cap - 1)
+        nxt = jnp.where(has_childof[safe] & (cur < cap),
+                        parent_col[safe], cap)
+        cur = nxt
+    return mask
 
 
 class OnView:
-    def __init__(self, store):
+    def __init__(self, store, child_of=None, target_field="row",
+                 max_depth=16, parent_field="parent"):
         self._store = store
+        self._child_of = child_of
+        self._target_field = target_field
+        self._max_depth = max_depth
+        self._parent_field = parent_field
 
     def read(self):
         cap = next(iter(self._store["f"].values())).shape[0]
@@ -108,6 +153,19 @@ class OnView:
 
     def count(self):
         return self._store["count"]
+
+    def bubble_mask(self):
+        """(world capacity,) bool: event targets + all their ChildOf
+        ancestors this frame (requires On(ev, bubble=True)). A handler on
+        a parent entity P reacts with `view.bubble_mask()[P]` — the
+        vectorized form of the reference's bubbled observer dispatch."""
+        if self._child_of is None:
+            raise ValueError("construct the param as On(ev, bubble=True)")
+        fields, valid = self.read()
+        rows = fields[self._target_field].astype(jnp.int32)
+        return bubble_rows(self._child_of["f"][self._parent_field],
+                           self._child_of["has"], rows, valid,
+                           self._max_depth)
 
     def merge(self, state, tick):
         return state

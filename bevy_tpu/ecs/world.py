@@ -378,6 +378,25 @@ class World:
         """Whole field column (device array, capacity rows)."""
         return self.state["comp"][get_spec(comp).name]["f"][fname]
 
+    def set_field(self, entity: Union[Entity, int], comp, fname: str,
+                  value):
+        """Host-tier single-field write: updates one field of an entity's
+        existing component without touching its other fields (unlike
+        `insert`, which resets unspecified fields to defaults). Stamps the
+        changed tick; the `has` bit is left as-is."""
+        row = entity.index if isinstance(entity, Entity) else int(entity)
+        spec = get_spec(comp)
+        fld = spec.fields[fname]
+        store = self.state["comp"][spec.name]
+        tick = self.state["tick"] + 1  # see spawn_batch
+        self.state["tick"] = tick
+        arr = _as_field_array(value, 1, fld)
+        self.state["comp"][spec.name] = dict(
+            store,
+            changed=store["changed"].at[row].set(tick),
+            f=dict(store["f"],
+                   **{fname: store["f"][fname].at[row].set(arr[0])}))
+
     def clone_entity(self, entity: Union[Entity, int],
                      without=()) -> Entity:
         """Host-tier entity clone (ref: EntityCloner /

@@ -155,7 +155,10 @@ class PointerOut:
 
 @event
 class PointerClick:
-    """Press began over a sprite (ref: Pointer<Click>)."""
+    """Press began over a sprite (ref: Pointer<Click>). Like all pointer
+    events this bubbles: observe with On(PointerClick, bubble=True) and a
+    handler on any ChildOf ancestor reacts via `view.bubble_mask()[row]`
+    (ref: bevy_picking/src/events.rs bubbled dispatch)."""
     row = _f((), jnp.int32)
 
 

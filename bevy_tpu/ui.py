@@ -40,14 +40,39 @@ _DISPLAY = {"flex": nl.FLEX, "grid": nl.GRID, "none": nl.NONE}
 
 @component
 class UiNode:
-    """Computed layout rect (ref: ComputedNode): size in UI px."""
+    """Computed layout rect (ref: ComputedNode): size in UI px.
+    `active` gates interaction — 0 while the node is hidden (closed
+    overlay) or blocked by an open modal (ref: ui_widgets modal focus
+    capture + InteractionDisabled)."""
     size = field(2)
+    active = field((), jnp.int32, default=1)
 
 
 @component
 class Interaction:
     """0 = None, 1 = Hovered, 2 = Pressed (ref: Interaction enum)."""
     state = field((), jnp.int32)
+
+
+@component
+class UiParent:
+    """UI-tree parent link mirrored into the ECS so pointer events bubble
+    through observers (ref: the ChildOf-instance of the generic Traversal
+    relationship; the UI tree keeps its own link type because UI layout
+    positions are solved flat, not through transform propagation)."""
+    parent = field((), jnp.int32, entity_ref=True)
+
+
+from bevy_tpu.ecs.observer import Trigger as _Trigger, event as _event  # noqa: E402
+
+
+@_event
+class UiPointerClick:
+    """Press began over a UI node (ref: the bubbled Pointer<Pressed>
+    entity event bevy_ui_widgets builds on). Observe with
+    On(UiPointerClick, bubble=True, via=UiParent): a handler on any
+    UI-tree ancestor sees clicks on its descendants."""
+    row = field((), jnp.int32)
 
 
 @component
@@ -238,10 +263,12 @@ class UiPlugin(Plugin):
         self._by_row: Dict[int, _Node] = {}
 
     def build(self, app):
+        from bevy_tpu.ecs.observer import register_event_storage
         self.app = app
         for c in (UiNode, Interaction, Checked, SliderValue, ScrollPosition,
-                  TextInputSlot, VirtualListRow, Sprite):
+                  TextInputSlot, VirtualListRow, Sprite, UiParent):
             app.world.register_component(c)
+        register_event_storage(app.world, UiPointerClick, 8)
         # scroll baking: row arrays rebuilt by _layout; the systems read
         # them at trace time (structure change → re-layout → retrace)
         self._clip_rows = np.zeros(0, np.int32)
@@ -267,9 +294,14 @@ class UiPlugin(Plugin):
         self._rects = {}             # row → (x, y, w, h) from layout
         self._prev_keys = None
         self._prev_mouse = False
+        # overlays (ref: bevy_ui_widgets dialog/modal/popover/menu)
+        self._overlays = []          # creation order; later = on top
+        self._node_color = {}        # row → shown sprite color
+        self._inactive_rows = set()  # hidden/modal-blocked (host mirror)
         app.add_prepare_hook(lambda world: self._layout(world))
         app.add_frame_hook(_ui_host_tick_for(self))
         app.add_systems(PreUpdate, make_interaction_system(
+            self.width, self.height), make_ui_pointer_system(
             self.width, self.height))
         app.add_systems(Update, _checkbox_system,
                         make_slider_system(self.width),
@@ -287,6 +319,8 @@ class UiPlugin(Plugin):
         if interactive:
             comps.append(Interaction())
         comps.extend(extra_components)
+        if parent is not None:
+            comps.append(UiParent(parent=int(parent)))
         e = world.spawn(*comps)
         node = _Node(style, e.index)
         if interactive:
@@ -488,17 +522,25 @@ class UiPlugin(Plugin):
                 gx = (x + 4 + s * cw + cw / 2) - self.width / 2
                 world.insert(grow, _T(translation=(gx, gy, 52.0)),
                              _GT(translation=(gx, gy, 52.0)))
+        # overlays: re-hide closed subtrees (the _write pass above resets
+        # sprite colors to their shown values)
+        if self._overlays:
+            self._apply_overlays(world)
 
     def _write(self, world, node: _Node, x, y, w, h):
         s = node.style
         wx = x + w / 2 - self.width / 2
         wy = self.height / 2 - (y + h / 2)
         depth = 0
+        root = node
         a = node.parent
         while a is not None:
             depth += 1
+            root = a
             a = a.parent
-        z = 50.0 + 0.1 * depth        # children draw over parents
+        # overlay roots float above normal chrome (ref: the global
+        # z-index dialogs/menus render at in bevy_ui's stacking context)
+        z = getattr(root, "z_base", 50.0) + 0.1 * depth
         self._rects[node.row] = (x, y, w, h)
         world.insert(node.row,
                      Transform(translation=(wx, wy, z)),
@@ -526,6 +568,7 @@ class UiPlugin(Plugin):
             fields["uv_max"] = np.asarray(hd["uv_max"], np.float32)
             fields["tex"] = np.asarray(hd["tex"], np.int32)
         world.insert(node.row, ComponentInstance(spec, fields))
+        self._node_color[node.row] = np.asarray(fields["color"], np.float32)
         if s.box_shadow is not None and w >= 1 and h >= 1:
             dx, dy, blur, scol = s.box_shadow
             hd, pad = self._deco_handle(
@@ -579,6 +622,251 @@ class UiPlugin(Plugin):
         app.insert_resource(TextureAtlas.RESOURCE,
                             {"data": jnp.asarray(builder.data)})
         return res
+
+    # -- overlays: dialog / modal / popover / menu -----------------------
+    # (ref: bevy_ui_widgets src/{dialog,modal,popover,menu}.rs — the
+    # reference builds these from observers over a headless core; here
+    # the open/close/outside-click state machine is host-side while
+    # hit-testing stays in-jit through the UiNode.active gate)
+
+    def _overlays_of(self, node: _Node):
+        """Overlay chain owning `node` (nearest-last), via the tree."""
+        chain = []
+        a = node
+        while a is not None:
+            ov = getattr(a, "overlay", None)
+            if ov is not None:
+                chain.append(ov)
+            a = a.parent
+        return chain
+
+    def dialog(self, world, style: Style = None, modal: bool = True,
+               close_on_outside: bool = None, backdrop=None):
+        """Hidden centered panel over a full-screen backdrop (ref:
+        ui_widgets dialog.rs/modal.rs). `modal=True` blocks every
+        interactive node outside the dialog while open (focus capture).
+        Returns an OverlayHandle — `.panel` is the parent row for
+        content; `.open()` / `.close()` toggle without retrace."""
+        if style is None:
+            style = Style(width=220, height=140,
+                          background=(0.16, 0.16, 0.19, 1.0))
+        if backdrop is None:
+            backdrop = (0.0, 0.0, 0.0, 0.45) if modal \
+                else (0.0, 0.0, 0.0, 0.0)
+        root_style = Style(width=self.width, height=self.height,
+                           justify_content="center", align_items="center",
+                           background=backdrop)
+        root = self.spawn_node(world, root_style)
+        panel = self.spawn_node(world, style, parent=root)
+        ov = {"kind": "dialog", "root": root, "panel": panel,
+              "anchor": None, "open": False, "modal": modal,
+              "close_on_outside": (not modal) if close_on_outside is None
+              else close_on_outside, "on_close": None}
+        rnode = self._by_row[root]
+        rnode.z_base = 70.0
+        rnode.overlay = ov
+        self._overlays.append(ov)
+        return OverlayHandle(self, world, ov)
+
+    def popover(self, world, anchor: int, style: Style = None,
+                placement: str = "below", gap: float = 2.0):
+        """Hidden panel anchored to `anchor`'s rect, toggled by clicking
+        the anchor, closed by clicking outside (ref: popover.rs)."""
+        if style is None:
+            style = Style(width=150, height=90,
+                          background=(0.18, 0.18, 0.22, 1.0))
+        style.position = "absolute"
+        root = self.spawn_node(world, style)
+        ov = {"kind": "popover", "root": root, "panel": root,
+              "anchor": anchor, "placement": placement, "gap": gap,
+              "open": False, "modal": False, "close_on_outside": True,
+              "on_close": None}
+        rnode = self._by_row[root]
+        rnode.z_base = 80.0
+        rnode.overlay = ov
+        self._overlays.append(ov)
+        return OverlayHandle(self, world, ov)
+
+    def menu(self, world, anchor: int, items, width: float = 140.0,
+             item_height: float = 22.0, font=None,
+             item_style=None, placement: str = "below"):
+        """Anchored menu (ref: menu.rs): `items` is a list of
+        (label, callback) — clicking an item fires callback(row) and
+        closes. Labels bake to atlas textures when a PIL font is
+        available; pass `item_style` to restyle rows."""
+        n = max(len(items), 1)
+        pad = 4.0
+        handle = self.popover(world, anchor, Style(
+            width=width, height=n * (item_height + 2.0) + pad * 2,
+            padding=pad, gap=2.0,
+            background=(0.15, 0.15, 0.18, 1.0)), placement=placement)
+        ov = handle._ov
+        ov["kind"] = "menu"
+        ov["items"] = []
+        for label, cb in items:
+            st = item_style() if callable(item_style) else Style(
+                height=item_height, flex_shrink=0.0,
+                background=(0.23, 0.23, 0.26, 1.0))
+            row = self.spawn_node(world, st, parent=ov["panel"],
+                                  interactive=True)
+            if label:
+                img = _bake_label_texture(label, (0.88, 0.88, 0.90, 1.0))
+                hd = self._deco_handle(("t", label, "menu"), lambda: img)
+                self.image(world, Style(
+                    width=min(img.shape[1], width - 2 * pad - 4),
+                    height=min(img.shape[0], item_height - 2),
+                    margin=2.0), hd, parent=row)
+            ov["items"].append({"row": row, "cb": cb, "label": label})
+        return handle
+
+    def _apply_overlays(self, world):
+        """Push overlay open/close + modal blocking into the device
+        columns (Sprite colors + UiNode.active) — data writes only, no
+        structural change, so toggling never retraces."""
+        from bevy_tpu.render.sprite import Sprite as _Sprite
+        open_modal = next((o for o in reversed(self._overlays)
+                           if o["open"] and o["modal"]), None)
+        self._inactive_rows = set()
+        for row, node in self._by_row.items():
+            chain = self._overlays_of(node)
+            shown = all(o["open"] for o in chain)
+            blocked = open_modal is not None and open_modal not in chain
+            color = self._node_color.get(row)
+            if color is not None:
+                world.set_field(row, _Sprite, "color",
+                                color if shown else np.zeros(4, np.float32))
+            srow = self._shadow_rows.get(row)
+            if srow is not None:
+                world.set_field(
+                    srow, _Sprite, "color",
+                    np.ones(4, np.float32) if shown
+                    else np.zeros(4, np.float32))
+            active = shown and not blocked
+            world.set_field(row, UiNode, "active", 1 if active else 0)
+            if not active:
+                self._inactive_rows.add(row)
+
+    def _overlay_click(self, world, mx, my):
+        """Host-side overlay mouse routing (runs on fresh clicks):
+        anchor toggles, menu items fire, outside-clicks close.
+        Returns True when the click was consumed by overlay logic."""
+        def inside(row):
+            r = self._rects.get(row)
+            return r is not None and r[0] <= mx <= r[0] + r[2] and \
+                r[1] <= my <= r[1] + r[3]
+
+        # topmost open overlay first
+        for ov in reversed(self._overlays):
+            if not ov["open"]:
+                continue
+            if ov["kind"] == "menu":
+                for it in ov["items"]:
+                    if inside(it["row"]) and \
+                            it["row"] not in self._inactive_rows:
+                        ov["open"] = False
+                        self._apply_overlays(world)
+                        if it["cb"] is not None:
+                            it["cb"](it["row"])
+                        return True
+            if not inside(ov["panel"]):
+                anchored = ov["anchor"] is not None and inside(ov["anchor"])
+                if ov["close_on_outside"] and not anchored:
+                    ov["open"] = False
+                    if ov["on_close"] is not None:
+                        ov["on_close"]()
+                    self._apply_overlays(world)
+                    # fall through: the click may also hit an anchor
+            elif ov["modal"]:
+                return False      # click inside an open modal panel
+        # closed (or just-closed) anchored overlays: anchor toggles
+        for ov in reversed(self._overlays):
+            if ov["anchor"] is not None and not ov["open"] and \
+                    inside(ov["anchor"]) and \
+                    ov["anchor"] not in self._inactive_rows:
+                ov["open"] = True
+                self._position_anchored(world, ov)
+                self._apply_overlays(world)
+                return True
+        if any(o["open"] and o["modal"] for o in self._overlays):
+            return True           # modal swallows outside clicks
+        return False
+
+    def _position_anchored(self, world, ov):
+        """Place an anchored overlay next to its anchor's solved rect."""
+        r = self._rects.get(ov["anchor"])
+        if r is None:
+            return
+        x, y, w, h = r
+        s = self._by_row[ov["root"]].style
+        if ov.get("placement", "below") == "right":
+            s.left, s.top = x + w + ov.get("gap", 2.0), y
+        else:
+            s.left, s.top = x, y + h + ov.get("gap", 2.0)
+        # keep the panel on-screen (ref: popover flip/shift placement)
+        pw = s.width if isinstance(s.width, (int, float)) else 0.0
+        ph = s.height if isinstance(s.height, (int, float)) else 0.0
+        s.left = max(min(s.left, self.width - pw), 0.0)
+        s.top = max(min(s.top, self.height - ph), 0.0)
+        self._layout(world)
+
+
+class OverlayHandle:
+    """Host-side controller for a dialog/modal/popover/menu overlay."""
+
+    def __init__(self, plugin, world, ov):
+        self._plugin = plugin
+        self._world = world
+        self._ov = ov
+
+    @property
+    def panel(self) -> int:
+        """Parent row for overlay content."""
+        return self._ov["panel"]
+
+    @property
+    def root(self) -> int:
+        return self._ov["root"]
+
+    @property
+    def is_open(self) -> bool:
+        return self._ov["open"]
+
+    @property
+    def item_rows(self):
+        return [it["row"] for it in self._ov.get("items", [])]
+
+    def on_close(self, cb):
+        self._ov["on_close"] = cb
+        return self
+
+    def open(self):
+        self._ov["open"] = True
+        if self._ov["anchor"] is not None:
+            self._plugin._position_anchored(self._world, self._ov)
+        self._plugin._apply_overlays(self._world)
+
+    def close(self):
+        self._ov["open"] = False
+        if self._ov["on_close"] is not None:
+            self._ov["on_close"]()
+        self._plugin._apply_overlays(self._world)
+
+
+def _bake_label_texture(text, color, size=None):
+    """Rasterize a short text label to RGBA (PIL default font — the
+    host-bake position of the reference's text shaping for widget
+    chrome)."""
+    from PIL import Image, ImageDraw, ImageFont
+    font = ImageFont.load_default(size) if size else ImageFont.load_default()
+    box = font.getbbox(text)
+    w, h = max(box[2] - box[0], 1), max(box[3] - box[1], 1)
+    img = Image.new("L", (w, h), 0)
+    ImageDraw.Draw(img).text((-box[0], -box[1]), text, fill=255, font=font)
+    a = np.asarray(img, np.float32) / 255.0
+    out = np.zeros((h, w, 4), np.float32)
+    out[..., :3] = np.asarray(color, np.float32)[:3]
+    out[..., 3] = a * color[3]
+    return out
 
 
 def make_virtual_list_system(plugin, list_id, data, row_h):
@@ -671,12 +959,17 @@ def _directional_nav(plugin, just, keys):
         r = plugin._rects.get(row)
         return None if r is None else (r[0] + r[2] / 2, r[1] + r[3] / 2)
 
-    if plugin.focused_row is None or center(plugin.focused_row) is None:
-        plugin.focused_row = plugin.focusables[0]
+    candidates = [r for r in plugin.focusables
+                  if r not in plugin._inactive_rows]
+    if not candidates:
+        return False
+    if plugin.focused_row is None or center(plugin.focused_row) is None \
+            or plugin.focused_row in plugin._inactive_rows:
+        plugin.focused_row = candidates[0]
         return True
     cx, cy = center(plugin.focused_row)
     best, best_d = None, 1e30
-    for row in plugin.focusables:
+    for row in candidates:
         if row == plugin.focused_row:
             continue
         c = center(row)
@@ -703,7 +996,8 @@ def _ui_host_tick_for(plugin):
 
     def tick(app):
         inp = getattr(app, "input", None)
-        if inp is None or not (plugin._text_inputs or plugin.focusables):
+        if inp is None or not (plugin._text_inputs or plugin.focusables
+                               or plugin._overlays):
             return
         keys = np.asarray(inp.keys, bool)
         prev = plugin._prev_keys if plugin._prev_keys is not None \
@@ -715,10 +1009,14 @@ def _ui_host_tick_for(plugin):
         plugin._prev_mouse = mdown
         if mjust:
             mx, my = float(inp.mouse_pos[0]), float(inp.mouse_pos[1])
+            consumed = plugin._overlay_click(app.world, mx, my) \
+                if plugin._overlays else False
             plugin.focus = None
             for ti in plugin._text_inputs:
                 r = plugin._rects.get(ti["row"])
-                if r and r[0] <= mx <= r[0] + r[2] and \
+                if not consumed and ti["row"] not in \
+                        plugin._inactive_rows and r and \
+                        r[0] <= mx <= r[0] + r[2] and \
                         r[1] <= my <= r[1] + r[3]:
                     plugin.focus = ti["id"]
         _directional_nav(plugin, just, keys)
@@ -726,7 +1024,8 @@ def _ui_host_tick_for(plugin):
         # registered on_activate callback — ref: FocusedInput dispatch)
         if plugin.focused_row is not None and \
                 (just[KeyCode.Enter] or just[KeyCode.Space]) and \
-                plugin.focus is None:
+                plugin.focus is None and \
+                plugin.focused_row not in plugin._inactive_rows:
             row = plugin.focused_row
             cb = plugin.on_activate.get(row)
             if cb is not None:
@@ -783,12 +1082,36 @@ def make_interaction_system(width, height):
         t = q.transform.translation
         half = q.ui_node.size * 0.5
         inside = (jnp.abs(mx - t[:, 0]) <= half[:, 0]) & \
-                 (jnp.abs(my - t[:, 1]) <= half[:, 1])
+                 (jnp.abs(my - t[:, 1]) <= half[:, 1]) & \
+                 (q.ui_node.active > 0)
         pressed = mouse.pressed[0]
         state = jnp.where(inside, jnp.where(pressed, 2, 1), 0)
         q.interaction.state = jnp.where(q.mask, state, q.interaction.state)
 
     return ui_interaction
+
+
+def make_ui_pointer_system(width, height):
+    @system(name="ui_pointer_events")
+    def ui_pointer_events(q=Query(UiNode, Transform),
+                          mouse=Res("mouse"),
+                          click=_Trigger(UiPointerClick, budget=1)):
+        """Dispatch UiPointerClick at the topmost UI node under the
+        cursor on press (ref: bevy_picking's UI backend + bubbled
+        Pointer events — observers walk UiParent from here)."""
+        mx = mouse.position[0] - width / 2
+        my = height / 2 - mouse.position[1]
+        t = q.transform.translation
+        half = q.ui_node.size * 0.5
+        inside = (jnp.abs(mx - t[:, 0]) <= half[:, 0]) & \
+                 (jnp.abs(my - t[:, 1]) <= half[:, 1]) & \
+                 (q.ui_node.active > 0) & q.mask
+        key = jnp.where(inside, t[:, 2], -jnp.inf)
+        top = jnp.argmax(key).astype(jnp.int32)
+        fire = jnp.any(inside) & (mouse.just_pressed[0] > 0)
+        click.trigger(count=fire.astype(jnp.int32), row=top)
+
+    return ui_pointer_events
 
 
 @system(name="ui_checkbox")

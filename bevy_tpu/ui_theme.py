@@ -79,3 +79,17 @@ class Theme:
         return ui.text_input(world, Style(
             width=width, height=SIZES["control_h"],
             background=self.color("input.bg")), font, parent=parent, **kw)
+
+    def dialog(self, ui, world, width=240.0, height=150.0, modal=True,
+               **kw):
+        return ui.dialog(world, Style(
+            width=width, height=height, padding=SPACING["lg"],
+            gap=SPACING["md"], background=self.color("panel.bg"),
+            border=1.0, border_color=self.color("button.bg"),
+            border_radius=6.0), modal=modal, **kw)
+
+    def menu(self, ui, world, anchor, items, width=140.0, **kw):
+        return ui.menu(world, anchor, items, width=width,
+                       item_style=lambda: Style(
+                           height=SIZES["control_h"] - 2, flex_shrink=0.0,
+                           background=self.color("button.bg")), **kw)

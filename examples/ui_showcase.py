@@ -27,7 +27,8 @@ def build_app(width=480, height=320) -> App:
     font = FontAtlas(builder)
     app.add_plugins(TimePlugin(), TransformPlugin(), InputPlugin(),
                     RenderPlugin(width=width, height=height), SpritePlugin(),
-                    UiPlugin(width=width, height=height))
+                    UiPlugin(width=width, height=height,
+                             atlas_builder=builder))
     app.insert_resource(TextureAtlas.RESOURCE, {"data": builder.build()})
     app.world.spawn(Camera2d(), *transform_bundle())
     ui, th = app.ui, Theme()
@@ -62,6 +63,44 @@ def build_app(width=480, height=320) -> App:
         ui.spawn_node(app.world, Style(
             background=(0.3 + 0.07 * i, 0.5, 0.4, 1.0),
             grid_col_span=2 if i == 3 else 1), parent=grid)
+
+    # menu + modal dialog (ref: ui_widgets menu.rs/dialog.rs): "File"
+    # button opens a menu; "about…" opens a modal that blocks the rest
+    # of the UI until dismissed
+    dlg = th.dialog(ui, app.world, modal=True)
+    ui.spawn_node(app.world, Style(width=180, height=24,
+                                   background=th.color("button.primary.bg")),
+                  parent=dlg.panel)
+    close_btn = ui.button(app.world, Style(
+        width=70, height=22, background=th.color("button.bg")),
+        parent=dlg.panel)
+    ui.on_activate[close_btn] = lambda row: dlg.close()
+    menu_btn = th.button(ui, app.world, parent=panel)
+    th.menu(ui, app.world, menu_btn,
+            [("about", lambda row: dlg.open()),
+             ("noop", None)])
+
+    # observer on an ANCESTOR: any click inside the left panel (buttons,
+    # checkbox, menu anchor…) bubbles up the UiParent chain to `panel`
+    # (ref: bubbled Pointer events + observer Traversal)
+    import jax.numpy as jnp
+
+    from bevy_tpu.ecs.observer import On
+    from bevy_tpu.ecs.query import ResMut
+    from bevy_tpu.ecs.system import system
+    from bevy_tpu.ui import UiParent, UiPointerClick
+
+    app.insert_resource("panel_clicks", {"count": jnp.zeros((), jnp.int32)})
+
+    @system(name="panel_click_counter")
+    def panel_click_counter(r=ResMut("panel_clicks"),
+                            ev=On(UiPointerClick, bubble=True,
+                                  via=UiParent)):
+        r.count = r.count + ev.bubble_mask()[panel].astype(jnp.int32)
+
+    from bevy_tpu import Update
+    app.add_systems(Update, panel_click_counter)
+    app._showcase = {"dialog": dlg, "panel": panel, "menu_btn": menu_btn}
     return app
 
 
@@ -72,7 +111,24 @@ def main():
     app = build_app()
     app.update(dt=1 / 60)
     Image.fromarray(np.asarray(frame_image(app))).save("/tmp/ui_showcase.png")
-    print("ui_showcase: rendered → /tmp/ui_showcase.png")
+    # drive the menu → modal flow headlessly
+    from bevy_tpu.input import MouseButton
+    r = app.ui._rects[app._showcase["menu_btn"]]
+    app.input.move_to(r[0] + 4, r[1] + 4)
+    app.input.press_mouse(MouseButton.Left)
+    app.update(dt=1 / 60)
+    app.input.release_mouse(MouseButton.Left)
+    app.update(dt=1 / 60)
+    Image.fromarray(np.asarray(frame_image(app))).save(
+        "/tmp/ui_showcase_menu.png")
+    dlg = app._showcase["dialog"]
+    dlg.open()
+    app.update(dt=1 / 60)
+    Image.fromarray(np.asarray(frame_image(app))).save(
+        "/tmp/ui_showcase_modal.png")
+    clicks = int(app.world.resource("panel_clicks").count)
+    print(f"ui_showcase: rendered → /tmp/ui_showcase*.png; "
+          f"panel saw {clicks} bubbled click(s)")
 
 
 if __name__ == "__main__":

@@ -154,3 +154,49 @@ def test_lifecycle_no_retroactive_fire():
     app.world.spawn(Enemy(hp=2.0))   # new spawns after registration DO fire
     app.update(dt=1 / 60)
     assert int(app.world.resource(LifeTally).added) == 1
+
+
+# -- event bubbling (ref: observer Traversal + bevy_picking bubbled
+#    Pointer events: a child-targeted event is handleable on ancestors)
+
+@event
+class Poked:
+    row = field((), jnp.int32)
+
+
+@resource
+class BubbleLog:
+    hits = field(16, jnp.float32)     # per-entity handle counts
+
+
+def test_bubble_mask_walks_childof_chain():
+    from bevy_tpu.transform import TransformPlugin, set_parent, \
+        transform_bundle
+
+    app = App(capacity=16)
+    app.add_plugins(TimePlugin(), TransformPlugin())
+    app.insert_resource(BubbleLog())
+    gp = app.world.spawn(*transform_bundle())     # grandparent
+    pa = app.world.spawn(*transform_bundle())     # parent
+    ch = app.world.spawn(*transform_bundle())     # child (event target)
+    other = app.world.spawn(*transform_bundle())  # unrelated
+    set_parent(app.world, pa, gp)
+    set_parent(app.world, ch, pa)
+    target = ch.index
+
+    @system
+    def poke(t=Trigger(Poked, budget=2)):
+        t.trigger(count=1, row=jnp.asarray(target, jnp.int32))
+
+    @system
+    def on_poked(ev=On(Poked, bubble=True), log=ResMut(BubbleLog)):
+        log.hits = log.hits + ev.bubble_mask().astype(jnp.float32)
+
+    app.add_systems(Update, poke)
+    app.add_observer(Poked, on_poked)
+    app.update(dt=1 / 60)
+    hits = app.world.resource(BubbleLog).hits
+    assert float(hits[ch.index]) == 1.0       # the target itself
+    assert float(hits[pa.index]) == 1.0       # its parent
+    assert float(hits[gp.index]) == 1.0       # and grandparent
+    assert float(hits[other.index]) == 0.0    # but not strangers

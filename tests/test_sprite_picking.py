@@ -79,3 +79,35 @@ def test_topmost_sprite_wins():
     app.input.move_to(W / 2, H / 2)
     app.update(dt=1 / 60)
     assert int(app.world.resource("log").last) == top.index
+
+
+def test_click_bubbles_to_parent_observer():
+    """ref: bevy_picking bubbled Pointer<Click> — a handler observing the
+    PARENT entity reacts to a click on the child sprite."""
+    from bevy_tpu.transform import set_parent
+
+    app = App(capacity=16)
+    app.add_plugins(TimePlugin(), TransformPlugin(), InputPlugin(),
+                    RenderPlugin(width=W, height=H), SpritePlugin(),
+                    SpritePickingPlugin(W, H))
+    app.world.spawn(Camera2d(), *transform_bundle())
+    parent = app.world.spawn(*transform_bundle())
+    child = app.world.spawn(Sprite(size=(40, 30), color=(1, 0, 0, 1)),
+                            *transform_bundle(translation=(20.0, 10.0, 5.0)))
+    set_parent(app.world, child, parent)
+    prow = parent.index
+    app.insert_resource("blog", {"parent_hit": jnp.zeros((), jnp.int32)})
+
+    @system(name="parent_handler")
+    def parent_handler(r=ResMut("blog"), cl=On(PointerClick, bubble=True)):
+        r.parent_hit = r.parent_hit + \
+            cl.bubble_mask()[prow].astype(jnp.int32)
+
+    app.add_systems(Update, parent_handler)
+    app.update(dt=1 / 60)
+    # child sits at world (20,10): its translation is overwritten by
+    # transform propagation (parent at origin) → still (20,10)
+    app.input.move_to(100.0, 50.0)
+    app.input.press_mouse(MouseButton.Left)
+    app.update(dt=1 / 60)
+    assert int(app.world.resource("blog").parent_hit) == 1
