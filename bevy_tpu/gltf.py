@@ -190,10 +190,33 @@ def load_glb(path) -> GltfDocument:
     return _parse(gltf, buffers)
 
 
+def load_gltf(path) -> GltfDocument:
+    """Parse the .gltf JSON text form (ref: bevy_gltf loader — the same
+    document model as .glb, with buffers external via `uri` files or
+    embedded as base64 data: URIs)."""
+    import base64
+
+    p = Path(path)
+    gltf = json.loads(p.read_text())
+    gltf["_base_dir"] = str(p.parent)     # for external image URIs
+    buffers = []
+    for buf in gltf.get("buffers", []):
+        uri = buf.get("uri")
+        if uri is None:
+            buffers.append(b"")            # GLB-style bin has no uri
+        elif uri.startswith("data:"):
+            buffers.append(base64.b64decode(uri.split(",", 1)[1]))
+        else:
+            from urllib.parse import unquote
+            buffers.append((p.parent / unquote(uri)).read_bytes())
+    return _parse(gltf, buffers)
+
+
 def _decode_images(gltf, buffers):
     """Decode embedded PNG/JPEG images to (H, W, 4) u8 (host-side PIL —
     the numpy stand-in for bevy_image's codec stack)."""
     out = []
+    base_dir = gltf.get("_base_dir")
     for img in gltf.get("images", []):
         data = None
         if "bufferView" in img:
@@ -201,6 +224,17 @@ def _decode_images(gltf, buffers):
             buf = buffers[view.get("buffer", 0)]
             off = view.get("byteOffset", 0)
             data = buf[off: off + view["byteLength"]]
+        elif "uri" in img:               # .gltf text form: file or data URI
+            uri = img["uri"]
+            try:
+                if uri.startswith("data:"):
+                    import base64
+                    data = base64.b64decode(uri.split(",", 1)[1])
+                elif base_dir is not None:
+                    from urllib.parse import unquote
+                    data = (Path(base_dir) / unquote(uri)).read_bytes()
+            except Exception:
+                data = None
         if data is None:
             out.append(None)
             continue
@@ -438,3 +472,4 @@ def _parse(gltf, buffers) -> GltfDocument:
 def register_gltf_loader(server):
     """Hook into the asset server (ref: GltfPlugin registering loaders)."""
     server.register_loader(".glb", load_glb)
+    server.register_loader(".gltf", load_gltf)

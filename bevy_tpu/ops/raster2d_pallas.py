@@ -36,6 +36,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -137,12 +138,180 @@ def _kernel(counts_ref,                    # scalar prefetch (SMEM)
     fb_out_ref[3] = fa
 
 
+def _kernel_batched(counts_ref,            # scalar prefetch (SMEM)
+                    tile_table_ref,        # ANY/HBM (num_tiles, mpt, 128)
+                    atlas_ref,             # VMEM (4, AH, AW) planar
+                    fb_in_ref, fb_out_ref,  # VMEM (4, th, tw), aliased
+                    sprites_ref, sem,      # scratch: VMEM rows + DMA sem
+                    *, tile_h, tile_w, max_per_tile, ah, aw, bilinear,
+                    batch):
+    """Batched tile loop: each fori_loop step rasterizes `batch` sprites —
+    coverage/uv math runs on (batch*th, tw) stacked blocks and the
+    bilinear row pass is four (batch*th, AH)@(AH, AW) MXU matmuls shared
+    by every sprite in the block; only the column pass and the
+    (order-dependent) blend walk the batch. ~batch× fewer serial VPU ops
+    per sprite than the scalar loop — the sprite raster is
+    issue-latency-bound, not FLOP-bound (see pallas_guide.md).
+
+    Everything stays strictly 2D: per-sprite scalars are expanded to row
+    blocks with one-hot expansion MATMULS (E: (R,B), F: (B*AW,B)) instead
+    of broadcast+reshape — Mosaic rejects shape casts that split or merge
+    the lane dimension."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ntx = pl.num_programs(1)
+    t = i * ntx + j
+    cnt = counts_ref[t]
+
+    dma = pltpu.make_async_copy(tile_table_ref.at[t], sprites_ref, sem)
+    dma.start()
+
+    B = batch
+    R = B * tile_h
+
+    def fiota(shape, dim):
+        return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
+
+    def iiota(shape, dim):
+        return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+    # pixel coords per stacked row block: rows r → sprite r//th, tile row
+    # r%th; columns are the tile's pixel columns (row-invariant)
+    rrow = iiota((R, 1), 0)
+    rsprite = rrow // tile_h                       # (R,1) sprite lane
+    pxb = fiota((R, tile_w), 1) + (j * tile_w).astype(jnp.float32) + 0.5
+    pyb = (rrow - rsprite * tile_h).astype(jnp.float32) + \
+        (i * tile_h).astype(jnp.float32) + 0.5     # (R,1)
+    col_x = pxb[0:1, :]                            # (1, tw)
+    ky = fiota((R, ah), 1)                         # atlas row ids
+    # per-block atlas column ids: kx[r] = r % aw over B stacked aw-blocks
+    kxr = iiota((B * aw, tile_w), 0)
+    kx = (kxr - (kxr // aw) * aw).astype(jnp.float32)
+    # one-hot expansion matrices (constant, hoisted out of the loop):
+    # E (R,B): E[r,b]=1 iff r//th==b   — rep(v) = E @ v for (B,1) scalars
+    # F (BAW,B): F[r,b]=1 iff r//aw==b — expands (B,tw) rows to aw-blocks
+    # S (B,BAW): S = Fᵀ                — per-sprite column-weight sums
+    E = (rsprite == iiota((R, B), 1)).astype(jnp.float32)
+    F = ((iiota((B * aw, B), 0) // aw) == iiota((B * aw, B), 1)) \
+        .astype(jnp.float32)
+    S = ((iiota((B, B * aw), 1) // aw) == iiota((B, B * aw), 0)) \
+        .astype(jnp.float32)
+    # stacked slot k holds draw-order bitrev(k) (table rows are permuted
+    # to match — see dispatch): the halves-pairing over-composite tree
+    # then reduces in exact back-to-front order.
+    nbits = max(B - 1, 1).bit_length()
+    rdraw = jnp.zeros_like(rsprite)
+    for bit in range(nbits):
+        rdraw = rdraw | (((rsprite >> bit) & 1) << (nbits - 1 - bit))
+
+    dma.wait()
+
+    def body(s, fb):
+        sp = sprites_ref[pl.ds(s * B, B), :]           # (B, 128)
+        rp = jnp.dot(E, sp, preferred_element_type=jnp.float32)  # (R, 128)
+
+        def col(k):
+            return sp[:, k:k + 1]                      # (B, 1)
+
+        def rep(k):
+            return rp[:, k:k + 1]                      # (R, 1)
+
+        valid = (rdraw + s * B) < cnt                  # (R,1)
+        dx = pxb - rep(0)
+        dy = pyb - rep(1)                              # (R,1)
+        lx = rep(4) * dx + rep(5) * dy
+        ly = -rep(5) * dx + rep(4) * dy
+        inside = (jnp.abs(lx) <= rep(2)) & (jnp.abs(ly) <= rep(3)) & valid
+
+        # row (v) weights for ALL sprites: four matmuls serve every
+        # sprite in the block
+        inv2hy = 1.0 / jnp.maximum(2.0 * rep(3), 1e-6)
+        v0, v1 = rep(11), rep(13)
+        vv = (pyb - rep(1)) * inv2hy + 0.5             # (R,1)
+        fy = jnp.clip(v0 + vv * (v1 - v0), jnp.minimum(v0, v1),
+                      jnp.maximum(v0, v1)) * ah - 0.5
+        if bilinear:
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(ky - fy))          # (R, AH)
+        else:
+            wy = (jnp.abs(ky - fy) <= 0.5).astype(jnp.float32)
+        wy = wy / jnp.maximum(jnp.sum(wy, axis=1, keepdims=True), 1e-6)
+        t1 = [jnp.dot(wy, atlas_ref[c],
+                      preferred_element_type=jnp.float32)          # (R, AW)
+              for c in range(4)]
+
+        # column (u) weights: batched build, normalize via S-matmul sums
+        u0b, u1b = col(10), col(12)
+        inv2hx = 1.0 / jnp.maximum(2.0 * col(2), 1e-6)  # (B,1)
+        uu = (col_x - col(0)) * inv2hx + 0.5           # (B, tw)
+        fx = jnp.clip(u0b + uu * (u1b - u0b), jnp.minimum(u0b, u1b),
+                      jnp.maximum(u0b, u1b)) * aw - 0.5
+        fx_all = jnp.dot(F, fx, preferred_element_type=jnp.float32)
+        if bilinear:
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(kx - fx_all))      # (BAW, tw)
+        else:
+            wx = (jnp.abs(kx - fx_all) < 0.5).astype(jnp.float32)
+        norm = jnp.maximum(jnp.dot(S, wx, preferred_element_type=jnp.float32),
+                           1e-6)                       # (B, tw)
+
+        # column pass for ALL sprites at once: place each sprite's t1
+        # rows into its own aw-column block (static masked concat — no
+        # dynamic lane shifts on TPU), then ONE (R, B*aw)@(B*aw, tw)
+        # matmul per channel computes every sprite's texture block.
+        # Replaces 4*B small per-sprite matmuls with 4 MXU-sized ones.
+        nrm_inv = jnp.dot(E, 1.0 / norm,
+                          preferred_element_type=jnp.float32)  # (R, tw)
+        texs = []
+        for c in range(4):
+            blkdiag = jnp.concatenate(
+                [jnp.where(rsprite == k, t1[c], 0.0) for k in range(B)],
+                axis=1)                                # (R, B*aw)
+            tc = jnp.dot(blkdiag, wx,
+                         preferred_element_type=jnp.float32) * nrm_inv
+            texs.append(jnp.where(rp[:, 14:15] >= 0.0, tc, 1.0))
+        # premultiplied over-composite is ASSOCIATIVE: tree-reduce the B
+        # stacked (th,tw) layers instead of a serial walk. Layer k over
+        # layer j (k in front): C = Ck + (1-Ak)Cj, A = Ak + (1-Ak)Aj.
+        # Stacking keeps everything (R,tw)-vectorized per level.
+        av = jnp.where(inside, texs[3] * rp[:, 9:10], 0.0)     # (R, tw)
+        pr = texs[0] * rp[:, 6:7] * av
+        pg = texs[1] * rp[:, 7:8] * av
+        pb = texs[2] * rp[:, 8:9] * av
+        n_lay = B
+        while n_lay > 1:
+            h = n_lay // 2 * tile_h
+            # front = later half of each adjacent pair (higher k drawn
+            # later = in front under back-to-front z order)
+            fr_a, fr_r = av[h:n_lay * tile_h], pr[h:n_lay * tile_h]
+            fr_g, fr_b = pg[h:n_lay * tile_h], pb[h:n_lay * tile_h]
+            bk_a, bk_r = av[:h], pr[:h]
+            bk_g, bk_b = pg[:h], pb[:h]
+            ia = 1.0 - fr_a
+            av = fr_a + ia * bk_a
+            pr = fr_r + ia * bk_r
+            pg = fr_g + ia * bk_g
+            pb = fr_b + ia * bk_b
+            n_lay //= 2
+        fr0, fg0, fb0_, fa0 = fb
+        ia = 1.0 - av[:tile_h]
+        return (fr0 * ia + pr[:tile_h], fg0 * ia + pg[:tile_h],
+                fb0_ * ia + pb[:tile_h], fa0 * ia + av[:tile_h])
+
+    fb0 = (fb_in_ref[0], fb_in_ref[1], fb_in_ref[2], fb_in_ref[3])
+    nblk = (cnt + B - 1) // B
+    fr, fg, fbb, fa = jax.lax.fori_loop(0, nblk, body, fb0)
+    fb_out_ref[0] = fr
+    fb_out_ref[1] = fg
+    fb_out_ref[2] = fbb
+    fb_out_ref[3] = fa
+
+
 @partial(jax.jit, static_argnames=(
     "tile_h", "tile_w", "pairs_per_sprite", "max_per_tile", "max_visible",
-    "bilinear", "interpret"))
+    "bilinear", "interpret", "sprite_batch"))
 def raster_sprites_pallas(fb_planar, packed, atlas_planar, *, tile_h=32,
                           tile_w=128, pairs_per_sprite=4, max_per_tile=256,
-                          max_visible=None, bilinear=True, interpret=False):
+                          max_visible=None, bilinear=True, interpret=False,
+                          sprite_batch=8):
     """fb_planar (4, H, W) linear RGBA planes; atlas_planar (4, AH, AW);
     packed (N, 17) from ops.raster2d.pack_sprite_instances.
     Returns (fb_planar, stats)."""
@@ -166,10 +335,24 @@ def raster_sprites_pallas(fb_planar, packed, atlas_planar, *, tile_h=32,
     onscreen = (center[:, 0] + rx > 0) & (center[:, 0] - rx < wp) & \
                (center[:, 1] + ry > 0) & (center[:, 1] - ry < hp) & \
                (half[:, 0] > 0) & (half[:, 1] > 0) & active
-    order = jnp.argsort(jnp.where(onscreen, z, jnp.inf), stable=True)[:v]
-    pk = packed[order]                      # (v, 17) visible, back-to-front
-    vis = onscreen[order]
     n_visible = jnp.sum(onscreen.astype(jnp.int32))
+    if v < n:
+        # compact visible rows first (sort-free cumsum scatter), THEN
+        # z-sort the v-budget — the sort shrinks from capacity to budget
+        # (ties keep spawn order: both paths are stable in original index)
+        pos = jnp.cumsum(onscreen.astype(jnp.int32)) - 1
+        tgt = jnp.where(onscreen & (pos < v), pos, v)
+        cand = jnp.zeros(v + 1, jnp.int32).at[tgt].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")[:v]
+        cvalid = jnp.arange(v, dtype=jnp.int32) < n_visible
+        zc = jnp.where(cvalid, z[cand], jnp.inf)
+        ordz = jnp.argsort(zc, stable=True)
+        order = cand[ordz]
+        vis = cvalid[ordz]
+    else:
+        order = jnp.argsort(jnp.where(onscreen, z, jnp.inf), stable=True)[:v]
+        vis = onscreen[order]
+    pk = packed[order]                      # (v, 17) visible, back-to-front
 
     # ---- 2. pair expansion + one stable sort by tile ----
     x0 = jnp.floor((pk[:, 0] - rx[order]) / tile_w).astype(jnp.int32)
@@ -199,10 +382,30 @@ def raster_sprites_pallas(fb_planar, packed, atlas_planar, *, tile_h=32,
 
     # ---- 3. fixed per-tile table; dim-0 slices are aligned for the DMA ----
     tile_counts = jnp.minimum(ends - starts, max_per_tile)
-    slot = starts[:, None] + jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
+    batched = sprite_batch > 1
+    if batched:
+        # bit-reversed placement inside each batch group: the kernel's
+        # halves-pairing composite tree then reduces in draw order
+        nb = max(sprite_batch - 1, 1).bit_length()
+        br = np.array([int(format(k, f"0{nb}b")[::-1], 2)
+                       for k in range(sprite_batch)], np.int32)
+        lanes = np.arange(max_per_tile, dtype=np.int32)
+        offs = (lanes // sprite_batch) * sprite_batch + \
+            br[lanes % sprite_batch]
+        slot = starts[:, None] + jnp.asarray(offs)[None, :]
+    else:
+        slot = starts[:, None] + \
+            jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
     slot = jnp.minimum(slot, pair_cap - 1)
-    tile_table = pk[pair_sprite[slot]].transpose(0, 2, 1)
-    tile_table = jnp.pad(tile_table, ((0, 0), (0, 7), (0, 0)))
+    if batched:
+        # rows = sprites so the kernel's per-block dynamic slice runs on
+        # the (8-aligned) sublane dim — lane-dim starts must be 128-aligned;
+        # the lane dim itself pads 17→128 because DMA minor dims must be
+        # 128-multiples (≈12 MB/frame extra HBM traffic: negligible)
+        tile_table = jnp.pad(pk[pair_sprite[slot]], ((0, 0), (0, 0), (0, 111)))
+    else:
+        tile_table = pk[pair_sprite[slot]].transpose(0, 2, 1)
+        tile_table = jnp.pad(tile_table, ((0, 0), (0, 7), (0, 0)))
 
     fbp = jnp.pad(fb_planar, ((0, 0), (0, hp - H), (0, wp - W)))
 
@@ -218,13 +421,19 @@ def raster_sprites_pallas(fb_planar, packed, atlas_planar, *, tile_h=32,
         out_specs=pl.BlockSpec((4, tile_h, tile_w), lambda i, j, *_: (0, i, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.SMEM((24, max_per_tile), jnp.float32),
+            (pltpu.VMEM((max_per_tile, 128), jnp.float32) if batched
+             else pltpu.SMEM((24, max_per_tile), jnp.float32)),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = partial(_kernel, tile_h=tile_h, tile_w=tile_w,
-                     max_per_tile=max_per_tile, ah=ah, aw=aw,
-                     bilinear=bilinear)
+    if batched:
+        kernel = partial(_kernel_batched, tile_h=tile_h, tile_w=tile_w,
+                         max_per_tile=max_per_tile, ah=ah, aw=aw,
+                         bilinear=bilinear, batch=sprite_batch)
+    else:
+        kernel = partial(_kernel, tile_h=tile_h, tile_w=tile_w,
+                         max_per_tile=max_per_tile, ah=ah, aw=aw,
+                         bilinear=bilinear)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -7,7 +7,7 @@ import struct
 import numpy as np
 
 from bevy_tpu import App
-from bevy_tpu.gltf import load_glb
+from bevy_tpu.gltf import load_glb, load_gltf
 from bevy_tpu.render import RenderPlugin
 from bevy_tpu.render.camera import Camera3d
 from bevy_tpu.render.mesh3d import (
@@ -70,6 +70,62 @@ def test_parse_glb(tmp_path):
     node = doc.nodes[0]
     assert node.name == "tri"
     assert np.allclose(node.translation, [0.5, 0, 0])
+
+
+def _make_gltf_text(dirpath, embed=False):
+    """Same triangle as _make_glb, in the .gltf JSON text form — buffer
+    external (tri.bin) or embedded as a base64 data: URI."""
+    import base64
+
+    pos = np.asarray([[-1, -1, 0], [1, -1, 0], [0, 1, 0]], np.float32)
+    nrm = np.tile([0, 0, 1], (3, 1)).astype(np.float32)
+    idx = np.asarray([0, 1, 2], np.uint16)
+    bin_data = pos.tobytes() + nrm.tobytes() + idx.tobytes() + b"\x00\x00"
+    if embed:
+        uri = ("data:application/octet-stream;base64," +
+               base64.b64encode(bin_data).decode())
+    else:
+        (dirpath / "tri.bin").write_bytes(bin_data)
+        uri = "tri.bin"
+    gltf = {
+        "asset": {"version": "2.0"},
+        "buffers": [{"byteLength": len(bin_data), "uri": uri}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 72, "byteLength": 6},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5123, "count": 3, "type": "SCALAR"},
+        ],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [1.0, 0.0, 0.0, 1.0],
+            "metallicFactor": 0.0, "roughnessFactor": 0.8}}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "NORMAL": 1},
+            "indices": 2, "material": 0}]}],
+        "nodes": [{"mesh": 0, "name": "tri",
+                   "translation": [0.5, 0.0, 0.0]}],
+        "scenes": [{"nodes": [0]}],
+    }
+    f = dirpath / "tri.gltf"
+    f.write_text(json.dumps(gltf))
+    return f
+
+
+def test_parse_gltf_text_external_buffer(tmp_path):
+    doc = load_gltf(_make_gltf_text(tmp_path, embed=False))
+    prim = doc.primitives[0]
+    assert prim.mesh.num_triangles == 1
+    assert prim.base_color == (1.0, 0.0, 0.0, 1.0)
+    assert np.allclose(doc.nodes[0].translation, [0.5, 0, 0])
+
+
+def test_parse_gltf_text_data_uri(tmp_path):
+    doc = load_gltf(_make_gltf_text(tmp_path, embed=True))
+    assert doc.primitives[0].mesh.num_vertices == 3
 
 
 def test_spawn_and_render_glb(tmp_path):
