@@ -62,7 +62,8 @@ def _pad_to(x, m):
 
 def pack_planes_h(cc, cn, valid, width, height, viewport=None,
                   materials=None, cuv=None, tex_rect=None, build_srec=True,
-                  id_base=0, tangents=None, nm_rect=None, lm_rect=None):
+                  id_base=0, tangents=None, nm_rect=None, lm_rect=None,
+                  dm_rect=None):
     """Homogeneous (clipless) triangle setup.
 
     cc: (T, 3, 4) clip-space corner positions; cn: (T, 3, 3) per-corner
@@ -109,6 +110,20 @@ def pack_planes_h(cc, cn, valid, width, height, viewport=None,
     det = X0 * a00 + Y0 * a01 + W0 * a02
     front = det < 0.0                       # CCW front, y-down (see header)
     valid = valid & front
+    # degenerate guards (both needed — fp contraction under jit makes
+    # det of exactly-degenerate tris a tiny NONZERO value, so `det < 0`
+    # alone can admit garbage planes that cover whole splat windows):
+    # 1. exact corner-coincidence (padding tris, collapsed mesh tris)
+    same01 = jnp.all(cc[:, 0] == cc[:, 1], -1)
+    same12 = jnp.all(cc[:, 1] == cc[:, 2], -1)
+    same02 = jnp.all(cc[:, 0] == cc[:, 2], -1)
+    valid = valid & ~(same01 | same12 | same02)
+    # 2. relative sliver guard: |det|/max|adj| ~ the projected
+    # triangle's smallest altitude in px; below ~1e-3 px the
+    # inv_det-scaled coefficients make the f32 edge-test sign noise
+    amax = jnp.max(jnp.abs(jnp.stack(
+        [a00, a01, a02, a10, a11, a12, a20, a21, a22], 1)), 1)
+    valid = valid & (jnp.abs(det) > 1e-3 * amax)
     inv_det = jnp.where(det != 0.0, 1.0 / jnp.where(det != 0.0, det, 1.0), 0.0)
     gate = jnp.where(valid, inv_det, 0.0)   # zero records for culled tris
     # e_i = lambda_i/w planes; store NEGATED (kernel inside test is <= 0)
@@ -153,11 +168,20 @@ def pack_planes_h(cc, cn, valid, width, height, viewport=None,
         jnp.zeros((t, ZREC - 17), jnp.float32)], 1)
     if build_srec:
         if materials is None:
-            materials = jnp.zeros((t, 11), jnp.float32)
-        if materials.shape[1] == 9:       # no clearcoat columns supplied
+            materials = jnp.zeros((t, 14), jnp.float32)
+        if materials.shape[1] < 14:       # pad clearcoat/aniso/pom columns
             materials = jnp.concatenate(
-                [materials, jnp.zeros((t, 2), jnp.float32)], 1)
+                [materials,
+                 jnp.zeros((t, 14 - materials.shape[1]), jnp.float32)], 1)
         mat9, cc_part = materials[:, :9], materials[:, 9:11]
+        aniso_part = materials[:, 11:13]  # strength, rotation (ref:
+        #                       StandardMaterial anisotropy_* fields)
+        # parallax: depth-map atlas rect (4) + parallax_depth_scale (ref:
+        # StandardMaterial depth_map + parallax_depth_scale)
+        pom_part = jnp.concatenate(
+            [dm_rect if dm_rect is not None
+             else jnp.zeros((t, 4), jnp.float32),
+             materials[:, 13:14]], 1)
         if cuv is not None and tex_rect is not None:
             uv_part = jnp.concatenate([
                 combo(cuv[:, :, 0]), combo(cuv[:, :, 1]), tex_rect], 1)
@@ -176,7 +200,8 @@ def pack_planes_h(cc, cn, valid, width, height, viewport=None,
         srec = jnp.concatenate([
             iw_plane, combo(cn[:, :, 0]), combo(cn[:, :, 1]),
             combo(cn[:, :, 2]), mat9, uv_part, nm_part, lm_part,
-            cc_part, jnp.zeros((t, SREC - 44), jnp.float32)], 1)
+            cc_part, aniso_part, pom_part,
+            jnp.zeros((t, SREC - 51), jnp.float32)], 1)
     else:
         srec = None      # flat-shading path builds 8-wide records instead
     return zrec, srec, valid
@@ -522,13 +547,22 @@ def sample_atlas(atlas, uv):
     return top * (1 - fy) + bot * fy
 
 
-def resolve_shade(winner, srec, atlas=None):
+def resolve_shade(winner, srec, atlas=None, ray=None, parallax_layers=0):
     """Per-pixel varying + material fetch (the visbuffer material resolve,
     ref: meshlet resolve_material position). winner (H, W) int32
     (-1 = background). ONE wide row gather (see header note on gather
     widths). Returns (normal (H,W,3) unit, mat (H,W,9), ok (H,W)); when
     `atlas` is given, perspective-correct UVs sample it and modulate the
-    material base color (rect u1 <= u0 = untextured, keeps base color)."""
+    material base color (rect u1 <= u0 = untextured, keeps base color).
+
+    parallax_layers > 0 enables parallax occlusion mapping (ref:
+    StandardMaterial parallax_depth_scale / depth_map +
+    bevy_pbr/src/render/parallax_mapping.wesl parallaxed_uv): the view
+    ray marches `parallax_layers` static depth layers through the
+    material's depth map (srec 46:50 atlas rect, 50 scale; larger texel =
+    deeper) with one secant refinement at the crossing, shifting the UVs
+    used for every subsequent texture fetch. Requires `ray` (3, 3): the
+    camera pixel-ray planes, world dir = ray[0] + px*ray[1] + py*ray[2]."""
     H, W = winner.shape
     ok = winner >= 0
     rec = srec[jnp.maximum(winner, 0)]          # (H, W, SREC)
@@ -541,10 +575,68 @@ def resolve_shade(winner, srec, atlas=None):
     n = jnp.stack([nx, ny, nz], -1)
     n = n * jax.lax.rsqrt(jnp.maximum(jnp.sum(n * n, -1, keepdims=True),
                                       1e-12))
-    mat = jnp.concatenate([rec[..., 12:21], rec[..., 42:44]], -1)
+    # mat columns: rgba 0:4, emissive 4:7, metallic 7, roughness 8,
+    # clearcoat 9:11, raw tangent 11:14, anisotropy strength/rotation 14:16
+    mat = jnp.concatenate([rec[..., 12:21], rec[..., 42:44],
+                           rec[..., 31:34], rec[..., 44:46]], -1)
     if atlas is not None:
         u = (rec[..., 21] * px + rec[..., 22] * py + rec[..., 23]) / iw
         v = (rec[..., 24] * px + rec[..., 25] * py + rec[..., 26]) / iw
+        if parallax_layers and ray is not None:
+            # -- parallax occlusion march (specialization-gated: compiles
+            #    out of scenes with no depth-mapped material)
+            d0u, d0v = rec[..., 46], rec[..., 47]
+            d1u, d1v = rec[..., 48], rec[..., 49]
+            pscale = rec[..., 50]
+            has_pom = (d1u > d0u) & (pscale > 0.0) & ok
+            vx = -(ray[0, 0] + px * ray[1, 0] + py * ray[2, 0])
+            vy = -(ray[0, 1] + px * ray[1, 1] + py * ray[2, 1])
+            vz = -(ray[0, 2] + px * ray[1, 2] + py * ray[2, 2])
+            inv_vl = jax.lax.rsqrt(jnp.maximum(
+                vx * vx + vy * vy + vz * vz, 1e-12))
+            vx, vy, vz = vx * inv_vl, vy * inv_vl, vz * inv_vl
+            tg = rec[..., 31:34]
+            tg = tg - n * (tg[..., 0:1] * n[..., 0:1] +
+                           tg[..., 1:2] * n[..., 1:2] +
+                           tg[..., 2:3] * n[..., 2:3])
+            tg = tg * jax.lax.rsqrt(jnp.maximum(
+                jnp.sum(tg * tg, -1, keepdims=True), 1e-12))
+            bt = jnp.cross(n, tg)
+            vt = vx * tg[..., 0] + vy * tg[..., 1] + vz * tg[..., 2]
+            vb = vx * bt[..., 0] + vy * bt[..., 1] + vz * bt[..., 2]
+            vn = jnp.maximum(vx * n[..., 0] + vy * n[..., 1] +
+                             vz * n[..., 2], 0.05)
+            ou = pscale * vt / vn          # uv shift per unit map depth
+            ov = pscale * vb / vn
+
+            def dsample(uu, vv):
+                fu_ = uu - jnp.floor(uu)
+                fv_ = vv - jnp.floor(vv)
+                return sample_atlas(atlas, jnp.stack(
+                    [d0u + fu_ * (d1u - d0u),
+                     d0v + fv_ * (d1v - d0v)], -1))[..., 0]
+
+            nl = int(parallax_layers)
+            prev_d = jnp.zeros_like(u)
+            prev_h = dsample(u, v)
+            found = prev_h <= 0.0
+            best = jnp.zeros_like(u)
+            for i in range(1, nl + 1):
+                d_i = jnp.full_like(u, i / nl)
+                h_i = dsample(u - d_i * ou, v - d_i * ov)
+                below = d_i >= h_i
+                newly = below & ~found
+                denom = (prev_h - prev_d) - (h_i - d_i)
+                tfrac = jnp.clip((prev_h - prev_d) /
+                                 jnp.where(jnp.abs(denom) > 1e-6,
+                                           denom, 1e-6), 0.0, 1.0)
+                d_hit = prev_d + tfrac * (d_i - prev_d)
+                best = jnp.where(newly, d_hit, best)
+                found = found | below
+                prev_d, prev_h = d_i, h_i
+            best = jnp.where(found, best, 1.0)   # deeper than map: clamp
+            u = jnp.where(has_pom, u - best * ou, u)
+            v = jnp.where(has_pom, v - best * ov, v)
         # REPEAT wrap inside the sub-rect (glTF default sampler)
         fu = u - jnp.floor(u)
         fv = v - jnp.floor(v)
@@ -630,6 +722,10 @@ def resolve_gbuf_flat(winner, frec_a, frec_b, gbuf):
     a = frec_a[idx]                             # (H, W, 8)
     b = frec_b[idx]
     planes = jnp.concatenate([a[..., 0:7], b[..., 0:7]], -1)   # 14
+    if gbuf.shape[0] > 14:      # aniso planes: flat meshes shade isotropic
+        planes = jnp.concatenate(
+            [planes, jnp.zeros(planes.shape[:2] + (gbuf.shape[0] - 14,),
+                               planes.dtype)], -1)
     return jnp.where(ok[None], jnp.moveaxis(planes, -1, 0), gbuf)
 
 
@@ -642,13 +738,15 @@ def resolve_flat(winner, flat_rec, color_planar):
     return jnp.where(ok[None], out_p, color_planar)
 
 
-def resolve_forward(winner, srec, light_vec, color_planar, atlas=None):
+def resolve_forward(winner, srec, light_vec, color_planar, atlas=None,
+                    ray=None, parallax_layers=0):
     """Forward (Lambert directional + ambient) shade of visbuffer winners —
     same lighting as the legacy `_plane_kernel` so images are comparable.
     color_planar (4, H, W) is composed over (winner == -1 keeps input).
     Lightmapped surfaces (srec slots 38:42 hold an atlas rect) add
     albedo * lightmap (ref: the lightmap term of pbr shading)."""
-    n, mat, ok = resolve_shade(winner, srec, atlas)
+    n, mat, ok = resolve_shade(winner, srec, atlas, ray=ray,
+                               parallax_layers=parallax_layers)
     lam = jnp.maximum(0.0, -(n[..., 0] * light_vec[0] +
                              n[..., 1] * light_vec[1] +
                              n[..., 2] * light_vec[2]))
@@ -676,12 +774,28 @@ def resolve_forward(winner, srec, light_vec, color_planar, atlas=None):
     return jnp.where(ok[None], out_p, color_planar)
 
 
-def resolve_gbuf(winner, srec, gbuf, atlas=None):
+def resolve_gbuf(winner, srec, gbuf, atlas=None, ray=None,
+                 parallax_layers=0):
     """G-buffer write from visbuffer winners (ref: the deferred prepass,
-    bevy_core_pipeline/src/deferred/). gbuf (14, H, W): albedo rgba,
+    bevy_core_pipeline/src/deferred/). gbuf (18, H, W): albedo rgba,
     world normal xyz, emissive rgb, metallic, roughness, clearcoat,
-    clearcoat roughness."""
-    n, mat, ok = resolve_shade(winner, srec, atlas)
+    clearcoat roughness, anisotropy tangent xyz (pre-rotated), strength."""
+    n, mat, ok = resolve_shade(winner, srec, atlas, ray=ray,
+                               parallax_layers=parallax_layers)
+    # anisotropy tangent: orthonormalize the mesh tangent against the
+    # (possibly normal-mapped) normal, then rotate about it by the
+    # material's anisotropy_rotation (ref: bevy_pbr anisotropy.wesl —
+    # rotation applied to the tangent basis before the BRDF)
+    tang = mat[..., 11:14]
+    tang = tang - n * jnp.sum(tang * n, -1, keepdims=True)
+    tang = tang * jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(tang * tang, -1, keepdims=True), 1e-12))
+    rot = mat[..., 15:16]
+    bit = jnp.cross(n, tang)
+    trot = tang * jnp.cos(rot) + bit * jnp.sin(rot)
     planes = jnp.concatenate([mat[..., 0:4], n, mat[..., 4:7],
-                              mat[..., 7:11]], -1)    # (H, W, 14)
-    return jnp.where(ok[None], jnp.moveaxis(planes, -1, 0), gbuf)
+                              mat[..., 7:11], trot,
+                              mat[..., 14:15]], -1)    # (H, W, 18)
+    nplanes = gbuf.shape[0]
+    return jnp.where(ok[None], jnp.moveaxis(planes[..., :nplanes], -1, 0),
+                     gbuf)

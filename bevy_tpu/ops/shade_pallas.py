@@ -78,7 +78,8 @@ def _shade_kernel(counts_ref, params_ref,
                   gbuf_ref, dep_ref, shadow_ref,
                   col_out_ref,
                   lights_ref, sem,
-                  *, tile_h, tile_w, max_per_tile, spot, clearcoat=True):
+                  *, tile_h, tile_w, max_per_tile, spot, clearcoat=True,
+                  anisotropy=False):
     i = pl.program_id(0)
     j = pl.program_id(1)
     ntx = pl.num_programs(1)
@@ -122,6 +123,30 @@ def _shade_kernel(counts_ref, params_ref,
         cc = gbuf_ref[12]                  # clearcoat weight (0 = off)
         ccr = jnp.clip(gbuf_ref[13], 0.045, 1.0)
         cc_a2 = (ccr * ccr) * (ccr * ccr)
+    if anisotropy:
+        # planes 14:17 = anisotropy tangent (already rotated by the
+        # material's anisotropy_rotation at resolve), 17 = strength
+        # (ref: bevy_pbr anisotropy — Filament-derived aniso GGX)
+        tx, ty, tz = gbuf_ref[14], gbuf_ref[15], gbuf_ref[16]
+        aniso = gbuf_ref[17]
+        # pixels without a tangent (flat/legacy G-buffer paths write
+        # zeros) get an arbitrary orthonormal frame — their strength is
+        # 0, and at zero strength the aniso terms reduce EXACTLY to the
+        # isotropic lobe, so the frame choice cannot show
+        tlen2 = tx * tx + ty * ty + tz * tz
+        fy_ = jnp.where(jnp.abs(ny) < 0.9, 1.0, 0.0)
+        fx_ = 1.0 - fy_
+        cxf = fy_ * nz
+        cyf = -fx_ * nz
+        czf = fx_ * ny - fy_ * nx
+        use_fb = tlen2 < 0.25
+        tx = jnp.where(use_fb, cxf, tx)
+        ty = jnp.where(use_fb, cyf, ty)
+        tz = jnp.where(use_fb, czf, tz)
+        inv_tl = jax.lax.rsqrt(jnp.maximum(tx * tx + ty * ty + tz * tz,
+                                           1e-12))
+        tx, ty, tz = tx * inv_tl, ty * inv_tl, tz * inv_tl
+        aniso = jnp.where(use_fb, 0.0, aniso)
 
     # view vector + PBR terms shared across lights (ref: pbr_lighting.wesl
     # Cook-Torrance GGX; diffuse kept un-normalized by π to match the
@@ -132,6 +157,18 @@ def _shade_kernel(counts_ref, params_ref,
     nov = jnp.maximum(nx * vx + ny * vy + nz * vz, 1e-4)
     alpha = rough * rough
     a2 = alpha * alpha
+    if anisotropy:
+        # bitangent + per-direction roughnesses (Filament / bevy
+        # anisotropy_strength convention: at = a(1+s), ab = a(1-s))
+        bx_ = ny * tz - nz * ty
+        by_ = nz * tx - nx * tz
+        bz_ = nx * ty - ny * tx
+        at = jnp.maximum(alpha * (1.0 + aniso), 1e-3)
+        ab_r = jnp.maximum(alpha * (1.0 - aniso), 1e-3)
+        tov = tx * vx + ty * vy + tz * vz
+        bov = bx_ * vx + by_ * vy + bz_ * vz
+        lam_v_c = jnp.sqrt(jnp.maximum(
+            (at * tov) ** 2 + (ab_r * bov) ** 2 + nov * nov, 1e-12))
     dr = ar * (1.0 - met)
     dg = ag * (1.0 - met)
     db = ab * (1.0 - met)
@@ -146,11 +183,27 @@ def _shade_kernel(counts_ref, params_ref,
         inv_h = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-9))
         noh = jnp.maximum((nx * hx + ny * hy + nz * hz) * inv_h, 0.0)
         loh = jnp.maximum((lx * hx + ly * hy + lz * hz) * inv_h, 0.0)
-        den = noh * noh * (a2 - 1.0) + 1.0
-        dist = a2 / jnp.maximum(3.14159265 * den * den, 1e-9)
-        vis = 0.5 / jnp.maximum(
-            nol * (nov * (1.0 - alpha) + alpha) +
-            nov * (nol * (1.0 - alpha) + alpha), 1e-4)
+        if anisotropy:
+            # Filament-style anisotropic GGX D + height-correlated Smith
+            # visibility (ref: bevy_pbr anisotropy / pbr_lighting.wesl);
+            # aniso == 0 degenerates to the isotropic terms exactly
+            toh = (tx * hx + ty * hy + tz * hz) * inv_h
+            boh = (bx_ * hx + by_ * hy + bz_ * hz) * inv_h
+            a2an = at * ab_r
+            dsum = (toh / at) ** 2 + (boh / ab_r) ** 2 + noh * noh
+            dist = 1.0 / jnp.maximum(
+                3.14159265 * a2an * dsum * dsum, 1e-9)
+            tol = tx * lx + ty * ly + tz * lz
+            bol = bx_ * lx + by_ * ly + bz_ * lz
+            lam_l = jnp.sqrt(jnp.maximum(
+                (at * tol) ** 2 + (ab_r * bol) ** 2 + nol * nol, 1e-12))
+            vis = 0.5 / jnp.maximum(nol * lam_v_c + nov * lam_l, 1e-4)
+        else:
+            den = noh * noh * (a2 - 1.0) + 1.0
+            dist = a2 / jnp.maximum(3.14159265 * den * den, 1e-9)
+            vis = 0.5 / jnp.maximum(
+                nol * (nov * (1.0 - alpha) + alpha) +
+                nov * (nol * (1.0 - alpha) + alpha), 1e-4)
         fres = (1.0 - loh) ** 5
         sr = dist * vis * (f0r + (1.0 - f0r) * fres)
         sg = dist * vis * (f0g + (1.0 - f0g) * fres)
@@ -221,11 +274,13 @@ def _shade_kernel(counts_ref, params_ref,
 
 
 @partial(jax.jit, static_argnames=("tile_h", "tile_w", "max_per_tile",
-                                   "interpret", "spot", "clearcoat"))
+                                   "interpret", "spot", "clearcoat",
+                                   "anisotropy"))
 def deferred_shade(gbuffer, depth, light_table, tile_counts, params,
                    shadow=None, *, tile_h=32, tile_w=128, max_per_tile=256,
-                   interpret=False, spot=True, clearcoat=True):
-    """gbuffer (14,H,W), depth (H,W); light_table (num_tiles, 8, mpt) from
+                   interpret=False, spot=True, clearcoat=True,
+                   anisotropy=False):
+    """gbuffer (18,H,W), depth (H,W); light_table (num_tiles, 8, mpt) from
     bin_lights; params (40,) f32 (see _shade_kernel); shadow (H,W) lit
     factor for the directional light (None = fully lit).
     Returns color (4,H,W)."""
@@ -261,7 +316,7 @@ def deferred_shade(gbuffer, depth, light_table, tile_counts, params,
     )
     kernel = partial(_shade_kernel, tile_h=tile_h, tile_w=tile_w,
                      max_per_tile=max_per_tile, spot=spot,
-                     clearcoat=clearcoat)
+                     clearcoat=clearcoat, anisotropy=anisotropy)
     col = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

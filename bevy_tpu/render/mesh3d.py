@@ -58,6 +58,21 @@ class MeshMaterial:
     clearcoat_roughness = field((), jnp.float32, default=0.5)
     specular_transmission = field((), jnp.float32)   # ref: transmission
     ior = field((), jnp.float32, default=1.5)
+    # ref: pbr_material.rs anisotropy_strength / anisotropy_rotation —
+    # stretches the specular lobe along the (rotated) mesh tangent
+    anisotropy_strength = field((), jnp.float32)
+    anisotropy_rotation = field((), jnp.float32)
+    # ref: parallax_depth_scale + depth_map (atlas rect; equal = none) +
+    # max_parallax_layer_count (static knob on Mesh3dPlugin)
+    parallax_depth_scale = field((), jnp.float32)
+    dm_min = field(2)
+    dm_max = field(2)
+    # ref: volumetric transmission — thickness, attenuation_distance
+    # (0 = infinite/off), attenuation_color, diffuse_transmission
+    thickness = field((), jnp.float32)
+    attenuation_distance = field((), jnp.float32)
+    attenuation_color = field(3, default=(1.0, 1.0, 1.0))
+    diffuse_transmission = field((), jnp.float32)
     uv_min = field(2)
     uv_max = field(2)
     nm_min = field(2)       # normal-map atlas rect (equal = no map)
@@ -117,6 +132,10 @@ def _rebuild_expansion(world, pool_host, plugin):
             world.column(MeshMaterial, "base_color")))[:, 3]
         trans = np.asarray(jax.device_get(
             world.column(MeshMaterial, "specular_transmission")))
+        # diffuse-only translucency routes through the same phase (ref:
+        # diffuse_transmission also draws in Transmissive3d)
+        trans = np.maximum(trans, np.asarray(jax.device_get(
+            world.column(MeshMaterial, "diffuse_transmission"))))
     else:
         alpha = np.zeros(0, np.float32)
         trans = np.zeros(0, np.float32)
@@ -250,7 +269,9 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                    uvr_i=None, atlas=None, visible_budget=65536,
                    flat_ok=False, vis_state=None, phase_budget=16384,
                    tan_i=None, nmr_i=None, lmr_i=None, cc_i=None,
-                   ccr_i=None, material_fn=None):
+                   ccr_i=None, aniso_i=None, anrot_i=None,
+                   pds_i=None, dmr_i=None, ray=None, parallax_layers=0,
+                   material_fn=None):
     """Visibility-buffer raster of one uniform batch (ref: bevy meshlet sw
     raster, bevy_pbr/src/meshlet/ — cluster cull → visbuffer → material
     resolve). clip (Ni, VC, 4) clip-space positions, nrm (Ni, VC, 3) world
@@ -269,6 +290,7 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
     from bevy_tpu.ops.raster3d_splat import (
         build_windows, coarse_min_depth, compact_cluster_tris,
         composite_windows, eval_windows, occlusion_test)
+    from bevy_tpu.ops.raster3d_visbuf import ZREC as ZREC_
     from bevy_tpu.ops.raster3d_visbuf import (
         bin_clusters, build_cluster_meta, cluster_records,
         cluster_screen_aabbs, pack_flat_gbuf, pack_flat_shade,
@@ -295,7 +317,12 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
     cc = jnp.moveaxis(corners[:, 0:4], 1, -1).reshape(t, 3, 4)
     cn = jnp.moveaxis(corners[:, 4:7], 1, -1).reshape(t, 3, 3)
 
-    tri_ok = jnp.broadcast_to(inst_ok[:, None], (ni, tcp)).reshape(t)
+    # padding tris (tc0..tcp) masked STATICALLY: they are degenerate
+    # points whose det is only zero up to fp contraction — under jit,
+    # FMA noise can make them pass the backface test with garbage
+    # planes that cover whole splat windows (the "band" bug)
+    pad_ok = _np.arange(tcp) < tc0
+    tri_ok = (inst_ok[:, None] & jnp.asarray(pad_ok)[None, :]).reshape(t)
 
     def _col(x, default):
         if x is None:
@@ -324,7 +351,9 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
     if not depth_only:
         mat_inst = jnp.concatenate(
             [col_i, emi_i, _col(met_i, 0.0), _col(rgh_i, 0.5),
-             _col(cc_i, 0.0), _col(ccr_i, 0.5)], axis=1)
+             _col(cc_i, 0.0), _col(ccr_i, 0.5),
+             _col(aniso_i, 0.0), _col(anrot_i, 0.0),
+             _col(pds_i, 0.0)], axis=1)
     if corner_uv is not None and uvr_i is not None and not depth_only:
         cuv_static = jnp.asarray(_np.concatenate(
             [_np.asarray(corner_uv, _np.float32),
@@ -399,32 +428,48 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
             rect_tri = per_inst(uvr_i)
         else:
             cuv = rect_tri = None
-        if tan_i is not None and nmr_i is not None and cuv is not None:
+        if tan_i is not None:
             tan_tri = tan_i.reshape(n_cl, cs, 3)[ids].reshape(tv, 3) \
                 if not identity else tan_i.reshape(tv, 3)
-            nm_tri = per_inst(nmr_i)
+            # no normal map: a zero rect (u1 <= u0) disables sampling at
+            # resolve while the tangent still reaches the srec (needed
+            # for anisotropy without textures)
+            nm_tri = per_inst(nmr_i) \
+                if nmr_i is not None and cuv is not None \
+                else jnp.zeros((tv, 4), jnp.float32)
         else:
             tan_tri = nm_tri = None
         lm_tri = per_inst(lmr_i) \
             if lmr_i is not None and cuv is not None else None
+        dm_tri = per_inst(dmr_i) \
+            if dmr_i is not None and cuv is not None else None
         id_base = cluster_base * cs
         zrec, srec, valid = pack_planes_h(
             cc_v, cn_v, tri_ok_v, width, height, viewport=viewport,
             materials=mat_tri, cuv=cuv, tex_rect=rect_tri,
             build_srec=not flat and not flat_def and not depth_only,
             id_base=id_base, tangents=tan_tri, nm_rect=nm_tri,
-            lm_rect=lm_tri)
+            lm_rect=lm_tri, dm_rect=dm_tri)
         frec = pack_flat_shade(cn_v, mat_tri, light_vec, valid) \
             if flat else None
         fab = pack_flat_gbuf(cn_v, mat_tri, valid) if flat_def else None
         zrec_c, _ = compact_cluster_tris(zrec, cs)
         aabb_p = aabb_all if identity else aabb_all[ids]
         zmax_p = zmax_all if identity else zmax_all[ids]
-        # window classes: half-height windows for small footprints
+        # window height classes: tiny/half/full — pixel work per window
+        # scales with win_h, and far instances in big scenes are mostly
+        # <=7 px tall (the round-2 profile's top cost was window eval)
         h_px = aabb_p[:, 3] - aabb_p[:, 1]
         half_h = max(win_h // 2, 8)
-        classes = ((half_h, h_px <= half_h - 1.0),
-                   (win_h, h_px > half_h - 1.0))
+        tiny_h = max(win_h // 4, 8)
+        if tiny_h < half_h:
+            classes = ((tiny_h, h_px <= tiny_h - 1.0),
+                       (half_h, (h_px > tiny_h - 1.0) &
+                        (h_px <= half_h - 1.0)),
+                       (win_h, h_px > half_h - 1.0))
+        else:
+            classes = ((half_h, h_px <= half_h - 1.0),
+                       (win_h, h_px > half_h - 1.0))
         wbudget = min(window_budget // 2, 4 * k + 64)
         wbudget = (wbudget + 7) // 8 * 8
         fallback = None
@@ -444,18 +489,34 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
             fallback = wins["fallback"] if fallback is None else \
                 (fallback | wins["fallback"])
         # fallback: giant footprints + near-plane straddlers through the
-        # binned streaming tile kernel (rare; ids in zrec are global)
+        # binned streaming tile kernel (rare; ids in zrec are global).
+        # Compact the fallback set to a small static budget FIRST — the
+        # record-table layout change + pair expansion otherwise run over
+        # ALL k*cs triangles every frame (~9 ms of the round-2 many_cubes
+        # profile for a usually-EMPTY set)
+        kfb = min(2048, k)
+        nfb = jnp.sum(fallback.astype(jnp.int32))
+        posf = jnp.cumsum(fallback.astype(jnp.int32)) - 1
+        tgtf = jnp.where(fallback & (posf < kfb), posf, kfb)
+        idsf = jnp.zeros(kfb + 1, jnp.int32).at[tgtf].set(
+            jnp.arange(k, dtype=jnp.int32), mode="drop")[:kfb]
+        vfb = jnp.arange(kfb, dtype=jnp.int32) < nfb
+        stats.pair_overflow = stats.pair_overflow + \
+            jnp.maximum(nfb - kfb, 0)
+        aabb_f = aabb_p[idsf]
+        zmax_f = zmax_p[idsf]
+        zrec_f = zrec.reshape(k, cs, ZREC_)[idsf].reshape(kfb * cs, ZREC_)
         hp_t = (height + tile_h - 1) // tile_h
         wp_t = (width + tile_w - 1) // tile_w
-        budget = max(8192, k // 8) + hp_t * wp_t + 1024
+        budget = 4 * kfb + hp_t * wp_t + 1024
         max_cl = max(256, max_per_tile // cs)
-        qz = jnp.clip((1.0 - zmax_p) * 65535.0, 0, 65535).astype(jnp.int32)
+        qz = jnp.clip((1.0 - zmax_f) * 65535.0, 0, 65535).astype(jnp.int32)
         cl_table, cl_counts, st = bin_clusters(
-            aabb_p, fallback, ntx=wp_t, nty=hp_t, tile_w=tile_w,
+            aabb_f, vfb, ntx=wp_t, nty=hp_t, tile_w=tile_w,
             tile_h=tile_h, max_clusters_per_tile=max_cl,
             pair_budget=budget, order_key=qz)
-        meta = build_cluster_meta(cl_table, zmax_p)
-        recs = tile_chunk_records(cluster_records(zrec, cs), cl_table)
+        meta = build_cluster_meta(cl_table, zmax_f)
+        recs = tile_chunk_records(cluster_records(zrec_f, cs), cl_table)
         depth, winner = raster_visbuf(
             depth, winner, recs, meta, cl_counts, scissor=viewport,
             tile_h=tile_h, tile_w=tile_w, cs=cs, interpret=interpret)
@@ -503,7 +564,8 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                                            target.gbuffer)
     elif deferred:
         target.gbuffer = resolve_gbuf(win_i, srec, target.gbuffer,
-                                      atlas=atlas)
+                                      atlas=atlas, ray=ray,
+                                      parallax_layers=parallax_layers)
     elif flat:
         target.color = resolve_flat(win_i, flat_rec, target.color)
     elif material_fn is not None:
@@ -512,13 +574,15 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         # receives (normal (H,W,3), mat (H,W,11), ok (H,W), light_vec)
         # and returns (H,W,4) rgba
         from bevy_tpu.ops.raster3d_visbuf import resolve_shade
-        n_pl, mat_pl, ok_pl = resolve_shade(win_i, srec, atlas)
+        n_pl, mat_pl, ok_pl = resolve_shade(
+            win_i, srec, atlas, ray=ray, parallax_layers=parallax_layers)
         rgba = material_fn(n_pl, mat_pl, ok_pl, light_vec)
         target.color = jnp.where(ok_pl[None],
                                  jnp.moveaxis(rgba, -1, 0), target.color)
     else:
         target.color = resolve_forward(win_i, srec, light_vec, target.color,
-                                       atlas=atlas)
+                                       atlas=atlas, ray=ray,
+                                       parallax_layers=parallax_layers)
 
 
 def raster_transparent(clip, nrm, triangles, inst_ok, col_i, emi_i,
@@ -687,7 +751,7 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                    deferred=False, win_h=32, window_budget=65536,
                    eval_tris=None, visible_budget=65536,
                    occlusion_cull=False, phase_budget=16384,
-                   material_fn=None, cull_budget=None):
+                   material_fn=None, cull_budget=None, parallax_layers=8):
     from bevy_tpu.transform import GlobalTransform
 
     if backend == "auto":
@@ -748,16 +812,77 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                 # depth buffer (ref: queue_material_meshes per-pipeline bins)
                 lv = directional_light_vec(light, amb)
                 has_tex = getattr(plugin, "_has_atlas", False)
+                # parallax occlusion specialization: trace-time HOST read
+                # (mirrors the clearcoat/aniso gates — compiles the POM
+                # march out of scenes with no depth-mapped material)
+                wref = getattr(plugin, "_world_ref", None)
+                try:
+                    has_pom = has_tex and wref is not None and bool(
+                        np.any(np.asarray(jax.device_get(
+                            wref.column(MeshMaterial,
+                                        "parallax_depth_scale"))) > 0.0))
+                except Exception:
+                    has_pom = False
+                if has_pom:
+                    # camera pixel-ray planes: world ray dir =
+                    # ray[0] + px*ray[1] + py*ray[2] (px/py absolute
+                    # framebuffer pixels; perspective, looks -z in view)
+                    tf_r = jnp.tan(cam.camera3d.fov[ci] * 0.5)
+                    ta_r = tf_r * aspect
+                    if viewport is None:
+                        rvx0, rvy0 = 0.0, 0.0
+                        rvw, rvh = float(width), float(height)
+                    else:
+                        rvx0, rvy0 = viewport[0], viewport[1]
+                        rvw = viewport[2] - viewport[0]
+                        rvh = viewport[3] - viewport[1]
+                    a_v = jnp.stack([ta_r * (-2.0 * rvx0 / rvw - 1.0),
+                                     tf_r * (1.0 + 2.0 * rvy0 / rvh),
+                                     -jnp.ones_like(tf_r)])
+                    b_v = jnp.stack([2.0 * ta_r / rvw,
+                                     jnp.zeros_like(tf_r),
+                                     jnp.zeros_like(tf_r)])
+                    c_v = jnp.stack([jnp.zeros_like(tf_r),
+                                     -2.0 * tf_r / rvh,
+                                     jnp.zeros_like(tf_r)])
+                    camq = cam_gt.rotation[ci]
+                    ray = jnp.stack([
+                        quat_rotate_vec3(camq, a_v),
+                        quat_rotate_vec3(camq, b_v),
+                        quat_rotate_vec3(camq, c_v)])
+                else:
+                    ray = None
+                # flatten (group, lod-level) draw items: auto-LOD meshes
+                # draw once per level with a per-instance screen-error
+                # mask (ref: the meshlet LOD cut — see render/meshlet.py)
+                draw_items = []
                 for gi, grp in enumerate(groups):
-                    m = plugin.pool.meshes[grp["mesh"]]
+                    chain = plugin._lod_chains.get(grp["mesh"]) \
+                        if plugin is not None else None
+                    if chain is not None:
+                        for li, mid_l in enumerate(chain["ids"]):
+                            draw_items.append((gi, grp, mid_l, li, chain))
+                    else:
+                        draw_items.append((gi, grp, grp["mesh"], 0, None))
+                for gi, grp, mesh_id, lod_li, chain in draw_items:
+                    m = plugin.pool.meshes[mesh_id]
                     vc = m.num_vertices
                     rows_np = grp.get("rows_o", grp["rows"])
                     if len(rows_np) == 0:
                         continue
                     rows = jnp.asarray(rows_np)
+                    if chain is not None:
+                        from bevy_tpu.render.meshlet import select_lod
+                        lvl_full = select_lod(
+                            distr, chain["errors"], cam.camera3d.fov[ci],
+                            height, chain["threshold_px"])
+                        visrow_g = visrow & (lvl_full == lod_li)
+                    else:
+                        visrow_g = visrow
                     # two-phase occlusion: per (group, view) persistent
                     # visibility mask (ref: meshlet second-pass state)
-                    vkey = f"g{gi}v{view_idx}"
+                    vkey = f"g{gi}v{view_idx}" if chain is None else \
+                        f"g{gi}l{lod_li}v{view_idx}"
                     vs = {"mask": getattr(vism, vkey)} \
                         if occlusion_cull and hasattr(vism, vkey) else None
                     # -- instance-level sphere-frustum cull + compaction
@@ -789,7 +914,7 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                             -r_i * jnp.sqrt(1.0 + ta_ * ta_)
                         inside &= (-vz * tf_ - jnp.abs(vch[:, 1])) > \
                             -r_i * jnp.sqrt(1.0 + tf_ * tf_)
-                        inside &= q.mask[rows] & visrow[rows]
+                        inside &= q.mask[rows] & visrow_g[rows]
                         kb = min(cull_budget, len(rows_np))
                         nin = rows_np.shape[0]
                         posc = jnp.cumsum(inside.astype(jnp.int32)) - 1
@@ -809,7 +934,7 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         gt_t = q.global_transform.translation[rows]
                         gt_r = q.global_transform.rotation[rows]
                         gt_s = q.global_transform.scale[rows]
-                        inst_ok = q.mask[rows] & has_cam & visrow[rows]
+                        inst_ok = q.mask[rows] & has_cam & visrow_g[rows]
                     mats = trs_to_mat4(TRS(
                         translation=gt_t, rotation=gt_r, scale=gt_s))
                     mvp = jnp.einsum("ij,njk->nik", vp, mats)
@@ -830,6 +955,9 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         lmr = jnp.concatenate(
                             [q.mesh_material.lm_min[rows],
                              q.mesh_material.lm_max[rows]], 1)
+                        dmr = jnp.concatenate(
+                            [q.mesh_material.dm_min[rows],
+                             q.mesh_material.dm_max[rows]], 1)
                         # mesh-space per-tri tangents rotate with the
                         # instance exactly like normals
                         tcp_m = (m.num_triangles + 11) // 12 * 12
@@ -838,7 +966,29 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         tan = quat_rotate_vec3(gt_r[:, None, :],
                                                jnp.asarray(tan_l)[None])
                     else:
+                        dmr = None
                         uvr = cuv = nmr = tan = lmr = None
+                        # anisotropy needs a tangent frame even without
+                        # textures: trace-time gate via a HOST read of the
+                        # world column (mirrors the deferred clearcoat
+                        # specialization; the query fields here are
+                        # tracers). Data-only edits after trace need a
+                        # structural bump to re-specialize.
+                        wref = getattr(plugin, "_world_ref", None)
+                        try:
+                            has_aniso = wref is not None and bool(
+                                np.any(np.asarray(jax.device_get(
+                                    wref.column(MeshMaterial,
+                                                "anisotropy_strength")))
+                                    > 0.0))
+                        except Exception:
+                            has_aniso = False
+                        if has_aniso:
+                            tcp_m = (m.num_triangles + 11) // 12 * 12
+                            tan_l = np.zeros((tcp_m, 3), np.float32)
+                            tan_l[:m.num_triangles] = m.tri_tangents()
+                            tan = quat_rotate_vec3(gt_r[:, None, :],
+                                                   jnp.asarray(tan_l)[None])
                     # static flat-mesh detection: identical corner
                     # normals per tri ⇒ Gouraud == flat EXACTLY, so the
                     # narrow flat-shade resolve is image-identical
@@ -896,6 +1046,11 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         rgh_i=q.mesh_material.perceptual_roughness[rows],
                         cc_i=q.mesh_material.clearcoat[rows],
                         ccr_i=q.mesh_material.clearcoat_roughness[rows],
+                        aniso_i=q.mesh_material.anisotropy_strength[rows],
+                        anrot_i=q.mesh_material.anisotropy_rotation[rows],
+                        pds_i=q.mesh_material.parallax_depth_scale[rows],
+                        dmr_i=dmr, ray=ray,
+                        parallax_layers=parallax_layers if has_pom else 0,
                         viewport=viewport, win_h=win_h,
                         window_budget=window_budget, eval_tris=eval_tris,
                         corner_uv=cuv, uvr_i=uvr, visible_budget=visible_budget,
@@ -1064,10 +1219,12 @@ class Mesh3dPlugin(Plugin):
                  deferred=False, win_h=32, window_budget=65536,
                  eval_tris=None, atlas=None, visible_budget=65536,
                  occlusion_cull=False, phase_budget=16384,
-                 material_fn=None, cull_budget=None, shards=None):
+                 material_fn=None, cull_budget=None, shards=None,
+                 parallax_layers=8):
         self.pool = pool or MeshPool()
         self._uniform = None
         self._groups = None
+        self._lod_chains = {}      # mesh id -> {ids, errors, threshold}
         # shards: None, a device count, or a jax.sharding.Mesh — flat
         # opaque groups then raster multi-chip (parallel/raster.py)
         self._shards = shards
@@ -1085,7 +1242,8 @@ class Mesh3dPlugin(Plugin):
                         visible_budget=visible_budget,
                         occlusion_cull=occlusion_cull,
                         phase_budget=phase_budget,
-                        material_fn=material_fn, cull_budget=cull_budget)
+                        material_fn=material_fn, cull_budget=cull_budget,
+                        parallax_layers=parallax_layers)
 
     def build(self, app):
         from bevy_tpu.render.plugin import RenderPlugin
@@ -1093,6 +1251,7 @@ class Mesh3dPlugin(Plugin):
         rp = next((p for p in app._plugins if isinstance(p, RenderPlugin)), None)
         if rp is None:
             raise RuntimeError("Mesh3dPlugin requires RenderPlugin")
+        self._world_ref = app.world     # trace-time material specialization
         if self._shards is not None:
             from jax.sharding import Mesh as _Mesh
             if isinstance(self._shards, _Mesh):
@@ -1144,5 +1303,20 @@ class Mesh3dPlugin(Plugin):
                         in_set=PASS_SET)
 
     # expose for examples
-    def add_mesh(self, mesh) -> int:
-        return self.pool.add(mesh)
+    def add_mesh(self, mesh, lods: int = 1, lod_ratio: float = 0.35,
+                 lod_threshold_px: float = 1.0) -> int:
+        """Register a mesh. lods > 1 builds a QEM-simplified LOD chain
+        (render/meshlet.py; ref: bevy_pbr/src/meshlet/from_mesh.rs) —
+        the mesh pass then auto-selects the coarsest level whose
+        projected geometric error stays under lod_threshold_px per
+        instance per frame."""
+        mid = self.pool.add(mesh)
+        if lods > 1:
+            from bevy_tpu.render.meshlet import build_lod_chain
+            meshes, errors = build_lod_chain(mesh, levels=lods,
+                                             ratio=lod_ratio)
+            ids = [mid] + [self.pool.add(m) for m in meshes[1:]]
+            self._lod_chains[mid] = {
+                "ids": ids, "errors": errors,
+                "threshold_px": lod_threshold_px}
+        return mid

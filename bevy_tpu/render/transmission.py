@@ -113,14 +113,31 @@ class TransmissionPlugin(Plugin):
                 clip = jnp.einsum("nij,vj->nvi", mvp, ph)
                 nrm = quat_rotate_vec3(gt_r[:, None, :],
                                        jnp.asarray(m.normals)[None])
+                # volume params ride TEMP-buffer channels the composite
+                # below owns (ref: StandardMaterial thickness /
+                # attenuation_distance / attenuation_color /
+                # diffuse_transmission — the volumetric transmission set
+                # of pbr_material.rs): alpha slot = diffuse_transmission,
+                # emissive slots = attenuation_color, metallic slot =
+                # Beer-Lambert exponent thickness/attenuation_distance
+                # (attenuation_distance == 0 disables, matching the
+                # field's off default)
+                att_d = q.mesh_material.attenuation_distance[rows]
+                att_exp = jnp.where(
+                    att_d > 0.0,
+                    q.mesh_material.thickness[rows] /
+                    jnp.maximum(att_d, 1e-6), 0.0)
                 raster_batched(
                     clip, nrm, m.triangles, q.mask[rows] & has_cam,
-                    q.mesh_material.base_color[rows],
-                    q.mesh_material.emissive[rows],
+                    jnp.concatenate(
+                        [q.mesh_material.base_color[rows][:, :3],
+                         q.mesh_material.diffuse_transmission[rows][:, None]],
+                        1),
+                    q.mesh_material.attenuation_color[rows],
                     jnp.zeros(16, jnp.float32), t, st_mark,
                     width=width, height=height, interpret=interpret,
                     deferred=True,
-                    met_i=q.mesh_material.metallic[rows],
+                    met_i=att_exp,
                     rgh_i=q.mesh_material.perceptual_roughness[rows],
                     # per-pixel transmission weight + ior ride the
                     # clearcoat channels of the TEMP buffer only
@@ -159,7 +176,14 @@ class TransmissionPlugin(Plugin):
             for s in (0.85, 0.95, 1.05, 1.15):
                 bg = bg + bg_at(((s - 1.0) * spread + 1.0))
             bg = bg / 5.0
-            transmitted = tint * bg
+            # Beer-Lambert volume attenuation (ref: attenuation_color ^
+            # (thickness / attenuation_distance), the volume absorption
+            # of bevy's transmission shading)
+            att_exp = g[10]
+            att_col = jnp.moveaxis(g[7:10], 0, -1)
+            t_att = jnp.exp(att_exp[..., None] *
+                            jnp.log(jnp.clip(att_col, 1e-4, 1.0)))
+            transmitted = tint * bg * t_att
 
             # fresnel split + lit surface for the reflected fraction;
             # view dir approximated per-pixel from the camera forward
@@ -180,8 +204,16 @@ class TransmissionPlugin(Plugin):
                              rough, vdirs, jnp.broadcast_to(ldir, n.shape),
                              lcol)
             lam = jnp.maximum(jnp.sum(n * ldir[None, None, :], -1), 0.0)
+            # diffuse transmission (translucency — light arriving from
+            # BEHIND the surface, flipped-normal Lambert; ref:
+            # StandardMaterial::diffuse_transmission): lerps the diffuse
+            # lobe between front- and back-lit
+            dtw = jnp.clip(g[3], 0.0, 1.0)
+            lam_back = jnp.maximum(-jnp.sum(n * ldir[None, None, :], -1),
+                                   0.0)
+            lam_mix = lam * (1.0 - dtw) + lam_back * dtw
             surface = tint * (amb.color * amb.brightness +
-                              lcol * lam[..., None])
+                              lcol * lam_mix[..., None])
             mixw = (stw * (1.0 - fres))[..., None]
             out = surface * (1.0 - mixw) + transmitted * mixw + spec
             rgb = jnp.where(covered[None], jnp.moveaxis(out, -1, 0), c[:3])
