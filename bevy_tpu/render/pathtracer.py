@@ -56,6 +56,60 @@ def intersect_chunk(orig, dirs, v0, e1, e2):
     return jnp.min(t, -1), tri.astype(jnp.int32)
 
 
+def bake_triangle_soup(world, plugin):
+    """Flatten Mesh3d instances to a world-space triangle soup (host;
+    shared by the pathtracer and the realtime solari shadow rays — ref:
+    the BLAS build of bevy_solari/src/scene/). Returns device arrays
+    {v0, e1, e2, n, alb, emi}."""
+    from bevy_tpu.render.mesh3d import Mesh3d, MeshMaterial
+    rows = world.query_rows(Mesh3d)
+    mesh_ids = np.asarray(jax.device_get(
+        world.column(Mesh3d, "mesh")))[rows]
+    tr = np.asarray(jax.device_get(
+        world.column(GlobalTransform, "translation")))[rows]
+    sc = np.asarray(jax.device_get(
+        world.column(GlobalTransform, "scale")))[rows]
+    ro = np.asarray(jax.device_get(
+        world.column(GlobalTransform, "rotation")))[rows]
+    bc = np.asarray(jax.device_get(
+        world.column(MeshMaterial, "base_color")))[rows]
+    em = np.asarray(jax.device_get(
+        world.column(MeshMaterial, "emissive")))[rows]
+    v0s, e1s, e2s, ns, als, ems = [], [], [], [], [], []
+    for i, row in enumerate(rows):
+        m = plugin.pool.meshes[int(mesh_ids[i])]
+        p = np.asarray(m.positions) * sc[i]
+        q = ro[i]
+        # rotate host-side (numpy quat)
+        x, y, zq, wq = q
+        rot = np.array([
+            [1 - 2 * (y * y + zq * zq), 2 * (x * y - zq * wq),
+             2 * (x * zq + y * wq)],
+            [2 * (x * y + zq * wq), 1 - 2 * (x * x + zq * zq),
+             2 * (y * zq - x * wq)],
+            [2 * (x * zq - y * wq), 2 * (y * zq + x * wq),
+             1 - 2 * (x * x + y * y)]], np.float32)
+        pw = p @ rot.T + tr[i]
+        tv = pw[np.asarray(m.triangles, np.int64)]   # (tc, 3, 3)
+        v0s.append(tv[:, 0])
+        e1s.append(tv[:, 1] - tv[:, 0])
+        e2s.append(tv[:, 2] - tv[:, 0])
+        fn = np.cross(e1s[-1], e2s[-1])
+        fn /= np.maximum(np.linalg.norm(fn, axis=-1,
+                                        keepdims=True), 1e-9)
+        ns.append(fn)
+        als.append(np.tile(bc[i][:3], (len(tv), 1)))
+        ems.append(np.tile(em[i], (len(tv), 1)))
+    return {
+        "v0": jnp.asarray(np.concatenate(v0s), jnp.float32),
+        "e1": jnp.asarray(np.concatenate(e1s), jnp.float32),
+        "e2": jnp.asarray(np.concatenate(e2s), jnp.float32),
+        "n": jnp.asarray(np.concatenate(ns), jnp.float32),
+        "alb": jnp.asarray(np.concatenate(als), jnp.float32),
+        "emi": jnp.asarray(np.concatenate(ems), jnp.float32),
+    }
+
+
 class PathtracerPlugin(Plugin):
     """Replaces the frame color with the progressive pathtrace (ref:
     solari's pathtracer camera mode). Scene = the Mesh3dPlugin's
@@ -76,52 +130,7 @@ class PathtracerPlugin(Plugin):
         holder = {}
 
         def bake(world):
-            """Flatten instances to world-space triangle soup (host)."""
-            from bevy_tpu.render.mesh3d import Mesh3d, MeshMaterial
-            rows = world.query_rows(Mesh3d)
-            mesh_ids = np.asarray(jax.device_get(
-                world.column(Mesh3d, "mesh")))[rows]
-            tr = np.asarray(jax.device_get(
-                world.column(GlobalTransform, "translation")))[rows]
-            sc = np.asarray(jax.device_get(
-                world.column(GlobalTransform, "scale")))[rows]
-            ro = np.asarray(jax.device_get(
-                world.column(GlobalTransform, "rotation")))[rows]
-            bc = np.asarray(jax.device_get(
-                world.column(MeshMaterial, "base_color")))[rows]
-            em = np.asarray(jax.device_get(
-                world.column(MeshMaterial, "emissive")))[rows]
-            v0s, e1s, e2s, ns, als, ems = [], [], [], [], [], []
-            for i, row in enumerate(rows):
-                m = plugin.pool.meshes[int(mesh_ids[i])]
-                p = np.asarray(m.positions) * sc[i]
-                q = ro[i]
-                # rotate host-side (numpy quat)
-                x, y, zq, wq = q
-                rot = np.array([
-                    [1 - 2 * (y * y + zq * zq), 2 * (x * y - zq * wq),
-                     2 * (x * zq + y * wq)],
-                    [2 * (x * y + zq * wq), 1 - 2 * (x * x + zq * zq),
-                     2 * (y * zq - x * wq)],
-                    [2 * (x * zq - y * wq), 2 * (y * zq + x * wq),
-                     1 - 2 * (x * x + y * y)]], np.float32)
-                pw = p @ rot.T + tr[i]
-                tv = pw[np.asarray(m.triangles, np.int64)]   # (tc, 3, 3)
-                v0s.append(tv[:, 0])
-                e1s.append(tv[:, 1] - tv[:, 0])
-                e2s.append(tv[:, 2] - tv[:, 0])
-                fn = np.cross(e1s[-1], e2s[-1])
-                fn /= np.maximum(np.linalg.norm(fn, axis=-1,
-                                                keepdims=True), 1e-9)
-                ns.append(fn)
-                als.append(np.tile(bc[i][:3], (len(tv), 1)))
-                ems.append(np.tile(em[i], (len(tv), 1)))
-            holder["v0"] = jnp.asarray(np.concatenate(v0s), jnp.float32)
-            holder["e1"] = jnp.asarray(np.concatenate(e1s), jnp.float32)
-            holder["e2"] = jnp.asarray(np.concatenate(e2s), jnp.float32)
-            holder["n"] = jnp.asarray(np.concatenate(ns), jnp.float32)
-            holder["alb"] = jnp.asarray(np.concatenate(als), jnp.float32)
-            holder["emi"] = jnp.asarray(np.concatenate(ems), jnp.float32)
+            holder.update(bake_triangle_soup(world, plugin))
             if "pt_accum" not in world.state["res"]:
                 from bevy_tpu.render.plugin import RenderPlugin
                 rp = next(p for p in app._plugins
