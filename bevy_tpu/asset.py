@@ -60,17 +60,65 @@ def _load_scene(path: Path):
     return Scene(json.loads(path.read_text()))
 
 
+def _load_hdr(path: Path):
+    from bevy_tpu.image import load_hdr
+    return load_hdr(path)
+
+
+def _load_exr(path: Path):
+    from bevy_tpu.image import load_exr
+    return load_exr(path)
+
+
+def _load_ktx2(path: Path):
+    from bevy_tpu.image import load_ktx2
+    return load_ktx2(path)
+
+
+def _load_dds(path: Path):
+    from bevy_tpu.image import load_dds
+    return load_dds(path)
+
+
 DEFAULT_LOADERS = {
     ".png": _load_image, ".jpg": _load_image, ".jpeg": _load_image,
     ".bmp": _load_image, ".webp": _load_image,
+    # extended codecs (ref: bevy_image ktx2/dds/hdr/exr loaders)
+    ".hdr": _load_hdr, ".exr": _load_exr,
+    ".ktx2": _load_ktx2, ".dds": _load_dds,
     ".json": _load_json, ".npy": _load_npy,
     ".scene": _load_scene,   # bevy_tpu world snapshots (see bevy_tpu.scene)
 }
 
 
+class LoadedAsset:
+    """A loader result carrying labeled sub-assets and dependency paths
+    (ref: bevy_asset's LoadedAsset + labeled sub-asset mechanism,
+    `src/loader.rs` + `server/mod.rs:588` — `load("x.glb#Scene0")`).
+    Plain return values are wrapped as LoadedAsset(value)."""
+
+    __slots__ = ("value", "labels", "dependencies")
+
+    def __init__(self, value, labels: Dict[str, Any] = None,
+                 dependencies=None):
+        self.value = value
+        self.labels = labels or {}
+        self.dependencies = list(dependencies or [])
+
+
 class AssetServer:
     """ref: AssetServer + Assets<A> + AssetProcessor's invalidation (mtime
-    based). `load` is async (IoTaskPool position); `load_sync` blocks."""
+    based). `load` is async (IoTaskPool position); `load_sync` blocks.
+
+    Paths support multi-source prefixes (ref: AssetSource registry,
+    `bevy_asset/src/io/source.rs`): `embedded://x` (bytes registered via
+    `add_embedded`, the `embedded_asset!` position), `memory://x`
+    (runtime byte store), `http(s)://…` (urllib fetch — raises a clear
+    error in zero-egress environments), and bare paths from the file
+    root. `path#label` addresses labeled sub-assets of the loaded asset
+    (gltf-style). Loaders may return `LoadedAsset(value, labels=…,
+    dependencies=[paths])` — dependencies load recursively and gate
+    `loaded_with_dependencies`."""
 
     def __init__(self, root: str = "assets", workers: int = 4,
                  watch: bool = False, processed: str = None):
@@ -81,16 +129,30 @@ class AssetServer:
         self.pool = ThreadPoolExecutor(max_workers=workers)
         self.loaders: Dict[str, Callable] = dict(DEFAULT_LOADERS)
         self._assets: Dict[int, Any] = {}
+        self._labels: Dict[int, Dict[str, Any]] = {}
+        self._deps: Dict[int, list] = {}
         self._state: Dict[int, str] = {}
         self._futures: Dict[int, Any] = {}
         self._mtimes: Dict[int, float] = {}
         self._by_path: Dict[str, Handle] = {}
+        self._embedded: Dict[str, bytes] = {}
+        self._memory: Dict[str, bytes] = {}
         self._next = 0
         self.watch = watch
         self.events = []   # (kind, handle) — 'loaded' | 'modified' | 'failed'
 
     def register_loader(self, ext: str, fn: Callable):
         self.loaders[ext] = fn
+
+    def add_embedded(self, path: str, data: bytes):
+        """Register in-binary bytes under `embedded://path` (ref: the
+        embedded AssetReader / embedded_asset! macro)."""
+        self._embedded[path] = bytes(data)
+
+    def add_memory(self, path: str, data: bytes):
+        """Register runtime bytes under `memory://path` (ref: the
+        memory AssetReader)."""
+        self._memory[path] = bytes(data)
 
     def _resolve(self, path: str) -> Path:
         p = Path(path)
@@ -127,15 +189,66 @@ class AssetServer:
             raise IOError(f"failed to load {path}: {self._assets.get(h.id)}")
         return self._assets[h.id]
 
+    def _read_source(self, path: str):
+        """Multi-source read → (local Path, suffix). Byte-backed sources
+        spill to a temp file so every loader (they take paths) works
+        uniformly."""
+        import tempfile
+        for prefix, store in (("embedded://", self._embedded),
+                              ("memory://", self._memory)):
+            if path.startswith(prefix):
+                key = path[len(prefix):]
+                if key not in store:
+                    raise FileNotFoundError(f"{path} not registered")
+                suffix = Path(key).suffix
+                tf = tempfile.NamedTemporaryFile(
+                    suffix=suffix, delete=False)
+                tf.write(store[key])
+                tf.close()
+                return Path(tf.name), suffix
+        if path.startswith(("http://", "https://")):
+            import urllib.request
+            suffix = Path(path.split("?")[0]).suffix
+            try:
+                with urllib.request.urlopen(path, timeout=10) as r:
+                    data = r.read()
+            except Exception as e:
+                raise IOError(
+                    f"http asset source unreachable ({e}); this "
+                    "environment may have no egress") from e
+            tf = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+            tf.write(data)
+            tf.close()
+            return Path(tf.name), suffix
+        p = self._resolve(path)
+        return p, p.suffix
+
     def _do_load(self, h: Handle):
         try:
-            p = self._resolve(h.path)
-            loader = self.loaders.get(p.suffix.lower())
+            base, label = (h.path.split("#", 1) + [None])[:2] \
+                if "#" in h.path else (h.path, None)
+            p, suffix = self._read_source(base)
+            loader = self.loaders.get(suffix.lower())
             if loader is None:
-                raise ValueError(f"no loader for '{p.suffix}'")
+                raise ValueError(f"no loader for '{suffix}'")
             asset = loader(p)
+            if isinstance(asset, LoadedAsset):
+                self._labels[h.id] = asset.labels
+                self._deps[h.id] = [self.load(d)
+                                    for d in asset.dependencies]
+                asset = asset.value
+            if label is not None:
+                labels = self._labels.get(h.id, {})
+                if label not in labels:
+                    raise KeyError(
+                        f"no labeled sub-asset '{label}' in {base} "
+                        f"(have: {sorted(labels)})")
+                asset = labels[label]
             self._assets[h.id] = asset
-            self._mtimes[h.id] = p.stat().st_mtime
+            try:
+                self._mtimes[h.id] = p.stat().st_mtime
+            except OSError:
+                pass
             self._state[h.id] = LoadState.LOADED
             self.events.append(("loaded", h))
         except Exception as e:  # noqa: BLE001 — reported via load_state
@@ -146,6 +259,24 @@ class AssetServer:
     def get(self, handle: Handle):
         return self._assets.get(handle.id) \
             if self._state.get(handle.id) == LoadState.LOADED else None
+
+    def get_labeled(self, handle: Handle, label: str):
+        """Labeled sub-asset of a loaded asset (ref: the `path#label`
+        sub-asset addressing of AssetServer::load)."""
+        return self._labels.get(handle.id, {}).get(label)
+
+    def load_state_with_dependencies(self, handle: Handle) -> str:
+        """LOADED only when the asset AND its declared dependencies are
+        loaded (ref: LoadedWithDependencies / recursive dependency
+        state, server/mod.rs)."""
+        st = self._state.get(handle.id, LoadState.NOT_LOADED)
+        if st != LoadState.LOADED:
+            return st
+        for dep in self._deps.get(handle.id, []):
+            ds = self.load_state_with_dependencies(dep)
+            if ds != LoadState.LOADED:
+                return ds
+        return LoadState.LOADED
 
     def load_state(self, handle: Handle) -> str:
         return self._state.get(handle.id, LoadState.NOT_LOADED)

@@ -1,0 +1,221 @@
+"""Image codecs beyond PIL's set (reference twin: bevy_image's
+ktx2/dds/hdr/exr loaders — `bevy_image/src/{ktx2.rs, dds.rs,
+hdr_texture_loader.rs, exr_texture_loader.rs}`).
+
+Host-side numpy decoders; results upload to the HBM atlas like any
+other texture. HDR/EXR return linear float32 (HDR pipelines: skybox,
+environment light, emissive); KTX2/DDS return u8 RGBA.
+
+Supported subsets (gated, never silent):
+- KTX2: uncompressed vkFormats R8/RG8/RGB8/RGBA8 (+sRGB forms) and
+  R16/RGBA16F/RGBA32F, supercompression none or zstd. BasisLZ/UASTC
+  transcoding is NOT implemented (no GPU block formats on TPU — the
+  atlas is linear f32 anyway, so ship uncompressed/zstd).
+- DDS: whatever PIL's DdsImagePlugin decodes (BC1-BC5, RGBA8).
+- HDR: Radiance RGBE (.hdr), RLE + flat scanlines.
+- EXR: scanline images, NONE/ZIPS/ZIP compression, HALF/FLOAT/UINT
+  channels (the formats blender/bevy assets actually use).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = ["load_hdr", "load_exr", "load_ktx2", "load_dds"]
+
+
+# ---------------------------------------------------------------- HDR
+
+def load_hdr(path) -> np.ndarray:
+    """Radiance RGBE → (H, W, 3) float32 linear (ref:
+    hdr_texture_loader.rs)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    # header: lines until blank, then resolution line
+    pos = 0
+    if not data.startswith(b"#?"):
+        raise ValueError("not a Radiance HDR file")
+    while True:
+        eol = data.index(b"\n", pos)
+        line = data[pos:eol]
+        pos = eol + 1
+        if line == b"":
+            break
+    eol = data.index(b"\n", pos)
+    res = data[pos:eol].split()
+    pos = eol + 1
+    if res[0] != b"-Y" or res[2] != b"+X":
+        raise ValueError(f"unsupported HDR orientation {res}")
+    h, w = int(res[1]), int(res[3])
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    for y in range(h):
+        if pos + 4 <= len(data) and data[pos] == 2 and data[pos + 1] == 2 \
+                and (data[pos + 2] << 8 | data[pos + 3]) == w:
+            pos += 4
+            for c in range(4):
+                x = 0
+                while x < w:
+                    cnt = data[pos]
+                    pos += 1
+                    if cnt > 128:          # run
+                        rgbe[y, x:x + cnt - 128, c] = data[pos]
+                        pos += 1
+                        x += cnt - 128
+                    else:                  # literal
+                        rgbe[y, x:x + cnt, c] = np.frombuffer(
+                            data, np.uint8, cnt, pos)
+                        pos += cnt
+                        x += cnt
+        else:                              # flat scanline
+            row = np.frombuffer(data, np.uint8, w * 4, pos).reshape(w, 4)
+            rgbe[y] = row
+            pos += w * 4
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0).astype(np.float32)
+    return rgbe[..., :3].astype(np.float32) * scale[..., None]
+
+
+# ---------------------------------------------------------------- EXR
+
+def _exr_attrs(data, pos):
+    attrs = {}
+    while data[pos] != 0:
+        ne = data.index(b"\0", pos)
+        name = data[pos:ne].decode()
+        pos = ne + 1
+        te = data.index(b"\0", pos)
+        typ = data[pos:te].decode()
+        pos = te + 1
+        size = struct.unpack_from("<i", data, pos)[0]
+        pos += 4
+        attrs[name] = (typ, data[pos:pos + size])
+        pos += size
+    return attrs, pos + 1
+
+
+def _exr_reconstruct(raw):
+    """ZIP postprocess: delta-decode then de-interleave (OpenEXR's
+    predictor)."""
+    t = np.frombuffer(raw, np.uint8).astype(np.int16)
+    # sequential predictor: t[i] = t[i-1] + t[i] - 128 (mod 256) —
+    # vectorized as a cumsum of the deltas
+    d = (t - 128) % 256
+    d[0] = t[0]
+    acc = np.cumsum(d, dtype=np.int64) % 256
+    out = acc.astype(np.uint8)
+    # de-interleave: first half = even bytes, second half = odd bytes
+    n = len(out)
+    half = (n + 1) // 2
+    res = np.zeros(n, np.uint8)
+    res[0::2] = out[:half]
+    res[1::2] = out[half:]
+    return res.tobytes()
+
+
+def load_exr(path) -> np.ndarray:
+    """OpenEXR scanline → (H, W, C) float32, channels in RGBA order when
+    named R/G/B/A (ref: exr_texture_loader.rs)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, version = struct.unpack_from("<ii", data, 0)
+    if magic != 20000630:
+        raise ValueError("not an EXR file")
+    if version & 0x200:
+        raise ValueError("tiled EXR not supported (scanline only)")
+    attrs, pos = _exr_attrs(data, 8)
+    comp = attrs["compression"][1][0]
+    if comp not in (0, 2, 3):
+        raise ValueError(f"EXR compression {comp} unsupported "
+                         "(NONE/ZIPS/ZIP only)")
+    x0, y0, x1, y1 = struct.unpack("<iiii", attrs["dataWindow"][1])
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+    # channel list: name\0 type(int) pLinear(4B) xSamp(int) ySamp(int)
+    chd = attrs["channels"][1]
+    chans = []
+    cpos = 0
+    while chd[cpos] != 0:
+        ne = chd.index(b"\0", cpos)
+        nm = chd[cpos:ne].decode()
+        typ = struct.unpack_from("<i", chd, ne + 1)[0]
+        chans.append((nm, typ))     # stored alphabetically
+        cpos = ne + 1 + 16
+    lines_per = 1 if comp in (0, 2) else 16
+    nchunks = (h + lines_per - 1) // lines_per
+    # skip scanline offset table
+    pos += 8 * nchunks
+    dtypes = {0: np.uint32, 1: np.float16, 2: np.float32}
+    out = {nm: np.zeros((h, w), np.float32) for nm, _ in chans}
+    for _ in range(nchunks):
+        ycoord, size = struct.unpack_from("<ii", data, pos)
+        pos += 8
+        raw = data[pos:pos + size]
+        pos += size
+        rows = min(lines_per, y1 - ycoord + 1)
+        expect = rows * sum(w * np.dtype(dtypes[t]).itemsize
+                            for _, t in chans)
+        if comp in (2, 3) and size < expect:
+            raw = _exr_reconstruct(zlib.decompress(raw))
+        off = 0
+        for r in range(rows):
+            for nm, t in chans:
+                dt = np.dtype(dtypes[t])
+                rowb = np.frombuffer(raw, dt, w, off)
+                out[nm][ycoord - y0 + r] = rowb.astype(np.float32)
+                off += w * dt.itemsize
+    order = [c for c in "RGBA" if c in out] or [nm for nm, _ in chans]
+    return np.stack([out[c] for c in order], -1)
+
+
+# --------------------------------------------------------------- KTX2
+
+_KTX2_MAGIC = b"\xabKTX 20\xbb\r\n\x1a\n"
+_VK_FORMATS = {
+    # vkFormat: (numpy dtype, channels, srgb)
+    9: (np.uint8, 1, False), 16: (np.uint8, 2, False),
+    23: (np.uint8, 3, False), 29: (np.uint8, 3, True),
+    37: (np.uint8, 4, False), 43: (np.uint8, 4, True),
+    70: (np.uint16, 1, False),
+    97: (np.float16, 4, False), 109: (np.float32, 4, False),
+}
+
+
+def load_ktx2(path) -> np.ndarray:
+    """KTX2 level 0 → (H, W, C) array (ref: ktx2.rs). Supercompression:
+    none or zstd; BasisLZ raises (transcoding not implemented)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:12] != _KTX2_MAGIC:
+        raise ValueError("not a KTX2 file")
+    (vkfmt, _tsize, w, h, _d, _layers, faces, levels, scheme) = \
+        struct.unpack_from("<9I", data, 12)
+    if scheme not in (0, 2):
+        raise ValueError(f"KTX2 supercompression {scheme} unsupported "
+                         "(none/zstd; BasisLZ transcoding n/a)")
+    if vkfmt not in _VK_FORMATS:
+        raise ValueError(f"KTX2 vkFormat {vkfmt} unsupported")
+    if faces != 1:
+        raise ValueError("KTX2 cubemaps: load faces individually")
+    # level index starts at byte 80 (after index block)
+    lvl_off = 80
+    boff, blen, ulen = struct.unpack_from("<3Q", data, lvl_off)
+    payload = data[boff:boff + blen]
+    if scheme == 2:
+        import zstandard
+        payload = zstandard.ZstdDecompressor().decompress(
+            payload, max_output_size=int(ulen))
+    dt, ch, _srgb = _VK_FORMATS[vkfmt]
+    arr = np.frombuffer(payload, dt, h * max(w, 1) * ch).reshape(h, w, ch)
+    return arr
+
+
+# ---------------------------------------------------------------- DDS
+
+def load_dds(path) -> np.ndarray:
+    """DDS via PIL's DdsImagePlugin (BC1-BC5 + RGBA8) → (H, W, 4) u8
+    (ref: dds.rs; block formats decode host-side — the TPU atlas is
+    linear anyway)."""
+    from PIL import Image
+    return np.asarray(Image.open(path).convert("RGBA"), np.uint8)
