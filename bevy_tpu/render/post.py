@@ -512,6 +512,124 @@ def fxaa_filter(rgb, threshold=0.0625):
     return jnp.where(edge[None], aa, rgb)
 
 
+def smaa_filter(rgb, threshold=0.05, max_search=8):
+    """SMAA-class morphological anti-aliasing (ref:
+    bevy_anti_alias/src/smaa — Jimenez SMAA 1x). Vectorized MLAA core:
+
+    1. luma edge detection (top/left edges, SMAA's edge threshold),
+    2. unrolled span search along each edge (cumulative-product run
+       lengths, `max_search` steps — the SearchTex role),
+    3. crossing-edge classification at span ends → revectorized line
+       heights, ANALYTIC trapezoid coverage per pixel (computed in
+       closed form instead of SMAA's precomputed AreaTex — the texture
+       is itself a bake of this integral),
+    4. neighborhood blend with the across-edge neighbor.
+    """
+    luma = _luminance(rgb)
+
+    def sh(a, dy, dx):
+        return _shift(a, dy, dx)
+
+    # top edge: contrast between pixel and the one above; left edge:
+    # pixel vs the one to its left (SMAA's edgesTex layout)
+    e_top = jnp.abs(luma - sh(luma, -1, 0)) > threshold
+    e_left = jnp.abs(luma - sh(luma, 0, -1)) > threshold
+
+    def spans(edge, axis):
+        """Run lengths (dl, dr) of consecutive edge pixels along axis
+        (1 = horizontal spans for top edges; 0 = vertical for left)."""
+        def shift_along(a, d):
+            return sh(a, 0, d) if axis == 1 else sh(a, d, 0)
+        dl = jnp.zeros_like(luma)
+        dr = jnp.zeros_like(luma)
+        runl = edge.astype(jnp.float32)
+        runr = edge.astype(jnp.float32)
+        for i in range(1, max_search + 1):
+            runl = runl * shift_along(edge, -i).astype(jnp.float32)
+            runr = runr * shift_along(edge, i).astype(jnp.float32)
+            dl = dl + runl
+            dr = dr + runr
+        return dl, dr
+
+    def coverage(edge, axis, cross_a, cross_b):
+        """Revectorized-line coverage per edge pixel. cross_a/cross_b:
+        crossing-edge maps at the perpendicular (+/-) sides — evaluated
+        at both span ends to pick the line's end heights."""
+        dl, dr = spans(edge, axis)
+        ln = dl + dr + 1.0
+
+        def at_end(cross, dist, sign):
+            # sample the crossing edge at the span-end pixel boundary:
+            # left end = the end pixel's own left/top edge (offset -dl,
+            # offset 0 included), right end = one past (offset dr+1)
+            d = dist * sign if sign < 0 else (dist + 1.0) * sign
+            di = d.astype(jnp.int32)
+            lo = 0 if sign < 0 else 1
+            out = jnp.zeros_like(luma)
+            for i in range(lo, max_search + 2):
+                off = i * sign
+                val = (sh(cross, 0, off) if axis == 1
+                       else sh(cross, off, 0)).astype(jnp.float32)
+                out = jnp.where(di == off, val, out)
+            return out
+        # height at each end: +0.5 when the crossing edge bends toward
+        # side A, -0.5 toward side B, 0 when no crossing (open end)
+        hl = 0.5 * (at_end(cross_a, dl, -1) - at_end(cross_b, dl, -1))
+        hr = 0.5 * (at_end(cross_a, dr, 1) - at_end(cross_b, dr, 1))
+        # pixel center position within the span, 0..1
+        t = (dl + 0.5) / jnp.maximum(ln, 1.0)
+        # per-half revectorization (the shape SMAA's AreaTex bakes):
+        # each end's line runs from its height to ZERO at the span
+        # middle — L/Z shapes taper, U shapes vanish at the center,
+        # and a 1-px span (isolated dot) gets no false coverage
+        a = hl * jnp.maximum(1.0 - 2.0 * t, 0.0) + \
+            hr * jnp.maximum(2.0 * t - 1.0, 0.0)
+        return jnp.where(edge, a, 0.0)
+
+    # horizontal spans (top edges): crossings are LEFT edges in the row
+    # above (bend up) vs this row (bend down)
+    a_h = coverage(e_top, 1, sh(e_left, -1, 0), e_left)
+    # vertical spans (left edges): crossings are TOP edges in the column
+    # to the left (bend left) vs this column (bend right)
+    a_v = coverage(e_left, 0, sh(e_top, 0, -1), e_top)
+
+    # single weighted resolve (SMAA's neighborhood-blend pass): each
+    # pixel mixes its 4 neighbors by the coverage of the edges it
+    # touches, the total capped so compounding directions can't erase
+    # the pixel
+    wt = jnp.abs(a_h)
+    wb = jnp.abs(sh(a_h, 1, 0))
+    wl = jnp.abs(a_v)
+    wr = jnp.abs(sh(a_v, 0, 1))
+    s = wt + wb + wl + wr
+    scale = jnp.minimum(1.0, 0.75 / jnp.maximum(s, 1e-6))
+    wt, wb, wl, wr = wt * scale, wb * scale, wl * scale, wr * scale
+    s = wt + wb + wl + wr
+    out = rgb * (1 - s[None]) + sh(rgb, -1, 0) * wt[None] + \
+        sh(rgb, 1, 0) * wb[None] + sh(rgb, 0, -1) * wl[None] + \
+        sh(rgb, 0, 1) * wr[None]
+    return out
+
+
+class SmaaPlugin(Plugin):
+    """SMAA 1x morphological anti-aliasing pass (see smaa_filter)."""
+
+    def __init__(self, edge_threshold=0.05, max_search=8):
+        self.threshold = edge_threshold
+        self.max_search = max_search
+
+    def build(self, app):
+        thr, ms = self.threshold, self.max_search
+
+        @system(name="smaa_pass")
+        def smaa_pass(target=ResMut(RenderTarget.RESOURCE)):
+            c = target.color
+            target.color = jnp.concatenate(
+                [smaa_filter(c[:3], thr, ms), c[3:4]], 0)
+
+        app.add_systems(Render, smaa_pass, in_set=POST_SET)
+
+
 class CasPlugin(Plugin):
     """Contrast-adaptive sharpening pass (see cas_filter)."""
 

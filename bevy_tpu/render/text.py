@@ -138,6 +138,56 @@ def wrap_lines(text: str, chars_per_line: int):
     return lines
 
 
+def shape_run(builder, text: str, path: str, size: int = 16,
+              direction: str | None = None, features=None,
+              language: str | None = None):
+    """Shape a COMPLEX-SCRIPT run with HarfBuzz+FriBiDi (PIL's RAQM
+    layout engine) and bake it as ONE atlas texture (ref: bevy_text's
+    parley shaping — ligatures, Arabic joining, bidi reordering; per-
+    glyph layout can't represent these, so shaped runs rasterize whole).
+
+    Returns the atlas handle dict (use as a Sprite's uv rect). features
+    e.g. ["-liga"] disables ligatures; direction "rtl"/"ltr"."""
+    from PIL import Image, ImageDraw, ImageFont
+    font = ImageFont.truetype(path, size,
+                              layout_engine=ImageFont.Layout.RAQM)
+    kw = {}
+    if direction:
+        kw["direction"] = direction
+    if features:
+        kw["features"] = features
+    if language:
+        kw["language"] = language
+    box = ImageDraw.Draw(Image.new("L", (1, 1))).textbbox(
+        (0, 0), text, font=font, **kw)
+    w = max(int(box[2] - box[0]) + 2, 1)
+    h = max(int(box[3] - box[1]) + 2, 1)
+    img = Image.new("L", (w, h), 0)
+    ImageDraw.Draw(img).text((-box[0] + 1, -box[1] + 1), text, fill=255,
+                             font=font, **kw)
+    a = np.asarray(img, np.float32) / 255.0
+    rgba = np.ones(a.shape + (4,), np.float32)
+    rgba[..., 3] = a
+    return builder.add(rgba, None, srgb=False)
+
+
+def spawn_shaped_text(world, builder, text: str, path: str, size: int = 16,
+                      pos=(0.0, 0.0), z=10.0,
+                      color=(1.0, 1.0, 1.0, 1.0), **shape_kw):
+    """Shape + spawn a complex-script run as one sprite (the shaped
+    counterpart of spawn_text; ref: bevy_text rich text spans render
+    shaped glyph runs)."""
+    handle = shape_run(builder, text, path, size, **shape_kw)
+    w, h = handle["size"]
+    row = world.spawn(
+        Sprite(color=color, size=(w, h), uv_min=handle["uv_min"],
+               uv_max=handle["uv_max"], tex=1),
+        Transform(translation=(pos[0] + w / 2, pos[1] - h / 2, z)),
+        GlobalTransform(translation=(pos[0] + w / 2, pos[1] - h / 2, z)),
+    )
+    return row, handle
+
+
 def spawn_text(world, font: FontAtlas, text: str, pos=(0.0, 0.0), z=10.0,
                color=(1.0, 1.0, 1.0, 1.0), size=None, max_width=None,
                justify="left"):

@@ -423,8 +423,10 @@ class UiPlugin(Plugin):
                 TextInputSlot(slot=s, input_id=iid),
                 _T(), _GT())
             glyphs.append(e.index if hasattr(e, "index") else e)
+        from bevy_tpu.text_edit import TextEditState
         ti = {"id": iid, "row": row, "glyphs": glyphs, "max_len": max_len,
-              "value": text, "on_submit": on_submit, "font": font}
+              "value": text, "on_submit": on_submit, "font": font,
+              "edit": TextEditState(text, max_len=max_len - 1)}
         self._text_inputs.append(ti)
         res = f"ui_text{iid}"
         self.app.register_frame_input(
@@ -889,11 +891,15 @@ def make_virtual_list_system(plugin, list_id, data, row_h):
 
 
 def _codes_of(ti, plugin):
-    """Frame-input callback: ASCII codes of the value (+ '_' cursor when
-    focused), zero-padded to max_len."""
-    txt = ti["value"]
-    if plugin.focus == ti["id"] and len(txt) < ti["max_len"]:
-        txt = txt + "_"
+    """Frame-input callback: ASCII codes of the value (+ '|' caret at
+    the edit cursor when focused — ref: bevy_text cursor.rs), zero-
+    padded to max_len."""
+    ed = ti.get("edit")
+    if plugin.focus == ti["id"] and ed is not None \
+            and len(ti["value"]) < ti["max_len"]:
+        txt = ed.display()
+    else:
+        txt = ti["value"]
     codes = np.zeros(ti["max_len"], np.int32)
     for i, ch in enumerate(txt[:ti["max_len"]]):
         codes[i] = ord(ch)
@@ -1043,31 +1049,53 @@ def _ui_host_tick_for(plugin):
         if plugin.focus is None or not plugin._text_inputs:
             return
         ti = plugin._text_inputs[plugin.focus]
+        ed = ti["edit"]
         shift = bool(keys[KeyCode.ShiftLeft] or keys[KeyCode.ShiftRight])
         ctrl = bool(keys[KeyCode.ControlLeft] or keys[KeyCode.ControlRight])
-        if ctrl and just[KeyCode.KeyV] and hasattr(app, "clipboard"):
-            room = ti["max_len"] - 1 - len(ti["value"])
-            ti["value"] += app.clipboard.get_text()[:max(room, 0)]
-            return
-        if ctrl and just[KeyCode.KeyC] and hasattr(app, "clipboard"):
-            app.clipboard.set_text(ti["value"])
-            return
+        # selection-aware editing model (ref: bevy_text editing.rs —
+        # cursor moves, anchored selection, word jumps, undo)
         if ctrl:
+            if just[KeyCode.KeyV] and hasattr(app, "clipboard"):
+                ed.insert(app.clipboard.get_text())
+            elif just[KeyCode.KeyC] and hasattr(app, "clipboard"):
+                app.clipboard.set_text(ed.selected_text or ed.value)
+            elif just[KeyCode.KeyX] and hasattr(app, "clipboard"):
+                app.clipboard.set_text(ed.cut() or ed.value)
+            elif just[KeyCode.KeyA]:
+                ed.select_all()
+            elif just[KeyCode.KeyZ]:
+                ed.undo()
+            elif just[KeyCode.ArrowLeft]:
+                ed.word_left(select=shift)
+            elif just[KeyCode.ArrowRight]:
+                ed.word_right(select=shift)
+            ti["value"] = ed.value
             return
         for k in np.where(just)[0]:
             k = int(k)
             if k == KeyCode.Backspace:
-                ti["value"] = ti["value"][:-1]
+                ed.backspace()
+            elif k == KeyCode.Delete:
+                ed.delete()
+            elif k == KeyCode.ArrowLeft:
+                ed.left(select=shift)
+            elif k == KeyCode.ArrowRight:
+                ed.right(select=shift)
+            elif k == KeyCode.Home:
+                ed.home(select=shift)
+            elif k == KeyCode.End:
+                ed.end(select=shift)
             elif k == KeyCode.Enter:
                 if ti["on_submit"]:
-                    ti["on_submit"](ti["value"])
+                    ti["on_submit"](ed.value)
             elif k == KeyCode.Space:
-                ti["value"] += " "
-            elif k in _KEY_CHARS and len(ti["value"]) < ti["max_len"] - 1:
+                ed.insert(" ")
+            elif k in _KEY_CHARS:
                 ch = _KEY_CHARS[k]
                 if shift:
                     ch = _SHIFT_DIGITS.get(k, ch.upper())
-                ti["value"] += ch
+                ed.insert(ch)
+        ti["value"] = ed.value
 
     return tick
 
