@@ -28,6 +28,19 @@ def test_example_renders(name):
     assert cov.mean() > 0.01, f"{name}: nothing rendered"
 
 
+def test_material_showcase_renders():
+    import importlib
+
+    from bevy_tpu.render.plugin import frame_image
+    mod = importlib.import_module("material_showcase")
+    app = mod.build_app(width=240, height=135, backend="pallas_interpret")
+    app.update(dt=1 / 60)
+    img = frame_image(app)
+    bg = img[0, 0].astype(int)
+    cov = np.abs(img.astype(int) - bg).max(-1) > 10
+    assert cov.mean() > 0.02, "material_showcase: nothing rendered"
+
+
 def test_glass_and_coat_renders():
     import importlib
 
