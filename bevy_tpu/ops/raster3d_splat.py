@@ -428,6 +428,185 @@ def _composite_kernel(nwin_ref, meta_hbm, win_hbm, dep_hbm, winid_hbm,
     jax.lax.fori_loop(0, nch, chunk, 0)
 
 
+def _fused_kernel(nwin_ref, meta_hbm, rec_hbm, sciss_ref, dep_hbm,
+                  winid_hbm, dep_out, win_out, buf, mbuf, sem_fb0,
+                  sem_fb1, sem_a, sem_b, sem_ma, sem_mb,
+                  *, win_h, ntri, use_scissor):
+    """Fused window evaluate + composite: streams per-window CLUSTER
+    RECORDS (not evaluated pixels) HBM→VMEM and rasters each window
+    directly into the VMEM framebuffer — the evaluated-window buffer
+    (0.5-1.5 GB at many_cubes scale, ~20 ms of HBM traffic + zeroing in
+    the round-2 profile) never exists. Winner ids come straight from
+    record slot 12, so the packed z|id mantissa trick is unnecessary on
+    this path. Sequential grid ⇒ read-modify-write is race-free."""
+    nwin = nwin_ref[0]
+    cp0 = pltpu.make_async_copy(dep_hbm, dep_out, sem_fb0)
+    cp1 = pltpu.make_async_copy(winid_hbm, win_out, sem_fb1)
+    cp0.start()
+    cp1.start()
+    nch = (nwin + CHUNK_WIN - 1) // CHUNK_WIN
+
+    def issue(c, sem, msem):
+        pltpu.make_async_copy(rec_hbm.at[c], buf.at[c % 2], sem).start()
+        pltpu.make_async_copy(meta_hbm.at[c], mbuf.at[c % 2], msem).start()
+
+    def wait(c, sem, msem):
+        pltpu.make_async_copy(rec_hbm.at[0], buf.at[c % 2], sem).wait()
+        pltpu.make_async_copy(meta_hbm.at[0], mbuf.at[c % 2], msem).wait()
+
+    @pl.when(nch > 0)
+    def _():
+        issue(0, sem_a, sem_ma)
+    cp0.wait()
+    cp1.wait()
+
+    iox = jax.lax.broadcasted_iota(
+        jnp.int32, (win_h, WIN_W), 1).astype(jnp.float32)
+    ioy = jax.lax.broadcasted_iota(
+        jnp.int32, (win_h, WIN_W), 0).astype(jnp.float32)
+
+    def chunk(c, _):
+        even = c % 2 == 0
+
+        @pl.when((c + 1 < nch) & even)
+        def _():
+            issue(c + 1, sem_b, sem_mb)
+
+        @pl.when((c + 1 < nch) & ~even)
+        def _():
+            issue(c + 1, sem_a, sem_ma)
+
+        # STATIC buffer-slot indices only (same Mosaic constraint as
+        # _composite_kernel — hence the even/odd duplication)
+        def process(half, c):
+            for k in range(CHUNK_WIN):
+                w = c * CHUNK_WIN + k
+
+                @pl.when(w < nwin)
+                def _():
+                    m = mbuf[half, 2 * k]
+                    colk = m // 2048
+                    y0 = m % 2048
+                    px = iox + (colk * WIN_W).astype(jnp.float32) + 0.5
+                    py = ioy + y0.astype(jnp.float32) + 0.5
+                    if use_scissor:
+                        gate = (px >= sciss_ref[0]) & \
+                               (py >= sciss_ref[1]) & \
+                               (px < sciss_ref[2]) & (py < sciss_ref[3])
+                    cur_d = dep_out[colk, pl.ds(y0, win_h), :]
+                    cur_w = win_out[colk, pl.ds(y0, win_h), :]
+                    base = k * ntri * ZREC
+                    for s in range(ntri):
+
+                        def d(j, _b=base + s * ZREC):
+                            return buf[half, _b + j]
+                        inside = (d(0) * px + d(1) * py + d(2) <= 0) & \
+                                 (d(3) * px + d(4) * py + d(5) <= 0) & \
+                                 (d(6) * px + d(7) * py + d(8) <= 0)
+                        z = d(9) * px + d(10) * py + d(11)
+                        zpass = inside & (z > cur_d) & (d(12) >= 0)
+                        if use_scissor:
+                            zpass = zpass & gate
+                        cur_d = jnp.where(zpass, z, cur_d)
+                        cur_w = jnp.where(zpass, d(12), cur_w)
+                    dep_out[colk, pl.ds(y0, win_h), :] = cur_d
+                    win_out[colk, pl.ds(y0, win_h), :] = cur_w
+
+        @pl.when(even)
+        def _():
+            wait(c, sem_a, sem_ma)
+            process(0, c)
+
+        @pl.when(~even)
+        def _():
+            wait(c, sem_b, sem_mb)
+            process(1, c)
+        return 0
+
+    jax.lax.fori_loop(0, nch, chunk, 0)
+
+
+@partial(jax.jit, static_argnames=("win_h", "cs", "eval_tris",
+                                   "interpret", "viewport"))
+def fused_eval_composite(depth, winner, zrec, owner, meta, wvalid, *,
+                         win_h=32, cs=12, eval_tris=None, viewport=None,
+                         interpret=False):
+    """Evaluate + merge windows in ONE pallas pass (see _fused_kernel).
+    zrec (NCL*cs, ZREC) compacted records (global tri ids in slot 12);
+    owner/meta/wvalid from build_windows. Replaces the
+    eval_windows → composite_windows pair on the opaque path."""
+    H, W0 = depth.shape
+    ncols = (W0 + WIN_W - 1) // WIN_W
+    W = ncols * WIN_W
+    if W != W0:
+        depth = jnp.pad(depth, ((0, 0), (0, W - W0)))
+        winner = jnp.pad(winner, ((0, 0), (0, W - W0)),
+                         constant_values=-1.0)
+    t = zrec.shape[0]
+    ncl = t // cs
+    ntri = cs if eval_tris is None else min(eval_tris, cs)
+    ntri = (ntri + 3) // 4 * 4          # 128-byte DMA alignment (x20 f32)
+    ntri = min(ntri, cs)
+    recs = zrec.reshape(ncl, cs, ZREC)[:, :ntri]
+    b = owner.shape[0]
+    bpad = (b + CHUNK_WIN - 1) // CHUNK_WIN * CHUNK_WIN
+    if bpad != b:
+        owner = jnp.pad(owner, (0, bpad - b))
+        meta = jnp.pad(meta, (0, bpad - b))
+        wvalid = jnp.pad(wvalid, (0, bpad - b))
+    # per-window record gather (63 MB at 64k windows — the whole point:
+    # the (B, win_h, 128) evaluated buffer would be 8-24x larger)
+    recw = recs.reshape(ncl, ntri * ZREC)[owner]
+    rec_chunks = recw.reshape(bpad // CHUNK_WIN, CHUNK_WIN * ntri * ZREC)
+    nwin = jnp.sum(wvalid.astype(jnp.int32))[None]
+    mo = jnp.stack([meta, owner.astype(jnp.int32)], 1).reshape(
+        bpad // CHUNK_WIN, 2 * CHUNK_WIN)
+    meta_chunks = jnp.pad(mo, ((0, 0), (0, 128 - 2 * CHUNK_WIN)))
+    dcol = depth.reshape(H, ncols, WIN_W).transpose(1, 0, 2)
+    wcol = winner.reshape(H, ncols, WIN_W).transpose(1, 0, 2)
+    sciss = jnp.asarray(viewport, jnp.float32) if viewport is not None \
+        else jnp.zeros(4, jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),            # meta chunks
+            pl.BlockSpec(memory_space=pl.ANY),            # record chunks
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # scissor
+            pl.BlockSpec(memory_space=pl.ANY),            # depth (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),            # winner (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((ncols, H, WIN_W), lambda *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ncols, H, WIN_W), lambda *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK_WIN * ntri * ZREC), jnp.float32),
+            pltpu.SMEM((2, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    dep, win = pl.pallas_call(
+        partial(_fused_kernel, win_h=win_h, ntri=ntri,
+                use_scissor=viewport is not None),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((ncols, H, WIN_W), jnp.float32),
+                   jax.ShapeDtypeStruct((ncols, H, WIN_W), jnp.float32)],
+        interpret=interpret,
+    )(nwin.astype(jnp.int32), meta_chunks, rec_chunks, sciss, dcol, wcol)
+    dep = dep.transpose(1, 0, 2).reshape(H, W)[:, :W0]
+    win = win.transpose(1, 0, 2).reshape(H, W)[:, :W0]
+    return dep, win
+
+
 @partial(jax.jit, static_argnames=("win_h", "cs", "interpret"))
 def composite_windows(depth, winner, windows, owner, meta, wvalid, *,
                       win_h=32, cs=12, interpret=False):

@@ -456,45 +456,63 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         zrec_c, _ = compact_cluster_tris(zrec, cs)
         aabb_p = aabb_all if identity else aabb_all[ids]
         zmax_p = zmax_all if identity else zmax_all[ids]
-        # window height classes: tiny/half/full — pixel work per window
-        # scales with win_h, and far instances in big scenes are mostly
-        # <=7 px tall (the round-2 profile's top cost was window eval)
+        # window classes: half-height windows for small footprints.
+        # (A third win_h//4 class was tried in round 2 and measured
+        # NET-NEGATIVE on many_cubes — the extra build/eval/composite
+        # fixed costs exceed the per-pixel savings; see BASELINE.md
+        # negative-results log.)
+        import os as _os
+        stream_all = _os.environ.get("BEVY_TPU_STREAM_ALL") == "1"
         h_px = aabb_p[:, 3] - aabb_p[:, 1]
         half_h = max(win_h // 2, 8)
-        tiny_h = max(win_h // 4, 8)
-        if tiny_h < half_h:
-            classes = ((tiny_h, h_px <= tiny_h - 1.0),
-                       (half_h, (h_px > tiny_h - 1.0) &
-                        (h_px <= half_h - 1.0)),
-                       (win_h, h_px > half_h - 1.0))
+        if stream_all:
+            # dev A/B: skip the window path — every cluster goes through
+            # the binned streaming tile kernel below
+            classes = ()
         else:
             classes = ((half_h, h_px <= half_h - 1.0),
                        (win_h, h_px > half_h - 1.0))
         wbudget = min(window_budget // 2, 4 * k + 64)
         wbudget = (wbudget + 7) // 8 * 8
         fallback = None
+        # fused path (default): evaluate + merge inside one pallas pass —
+        # record slot 12 carries global tri ids, so no packed z|id and
+        # no (B, win_h, 128) HBM round trip (~20 ms at many_cubes scale)
+        fused = _os.environ.get("BEVY_TPU_FUSED", "1") == "1"
         for class_h, cmask in classes:
             wins = build_windows(aabb_p, v & cmask, win_h=class_h,
                                  width=width, height=height,
                                  budget=wbudget)
-            windows = eval_windows(zrec_c, cs, wins["owner"],
-                                   wins["meta"], wins["wvalid"],
-                                   win_h=class_h, viewport=viewport,
-                                   eval_tris=eval_tris, id_base=id_base)
-            depth, winner = composite_windows(
-                depth, winner, windows, wins["owner"] + cluster_base,
-                wins["meta"], wins["wvalid"], win_h=class_h, cs=cs,
-                interpret=interpret)
+            if fused:
+                from bevy_tpu.ops.raster3d_splat import (
+                    fused_eval_composite)
+                depth, winner = fused_eval_composite(
+                    depth, winner, zrec_c, wins["owner"], wins["meta"],
+                    wins["wvalid"], win_h=class_h, cs=cs,
+                    eval_tris=eval_tris, viewport=viewport,
+                    interpret=interpret)
+            else:
+                windows = eval_windows(zrec_c, cs, wins["owner"],
+                                       wins["meta"], wins["wvalid"],
+                                       win_h=class_h, viewport=viewport,
+                                       eval_tris=eval_tris,
+                                       id_base=id_base)
+                depth, winner = composite_windows(
+                    depth, winner, windows, wins["owner"] + cluster_base,
+                    wins["meta"], wins["wvalid"], win_h=class_h, cs=cs,
+                    interpret=interpret)
             stats.pair_overflow = stats.pair_overflow + wins["overflow"]
             fallback = wins["fallback"] if fallback is None else \
                 (fallback | wins["fallback"])
+        if fallback is None:          # stream_all: everything falls back
+            fallback = v
         # fallback: giant footprints + near-plane straddlers through the
         # binned streaming tile kernel (rare; ids in zrec are global).
         # Compact the fallback set to a small static budget FIRST — the
         # record-table layout change + pair expansion otherwise run over
         # ALL k*cs triangles every frame (~9 ms of the round-2 many_cubes
         # profile for a usually-EMPTY set)
-        kfb = min(2048, k)
+        kfb = k if stream_all else min(2048, k)
         nfb = jnp.sum(fallback.astype(jnp.int32))
         posf = jnp.cumsum(fallback.astype(jnp.int32)) - 1
         tgtf = jnp.where(fallback & (posf < kfb), posf, kfb)
@@ -755,8 +773,13 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
     from bevy_tpu.transform import GlobalTransform
 
     if backend == "auto":
+        # sharding lives in the pallas groups path — with shards set,
+        # "auto" MUST NOT fall back to the xla path (that silently
+        # renders single-device and makes sharded tests vacuous)
+        shards_on = plugin is not None and \
+            getattr(plugin, "_shards", None) is not None
         backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") \
-            else ("pallas_interpret" if deferred else "xla")
+            else ("pallas_interpret" if deferred or shards_on else "xla")
     interpret = backend == "pallas_interpret"
     if interpret:
         backend = "pallas"

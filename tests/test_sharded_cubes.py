@@ -18,8 +18,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
 def _render(shards, frames=2):
     from many_cubes import build_app
 
+    # backend pinned on BOTH sides: sharding lives in the pallas path,
+    # and "auto" resolves the unsharded build to the xla reference
+    # rasterizer on CPU — comparing across rasterizers is not identity
     app = build_app(n_cubes=512, width=256, height=128, capacity=1024,
-                    window_budget=8192, cull_budget=None, shards=shards)
+                    window_budget=8192, cull_budget=None, shards=shards,
+                    backend="pallas_interpret")
     app.world.set_resource_field("frame_input", "dt", 1 / 60.0)
     step = jax.jit(app.frame_fn())
     st = app.world.state
@@ -34,3 +38,20 @@ def test_sharded_many_cubes_image_identity():
     assert single.shape == sharded.shape
     assert np.array_equal(single, sharded), (
         f"max diff {np.abs(single - sharded).max()}")
+
+
+def test_sharded_path_actually_engages(monkeypatch):
+    """Guard against vacuity: the shard_map raster must actually trace
+    when shards=N (round 2 found the identity test silently comparing
+    the xla fallback to itself when `auto` resolved away from pallas)."""
+    import bevy_tpu.parallel.raster as pr
+    called = {"n": 0}
+    orig = pr.sharded_instance_raster
+
+    def spy(*a, **k):
+        called["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pr, "sharded_instance_raster", spy)
+    _render(8, frames=1)
+    assert called["n"] >= 1
