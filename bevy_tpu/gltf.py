@@ -27,7 +27,8 @@ _NCOMP = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4, "MAT4": 16}
 
 class GltfPrimitive:
     def __init__(self, mesh: Mesh, base_color, metallic, roughness,
-                 base_color_image=None, joints=None, weights=None):
+                 base_color_image=None, joints=None, weights=None,
+                 material=None, normal_image=None):
         self.mesh = mesh
         self.base_color = base_color
         self.metallic = metallic
@@ -35,6 +36,10 @@ class GltfPrimitive:
         self.base_color_image = base_color_image  # (H, W, 4) u8 or None
         self.joints = joints                      # (VC, 4) int or None
         self.weights = weights                    # (VC, 4) f32 or None
+        # KHR material-extension fields mapped onto MeshMaterial keys
+        # (ref: bevy_gltf/src/material.rs KHR_materials_* handling)
+        self.material = material or {}
+        self.normal_image = normal_image          # (H, W, 4) u8 or None
 
     def dense_weights(self, num_joints: int) -> np.ndarray:
         """(VC, J) dense weight matrix for the MXU skinning einsum
@@ -118,12 +123,19 @@ class GltfDocument:
             for prim in node.primitives:
                 mid = mesh_plugin.add_mesh(prim.mesh)
                 uv_min = uv_max = (0.0, 0.0)
+                nm_min = nm_max = (0.0, 0.0)
                 if atlas is not None and prim.base_color_image is not None:
                     key = id(prim.base_color_image)
                     if key not in packed:
                         packed[key] = atlas.add(prim.base_color_image)
                     h = packed[key]
                     uv_min, uv_max = h["uv_min"], h["uv_max"]
+                if atlas is not None and prim.normal_image is not None:
+                    key = id(prim.normal_image)
+                    if key not in packed:
+                        packed[key] = atlas.add(prim.normal_image)
+                    h = packed[key]
+                    nm_min, nm_max = h["uv_min"], h["uv_max"]
                 nt = np.asarray(node.translation, np.float32)
                 nr = np.asarray(node.rotation, np.float32)
                 if convert_coordinates:
@@ -135,7 +147,9 @@ class GltfDocument:
                     MeshMaterial(base_color=tuple(prim.base_color),
                                  metallic=prim.metallic,
                                  perceptual_roughness=prim.roughness,
-                                 uv_min=uv_min, uv_max=uv_max),
+                                 uv_min=uv_min, uv_max=uv_max,
+                                 nm_min=nm_min, nm_max=nm_max,
+                                 **prim.material),
                     Transform(translation=t, rotation=tuple(nr),
                               scale=tuple(node.scale)),
                     GlobalTransform(translation=t,
@@ -369,21 +383,69 @@ def _parse(gltf, buffers) -> GltfDocument:
     images = _decode_images(gltf, buffers)
     textures = gltf.get("textures", [])
 
+    def _tex_image(slot):
+        if slot is None or not textures:
+            return None
+        src = textures[slot["index"]].get("source")
+        return None if src is None else images[src]
+
     def material_of(prim):
+        """Returns (base_color, metallic, roughness, base_img,
+        extras_dict, normal_img). extras_dict keys are MeshMaterial
+        field names filled from core emissive + the KHR material
+        extensions (ref: bevy_gltf/src/material.rs — transmission,
+        volume, clearcoat, ior, anisotropy, emissive_strength, unlit)."""
         mi = prim.get("material")
         if mi is None:
-            return (1.0, 1.0, 1.0, 1.0), 0.0, 0.5, None
+            return (1.0, 1.0, 1.0, 1.0), 0.0, 0.5, None, {}, None
         mat = materials[mi]
         pbr = mat.get("pbrMetallicRoughness", {})
-        img = None
-        tex = pbr.get("baseColorTexture")
-        if tex is not None and textures:
-            src = textures[tex["index"]].get("source")
-            if src is not None:
-                img = images[src]
-        return (tuple(pbr.get("baseColorFactor", [1, 1, 1, 1])),
-                float(pbr.get("metallicFactor", 1.0)),
-                float(pbr.get("roughnessFactor", 1.0)), img)
+        img = _tex_image(pbr.get("baseColorTexture"))
+        nimg = _tex_image(mat.get("normalTexture"))
+        ext = mat.get("extensions", {})
+        extras = {}
+        emissive = np.asarray(mat.get("emissiveFactor", [0, 0, 0]),
+                              np.float32)
+        es = ext.get("KHR_materials_emissive_strength")
+        if es is not None:
+            emissive = emissive * float(es.get("emissiveStrength", 1.0))
+        if emissive.any():
+            extras["emissive"] = tuple(float(v) for v in emissive)
+        tr = ext.get("KHR_materials_transmission")
+        if tr is not None:
+            extras["specular_transmission"] = \
+                float(tr.get("transmissionFactor", 0.0))
+        vol = ext.get("KHR_materials_volume")
+        if vol is not None:
+            extras["thickness"] = float(vol.get("thicknessFactor", 0.0))
+            ad = float(vol.get("attenuationDistance", 0.0))
+            if np.isfinite(ad) and ad > 0.0:
+                extras["attenuation_distance"] = ad
+            extras["attenuation_color"] = tuple(
+                float(v) for v in vol.get("attenuationColor", [1, 1, 1]))
+        cc = ext.get("KHR_materials_clearcoat")
+        if cc is not None:
+            extras["clearcoat"] = float(cc.get("clearcoatFactor", 0.0))
+            extras["clearcoat_roughness"] = \
+                float(cc.get("clearcoatRoughnessFactor", 0.0))
+        io = ext.get("KHR_materials_ior")
+        if io is not None:
+            extras["ior"] = float(io.get("ior", 1.5))
+        an = ext.get("KHR_materials_anisotropy")
+        if an is not None:
+            extras["anisotropy_strength"] = \
+                float(an.get("anisotropyStrength", 0.0))
+            extras["anisotropy_rotation"] = \
+                float(an.get("anisotropyRotation", 0.0))
+        base = tuple(pbr.get("baseColorFactor", [1, 1, 1, 1]))
+        metallic = float(pbr.get("metallicFactor", 1.0))
+        rough = float(pbr.get("roughnessFactor", 1.0))
+        if "KHR_materials_unlit" in ext:
+            # unlit: emit base color directly, kill the specular response
+            extras["emissive"] = tuple(float(v) for v in base[:3])
+            base = (0.0, 0.0, 0.0, base[3])
+            metallic, rough = 0.0, 1.0
+        return base, metallic, rough, img, extras, nimg
 
     mesh_prims: List[List[GltfPrimitive]] = []
     all_prims: List[GltfPrimitive] = []
@@ -406,7 +468,7 @@ def _parse(gltf, buffers) -> GltfDocument:
                 tris = np.asarray(idx, np.int32).reshape(-1, 3)
             else:
                 tris = np.arange(len(pos), dtype=np.int32).reshape(-1, 3)
-            color, metallic, rough, img = material_of(prim)
+            color, metallic, rough, img, extras, nimg = material_of(prim)
             joints = weights = None
             if "JOINTS_0" in attrs:
                 joints = np.asarray(
@@ -416,7 +478,8 @@ def _parse(gltf, buffers) -> GltfDocument:
                     _read_accessor(gltf, buffers, attrs["WEIGHTS_0"]),
                     np.float32).reshape(-1, 4)
             p = GltfPrimitive(Mesh(pos, nrm, uv, tris), color, metallic,
-                              rough, img, joints, weights)
+                              rough, img, joints, weights,
+                              material=extras, normal_image=nimg)
             prims.append(p)
             all_prims.append(p)
         mesh_prims.append(prims)

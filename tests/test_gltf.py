@@ -18,7 +18,7 @@ from bevy_tpu.time import TimePlugin
 from bevy_tpu.transform import TransformPlugin, transform_bundle
 
 
-def _make_glb(path):
+def _make_glb(path, material=None):
     """A single red triangle at z=0, node translated +x 0.5."""
     pos = np.asarray([[-1, -1, 0], [1, -1, 0], [0, 1, 0]], np.float32)
     nrm = np.tile([0, 0, 1], (3, 1)).astype(np.float32)
@@ -37,7 +37,7 @@ def _make_glb(path):
             {"bufferView": 1, "componentType": 5126, "count": 3, "type": "VEC3"},
             {"bufferView": 2, "componentType": 5123, "count": 3, "type": "SCALAR"},
         ],
-        "materials": [{"pbrMetallicRoughness": {
+        "materials": [material or {"pbrMetallicRoughness": {
             "baseColorFactor": [1.0, 0.0, 0.0, 1.0],
             "metallicFactor": 0.0, "roughnessFactor": 0.8}}],
         "meshes": [{"primitives": [{
@@ -145,3 +145,50 @@ def test_spawn_and_render_glb(tmp_path):
     img = frame_image(app)
     c = img[40, 48]  # lower-center: inside the triangle
     assert c[0] > c[2] + 40, f"glTF triangle not rendered red: {c}"
+
+
+def test_khr_material_extensions(tmp_path):
+    """KHR_materials_* extension mapping onto MeshMaterial fields
+    (ref: bevy_gltf/src/material.rs — transmission, volume, clearcoat,
+    ior, anisotropy, emissive_strength)."""
+    f = tmp_path / "khr.glb"
+    _make_glb(f, material={
+        "pbrMetallicRoughness": {
+            "baseColorFactor": [1.0, 1.0, 1.0, 1.0],
+            "metallicFactor": 0.0, "roughnessFactor": 0.1},
+        "emissiveFactor": [0.1, 0.2, 0.3],
+        "extensions": {
+            "KHR_materials_emissive_strength": {"emissiveStrength": 4.0},
+            "KHR_materials_transmission": {"transmissionFactor": 0.9},
+            "KHR_materials_volume": {
+                "thicknessFactor": 0.5, "attenuationDistance": 2.0,
+                "attenuationColor": [0.9, 0.5, 0.4]},
+            "KHR_materials_clearcoat": {
+                "clearcoatFactor": 1.0, "clearcoatRoughnessFactor": 0.2},
+            "KHR_materials_ior": {"ior": 1.33},
+            "KHR_materials_anisotropy": {
+                "anisotropyStrength": 0.7, "anisotropyRotation": 0.3},
+        },
+    })
+    m = load_glb(f).primitives[0].material
+    assert np.allclose(m["emissive"], [0.4, 0.8, 1.2])
+    assert m["specular_transmission"] == 0.9
+    assert m["thickness"] == 0.5
+    assert m["attenuation_distance"] == 2.0
+    assert np.allclose(m["attenuation_color"], [0.9, 0.5, 0.4])
+    assert m["clearcoat"] == 1.0
+    assert abs(m["clearcoat_roughness"] - 0.2) < 1e-6
+    assert abs(m["ior"] - 1.33) < 1e-6
+    assert abs(m["anisotropy_strength"] - 0.7) < 1e-6
+    assert abs(m["anisotropy_rotation"] - 0.3) < 1e-6
+
+
+def test_khr_unlit(tmp_path):
+    f = tmp_path / "unlit.glb"
+    _make_glb(f, material={
+        "pbrMetallicRoughness": {"baseColorFactor": [0.2, 0.8, 0.4, 1.0]},
+        "extensions": {"KHR_materials_unlit": {}},
+    })
+    prim = load_glb(f).primitives[0]
+    assert np.allclose(prim.material["emissive"], [0.2, 0.8, 0.4])
+    assert prim.base_color[:3] == (0.0, 0.0, 0.0)
