@@ -21,6 +21,11 @@ class Camera2d:
     scale = field((), jnp.float32, default=1.0)
     order = field((), jnp.int32, default=0)
     layers = field((), jnp.int32, default=1)  # ref: RenderLayers bitmask
+    # viewport rect as target-size fractions (ref: Camera::viewport,
+    # bevy_render/src/camera/camera.rs — 2D split-screen / PiP); the
+    # sprite pass uses these when built with max_cameras > 1
+    vp_min = field((2,), jnp.float32, default=(0.0, 0.0))
+    vp_max = field((2,), jnp.float32, default=(1.0, 1.0))
 
 
 class OrthographicProjection:
@@ -36,6 +41,18 @@ def pick_camera(mask):
     any_cam = jnp.any(mask)
     idx = jnp.argmax(mask)
     return idx, any_cam
+
+
+def select_cameras(order, mask, k: int):
+    """First k alive cameras in ascending `order` (ties broken by row
+    index — ref: ascending Camera::order drives render-pass sequence).
+    Returns (ids (k,) int32, valid (k,) bool)."""
+    n = order.shape[0]
+    rows = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(mask, order * n + rows, jnp.int32(2**31 - 1))
+    ids = jnp.argsort(key)[:k].astype(jnp.int32)
+    valid = mask[ids]
+    return ids, valid
 
 
 def world_to_screen_2d(xy, cam_xy, cam_cos, cam_sin, cam_scale, width, height):

@@ -142,14 +142,19 @@ def spawn_tiled(world, handle, size, pos=(0.0, 0.0), z=10.0, scale=1.0,
 
 def make_sprite_pass(width, height, tile_h=32, tile_w=128,
                      pairs_per_sprite=4, max_per_tile=256, bilinear=True,
-                     backend="auto", max_visible=None):
+                     backend="auto", max_visible=None, max_cameras=1):
     """The 2D transparent pass (ref: queue_sprites → Transparent2d sorted
     phase → instanced draw, render/mod.rs:499). Static raster config is
     closed over — it shapes the XLA program.
 
     backend: 'pallas' (TPU kernel; rotated *textured* sprites unsupported),
-    'xla' (reference path, fully general), or 'auto' (pallas on TPU)."""
+    'xla' (reference path, fully general), or 'auto' (pallas on TPU).
+    max_cameras: static count of Camera2d views per frame (ref: one pass
+    per camera in ascending Camera::order; Camera2d.vp_min/vp_max scope
+    each view to a viewport rect — 2D split-screen). 1 keeps the
+    single-camera program."""
 
+    from bevy_tpu.render.camera import select_cameras
     from bevy_tpu.transform import GlobalTransform
 
     if backend == "auto":
@@ -162,12 +167,6 @@ def make_sprite_pass(width, height, tile_h=32, tile_w=128,
                     target=ResMut(RenderTarget.RESOURCE),
                     atlas=Res(TextureAtlas.RESOURCE),
                     stats=ResMut("render_stats")):
-        cam_idx, has_cam = pick_camera(cam.mask)
-        cam_xy = cam.global_transform.translation[cam_idx, :2]
-        cam_angle = quat_z_angle(cam.global_transform.rotation[cam_idx])
-        cam_cos, cam_sin = jnp.cos(cam_angle), jnp.sin(cam_angle)
-        cam_scale = cam.camera2d.scale[cam_idx]
-
         t = q.global_transform.translation
         angle = quat_z_angle(q.global_transform.rotation)
         scale_xy = q.global_transform.scale[:, :2]
@@ -178,34 +177,70 @@ def make_sprite_pass(width, height, tile_h=32, tile_w=128,
         off_w = jnp.stack([ca * off[:, 0] - sa * off[:, 1],
                            sa * off[:, 0] + ca * off[:, 1]], axis=-1)
         center_w = t[:, :2] + off_w
-        center_px = world_to_screen_2d(
-            center_w, cam_xy, cam_cos, cam_sin, cam_scale, width, height)
-        half_px = size_w * 0.5 / cam_scale
-        # world CCW rotation appears CW on a y-down screen
-        rot_screen = -(angle - cam_angle)
-        packed = pack_sprite_instances(
-            center=center_px, half=half_px, rot=rot_screen,
-            color=q.sprite.color, uv_min=q.sprite.uv_min, uv_max=q.sprite.uv_max,
-            tex=q.sprite.tex, z=t[:, 2],
-            active=q.mask & has_cam &
-            ((q.sprite.layers & cam.camera2d.layers[cam_idx]) != 0))
-        if backend == "pallas":
-            from bevy_tpu.ops.raster2d_pallas import raster_sprites_pallas
-            fb, st = raster_sprites_pallas(
-                target.color, packed, atlas.data.transpose(2, 0, 1),
-                tile_h=tile_h, tile_w=tile_w,
-                pairs_per_sprite=pairs_per_sprite, max_per_tile=max_per_tile,
-                max_visible=max_visible, bilinear=bilinear)
+
+        if max_cameras > 1:
+            cam_ids, cam_valid = select_cameras(
+                cam.camera2d.order, cam.mask, max_cameras)
         else:
-            fbi, st = raster_sprites(
-                target.color.transpose(1, 2, 0), packed, atlas.data,
-                tile_h=tile_h, tile_w=tile_w,
-                pairs_per_sprite=pairs_per_sprite, max_per_tile=max_per_tile,
-                bilinear=bilinear)
-            fb = fbi.transpose(2, 0, 1)
+            idx, has_cam = pick_camera(cam.mask)
+            cam_ids = idx[None].astype(jnp.int32)
+            cam_valid = has_cam[None]
+
+        def one_camera(fb, cam_idx, alive):
+            cam_xy = cam.global_transform.translation[cam_idx, :2]
+            cam_angle = quat_z_angle(cam.global_transform.rotation[cam_idx])
+            cam_cos, cam_sin = jnp.cos(cam_angle), jnp.sin(cam_angle)
+            cam_scale = cam.camera2d.scale[cam_idx]
+            # viewport rect in pixels; the projection recenters on it
+            vx0 = cam.camera2d.vp_min[cam_idx, 0] * width
+            vy0 = cam.camera2d.vp_min[cam_idx, 1] * height
+            vx1 = cam.camera2d.vp_max[cam_idx, 0] * width
+            vy1 = cam.camera2d.vp_max[cam_idx, 1] * height
+            d = center_w - cam_xy
+            vx = cam_cos * d[:, 0] + cam_sin * d[:, 1]
+            vy = -cam_sin * d[:, 0] + cam_cos * d[:, 1]
+            center_px = jnp.stack([(vx0 + vx1) * 0.5 + vx / cam_scale,
+                                   (vy0 + vy1) * 0.5 - vy / cam_scale], -1)
+            half_px = size_w * 0.5 / cam_scale
+            # world CCW rotation appears CW on a y-down screen
+            rot_screen = -(angle - cam_angle)
+            packed = pack_sprite_instances(
+                center=center_px, half=half_px, rot=rot_screen,
+                color=q.sprite.color, uv_min=q.sprite.uv_min,
+                uv_max=q.sprite.uv_max, tex=q.sprite.tex, z=t[:, 2],
+                active=q.mask & alive &
+                ((q.sprite.layers & cam.camera2d.layers[cam_idx]) != 0))
+            if backend == "pallas":
+                from bevy_tpu.ops.raster2d_pallas import raster_sprites_pallas
+                out, st = raster_sprites_pallas(
+                    fb, packed, atlas.data.transpose(2, 0, 1),
+                    tile_h=tile_h, tile_w=tile_w,
+                    pairs_per_sprite=pairs_per_sprite,
+                    max_per_tile=max_per_tile,
+                    max_visible=max_visible, bilinear=bilinear)
+            else:
+                fbi, st = raster_sprites(
+                    fb.transpose(1, 2, 0), packed, atlas.data,
+                    tile_h=tile_h, tile_w=tile_w,
+                    pairs_per_sprite=pairs_per_sprite,
+                    max_per_tile=max_per_tile, bilinear=bilinear)
+                out = fbi.transpose(2, 0, 1)
+            if max_cameras > 1:
+                # in-kernel scissor equivalent: composite only the
+                # viewport rect (ref: RenderPass::set_viewport)
+                px = jnp.arange(width, dtype=jnp.float32)[None, :]
+                py = jnp.arange(height, dtype=jnp.float32)[:, None]
+                in_rect = ((px >= vx0) & (px < vx1) &
+                           (py >= vy0) & (py < vy1) & alive)
+                out = jnp.where(in_rect[None], out, fb)
+            return out, st
+
+        fb = target.color
+        for k in range(cam_ids.shape[0]):
+            fb, st = one_camera(fb, cam_ids[k], cam_valid[k])
+            stats.pair_overflow = stats.pair_overflow + st["pair_overflow"]
+            stats.tile_overflow = stats.tile_overflow + st["tile_overflow"]
         target.color = fb
-        stats.pair_overflow = st["pair_overflow"]
-        stats.tile_overflow = st["tile_overflow"]
 
     return sprite_pass
 
@@ -250,11 +285,12 @@ class SpritePlugin(Plugin):
 
     def __init__(self, tile_h=32, tile_w=128, pairs_per_sprite=4,
                  max_per_tile=256, bilinear=True, backend="auto",
-                 max_visible=None):
+                 max_visible=None, max_cameras=1):
         self.cfg = dict(tile_h=tile_h, tile_w=tile_w,
                         pairs_per_sprite=pairs_per_sprite,
                         max_per_tile=max_per_tile, bilinear=bilinear,
-                        backend=backend, max_visible=max_visible)
+                        backend=backend, max_visible=max_visible,
+                        max_cameras=max_cameras)
 
     def build(self, app):
         from bevy_tpu.render.plugin import RenderPlugin

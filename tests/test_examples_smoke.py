@@ -100,3 +100,18 @@ def test_load_gltf_example():
     import numpy as np
     cov = np.abs(img.astype(int) - bg).max(-1) > 10
     assert cov.mean() > 0.02
+
+
+def test_split_screen_2d_renders():
+    import importlib
+
+    from bevy_tpu.render.plugin import frame_image
+    mod = importlib.import_module("split_screen_2d")
+    app = mod.build_app()
+    app.update(dt=1 / 60)
+    img = np.asarray(frame_image(app)).astype(int)
+    h, w = img.shape[:2]
+    # a red-ish player on the left half, a green-ish one on the right
+    left, right = img[:, :w // 2], img[:, w // 2:]
+    assert (left[..., 0] > left[..., 1] + 60).any()
+    assert (right[..., 1] > right[..., 0] + 60).any()
