@@ -73,6 +73,14 @@ class MeshMaterial:
     attenuation_distance = field((), jnp.float32)
     attenuation_color = field(3, default=(1.0, 1.0, 1.0))
     diffuse_transmission = field((), jnp.float32)
+    # ref: pbr_material.rs depth_bias — higher values draw in front of
+    # lower ones at equal depth (applied as a clip-space z offset of
+    # bias * 1e-3 * w at triangle pack time, so it survives the
+    # perspective divide as a constant NDC offset)
+    depth_bias = field((), jnp.float32)
+    # ref: pbr_material.rs uv_transform (Affine2) — [a00,a01,a10,a11,tx,ty]
+    # applied to mesh UVs before the atlas-rect wrap
+    uv_transform = field(6, default=(1.0, 0.0, 0.0, 1.0, 0.0, 0.0))
     uv_min = field(2)
     uv_max = field(2)
     nm_min = field(2)       # normal-map atlas rect (equal = no map)
@@ -260,6 +268,21 @@ def _near_clip(cc, cn, valid, eps=1e-3):
             jnp.concatenate([valid1, valid2]))
 
 
+def _col_nondefault(plugin, name, default):
+    """Host-side (trace-time) check: does ANY MeshMaterial row deviate
+    from `default` in column `name`? Keeps rarely-used features
+    (depth_bias, uv_transform) compiled out of the common program —
+    the pattern the anisotropy path established."""
+    wref = getattr(plugin, "_world_ref", None)
+    if wref is None:
+        return True      # can't prove it's unused — keep the feature on
+    try:
+        col = np.asarray(jax.device_get(wref.column(MeshMaterial, name)))
+        return bool(np.any(col != np.asarray(default, col.dtype)))
+    except Exception:
+        return True
+
+
 def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                    target, stats, *, width, height, tile_h=16, tile_w=128,
                    pairs_per_tri=2, max_per_tile=512, interpret=False,
@@ -271,7 +294,7 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                    tan_i=None, nmr_i=None, lmr_i=None, cc_i=None,
                    ccr_i=None, aniso_i=None, anrot_i=None,
                    pds_i=None, dmr_i=None, ray=None, parallax_layers=0,
-                   material_fn=None):
+                   material_fn=None, bias_i=None, uvt_i=None):
     """Visibility-buffer raster of one uniform batch (ref: bevy meshlet sw
     raster, bevy_pbr/src/meshlet/ — cluster cull → visbuffer → material
     resolve). clip (Ni, VC, 4) clip-space positions, nrm (Ni, VC, 3) world
@@ -418,6 +441,12 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
             # flat-forward shading never reads the clearcoat columns —
             # keep the broadcast/gather at 9 wide on that hot path
             mat_tri = per_inst(mat_inst[:, :9] if flat else mat_inst)
+        if bias_i is not None:
+            # ref: StandardMaterial::depth_bias — constant reverse-z NDC
+            # offset; biasing clip z by b*w keeps it constant after the
+            # divide, and the clipless setup needs no other change
+            b = per_inst(bias_i.reshape(ni, 1))[:, 0] * 1e-3
+            cc_v = cc_v.at[:, :, 2].add(b[:, None] * cc_v[:, :, 3])
         if cuv_static is not None:
             cuv_cl = cuv_static.reshape(cc_num, cs, 3, 2)
             if identity:
@@ -426,6 +455,14 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
             else:
                 cuv = cuv_cl[ids % cc_num].reshape(tv, 3, 2)
             rect_tri = per_inst(uvr_i)
+            if uvt_i is not None:
+                # ref: StandardMaterial::uv_transform (Affine2) on mesh
+                # UVs, before the per-instance atlas-rect wrap
+                a = per_inst(uvt_i)                      # (tv, 6)
+                u, vv = cuv[..., 0], cuv[..., 1]
+                cuv = jnp.stack(
+                    [a[:, 0:1] * u + a[:, 1:2] * vv + a[:, 4:5],
+                     a[:, 2:3] * u + a[:, 3:4] * vv + a[:, 5:6]], -1)
         else:
             cuv = rect_tri = None
         if tan_i is not None:
@@ -1072,6 +1109,13 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         aniso_i=q.mesh_material.anisotropy_strength[rows],
                         anrot_i=q.mesh_material.anisotropy_rotation[rows],
                         pds_i=q.mesh_material.parallax_depth_scale[rows],
+                        bias_i=q.mesh_material.depth_bias[rows]
+                        if _col_nondefault(plugin, "depth_bias", 0.0)
+                        else None,
+                        uvt_i=q.mesh_material.uv_transform[rows]
+                        if _col_nondefault(plugin, "uv_transform",
+                                           (1.0, 0.0, 0.0, 1.0, 0.0, 0.0))
+                        else None,
                         dmr_i=dmr, ray=ray,
                         parallax_layers=parallax_layers if has_pom else 0,
                         viewport=viewport, win_h=win_h,
