@@ -260,8 +260,12 @@ def load_audio(path):
     if s.endswith(".flac"):
         samples, sr = decode_flac(path)
         return AudioSource(samples, sr)
-    if s.endswith((".ogg", ".mp3", ".aac")):
+    if s.endswith((".ogg", ".oga")):
+        from bevy_tpu.vorbis import decode_vorbis
+        samples, sr = decode_vorbis(path)
+        return AudioSource(samples, sr)
+    if s.endswith((".mp3", ".aac")):
         raise ValueError(
-            f"{s}: vorbis/mp3/aac need a system codec (none in this "
-            "environment); ship wav or flac")
+            f"{s}: mp3/aac need a system codec (none in this "
+            "environment); ship wav, flac or ogg")
     raise ValueError(f"unknown audio format: {s}")
