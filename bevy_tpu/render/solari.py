@@ -96,7 +96,8 @@ class SolariPlugin(Plugin):
 
     def __init__(self, mesh_plugin, candidates=8, presample_k=32,
                  tile_px=16, temporal_cap=16.0, shadow_rays=False,
-                 shadow_chunk=4096, backend="auto"):
+                 shadow_chunk=4096, backend="auto", gi=False,
+                 gi_temporal_cap=32.0):
         self.mesh_plugin = mesh_plugin
         self.m = candidates
         self.k = presample_k
@@ -104,6 +105,8 @@ class SolariPlugin(Plugin):
         self.cap = temporal_cap
         self.shadow_rays = shadow_rays
         self.shadow_chunk = shadow_chunk
+        self.gi = gi
+        self.gi_cap = gi_temporal_cap
 
     def build(self, app):
         rp = next((p for p in app._plugins if isinstance(p, RenderPlugin)),
@@ -125,6 +128,8 @@ class SolariPlugin(Plugin):
         store["gbuffer"] = jnp.zeros((14, height, width), jnp.float32)
         app.world.structure_version += 1
 
+        use_gi, gi_cap = self.gi, self.gi_cap
+
         def prep(world):
             world.state["res"]["restir"] = {
                 "y": jnp.full((height, width), -1, jnp.int32),
@@ -134,7 +139,19 @@ class SolariPlugin(Plugin):
                 "z": jnp.zeros((height, width), jnp.float32),
                 "frame": jnp.zeros((), jnp.uint32),
             }
-            if use_shadow:
+            if use_gi:
+                # GI reservoir: the sample is a world-space hit point +
+                # its outgoing radiance (ref: restir_gi.wesl reservoir
+                # layout — sample_point/sample_radiance/W/M)
+                world.state["res"]["restir_gi"] = {
+                    "hp": jnp.zeros((height, width, 3), jnp.float32),
+                    "lr": jnp.zeros((height, width, 3), jnp.float32),
+                    "wsum": jnp.zeros((height, width), jnp.float32),
+                    "m": jnp.zeros((height, width), jnp.float32),
+                    "w": jnp.zeros((height, width), jnp.float32),
+                    "z": jnp.zeros((height, width), jnp.float32),
+                }
+            if use_shadow or use_gi:
                 from bevy_tpu.render.pathtracer import bake_triangle_soup
                 holder.update(bake_triangle_soup(world, mesh_plugin))
 
@@ -306,3 +323,169 @@ class SolariPlugin(Plugin):
         app.add_systems(Render, clear_gbuffer, in_set=CLEAR_SET)
         app.add_systems(Render, solari_di, in_set=SHADE_SET,
                         after="mesh_pass")
+
+        if not use_gi:
+            return
+
+        @system(name="solari_gi")
+        def solari_gi(plight=Query(Read(PointLight), Read(GlobalTransform)),
+                      cam=Query(Read(Camera3d), Read(GlobalTransform)),
+                      res=ResMut("restir"),
+                      gi=ResMut("restir_gi"),
+                      target=ResMut(RenderTarget.RESOURCE)):
+            """One-bounce ReSTIR GI (ref: bevy_solari realtime GI —
+            restir_gi.wesl: cosine path sample → shade hit → per-pixel
+            reservoir with temporal reuse; the world-cache role is
+            filled by the baked soup + per-hit direct estimate).
+            Adds indirect diffuse into target.color after solari_di."""
+            ci, has_cam = pick_camera(cam.mask)
+            cam_gt = cam.global_transform
+            view = view_matrix(cam_gt.translation[ci], cam_gt.rotation[ci],
+                               cam_gt.scale[ci])
+            proj = perspective_infinite_reverse(
+                cam.camera3d.fov[ci], width / height, cam.camera3d.near[ci])
+            inv_vp = jnp.linalg.inv(proj @ view)
+            g = target.gbuffer
+            z = target.depth
+            frame = res.frame  # solari_di already advanced it this frame
+
+            ys = (jnp.arange(height, dtype=jnp.float32) + 0.5)[:, None]
+            xs = (jnp.arange(width, dtype=jnp.float32) + 0.5)[None, :]
+            ndx = jnp.broadcast_to(2.0 * xs / width - 1.0, z.shape)
+            ndy = jnp.broadcast_to(1.0 - 2.0 * ys / height, z.shape)
+            ndc = jnp.stack([ndx, ndy, z, jnp.ones_like(z)], -1)
+            wh = jnp.einsum("ij,hwj->hwi", inv_vp, ndc)
+            wp = wh[..., :3] / jnp.where(jnp.abs(wh[..., 3:4]) > 1e-9,
+                                         wh[..., 3:4], 1.0)
+            geom = (z > 0.0) & has_cam
+            alb = jnp.moveaxis(g[0:3], 0, -1)
+            n = jnp.moveaxis(g[4:7], 0, -1)
+
+            pix_id = (jnp.arange(height, dtype=jnp.uint32)[:, None] *
+                      jnp.uint32(width) +
+                      jnp.arange(width, dtype=jnp.uint32)[None, :])
+
+            # --- cosine-weighted bounce direction around n ---
+            u1 = _hash01(pix_id * jnp.uint32(4) + jnp.uint32(0) +
+                         frame * jnp.uint32(0x68E31DA4))
+            u2 = _hash01(pix_id * jnp.uint32(4) + jnp.uint32(1) +
+                         frame * jnp.uint32(0xB5297A4D))
+            r = jnp.sqrt(u1)
+            phi = 2.0 * jnp.pi * u2
+            # branchless ONB (Frisvad) around n
+            s = jnp.where(n[..., 2] >= 0.0, 1.0, -1.0)
+            a = -1.0 / (s + n[..., 2])
+            b = n[..., 0] * n[..., 1] * a
+            t1 = jnp.stack([1.0 + s * n[..., 0] * n[..., 0] * a,
+                            s * b, -s * n[..., 0]], -1)
+            t2 = jnp.stack([b, s + n[..., 1] * n[..., 1] * a,
+                            -n[..., 1]], -1)
+            lz = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+            bdir = (t1 * (r * jnp.cos(phi))[..., None] +
+                    t2 * (r * jnp.sin(phi))[..., None] + n * lz[..., None])
+
+            # --- trace the bounce ray (chunked; soup from prep) ---
+            from bevy_tpu.render.pathtracer import intersect_chunk
+            v0, e1, e2 = holder["v0"], holder["e1"], holder["e2"]
+            sn, salb, semi = holder["n"], holder["alb"], holder["emi"]
+            p = height * width
+            orig = (wp + n * 1e-2).reshape(p, 3)
+            dirs = bdir.reshape(p, 3)
+            pad = (-p) % chunk
+            nch = (p + pad) // chunk
+
+            def seg(args):
+                o, d = args
+                return intersect_chunk(o, d, v0, e1, e2)
+
+            t_hit, tri = jax.lax.map(seg, (
+                jnp.pad(orig, ((0, pad), (0, 0))).reshape(nch, chunk, 3),
+                jnp.pad(dirs, ((0, pad), (0, 0))).reshape(nch, chunk, 3)))
+            t_hit = t_hit.reshape(-1)[:p].reshape(z.shape)
+            tri = tri.reshape(-1)[:p].reshape(z.shape)
+            hit = geom & (t_hit < 3.3e38)
+            hp = wp + bdir * jnp.where(hit, t_hit, 0.0)[..., None]
+            hn = sn[tri] * jnp.where(
+                jnp.sum(sn[tri] * bdir, -1) > 0, -1.0, 1.0)[..., None]
+
+            # --- outgoing radiance at the hit: emissive + one-light
+            #     Lambert direct estimate (the world-cache stand-in) ---
+            lpos = plight.global_transform.translation
+            lcol = plight.point_light.color * \
+                plight.point_light.intensity[:, None]
+            lrng = plight.point_light.range
+            lmask = plight.mask
+            nl = lpos.shape[0]
+            alive_idx = jnp.where(lmask, jnp.arange(nl, dtype=jnp.int32), nl)
+            compact = jnp.arange(nl, dtype=jnp.int32)[jnp.argsort(alive_idx)]
+            n_alive = jnp.sum(lmask.astype(jnp.int32))
+            u3 = _hash01(pix_id * jnp.uint32(4) + jnp.uint32(2) +
+                         frame * jnp.uint32(0x1B56C4E9))
+            draw = jnp.minimum(
+                (u3 * jnp.maximum(n_alive, 1)).astype(jnp.int32),
+                jnp.maximum(n_alive - 1, 0))
+            li = compact[draw]
+            d = lpos[li] - hp
+            d2 = jnp.sum(d * d, -1)
+            ldir = d * jax.lax.rsqrt(jnp.maximum(d2, 1e-9))[..., None]
+            rng2 = jnp.maximum(lrng[li] * lrng[li], 1e-9)
+            win = jnp.clip(1.0 - (d2 / rng2) ** 2, 0.0, 1.0)
+            atten = win * win / (d2 + 1.0)
+            nol = jnp.maximum(jnp.sum(hn * ldir, -1), 0.0)
+            l_f = jnp.maximum(n_alive, 1).astype(jnp.float32)
+            direct_hit = (salb[tri] / jnp.pi) * lcol[li] * \
+                (atten * nol * l_f * lmask[li])[..., None]
+            lr_new = (semi[tri] + direct_hit) * hit[..., None]
+
+            # --- per-pixel reservoir. Target p-hat(s) = lum(L_s) *
+            #     cos(n, dir_s); candidate pdf q = cos/pi, so the fresh
+            #     stream weight p-hat/q = pi * lum (cos cancels) ---
+            def _lum(c):
+                return (0.2126 * c[..., 0] + 0.7152 * c[..., 1] +
+                        0.0722 * c[..., 2])
+
+            def _cos_to(pt):
+                dvec = pt - wp
+                dist = jnp.sqrt(jnp.maximum(jnp.sum(dvec * dvec, -1),
+                                            1e-12))
+                return jnp.maximum(jnp.sum(n * dvec, -1) / dist, 0.0)
+
+            w_new = jnp.pi * _lum(lr_new)
+            # temporal reuse keyed on depth persistence
+            prev_ok = (jnp.abs(gi.z - z) < 1e-3) & (gi.m > 0) & geom
+            ph_prev = _lum(gi.lr) * _cos_to(gi.hp) * prev_ok
+            m_prev = jnp.minimum(gi.m, gi_cap) * prev_ok
+            w_prev = ph_prev * gi.w * m_prev
+            wsum = w_new + w_prev
+            u4 = _hash01(pix_id * jnp.uint32(4) + jnp.uint32(3) +
+                         frame * jnp.uint32(0x85EBCA6B))
+            take_prev = (u4 * wsum < w_prev) & (w_prev > 0)
+            hp_fin = jnp.where(take_prev[..., None], gi.hp, hp)
+            lr_fin = jnp.where(take_prev[..., None], gi.lr, lr_new)
+            m_fin = m_prev + 1.0
+            fcos = _cos_to(hp_fin)
+            ph_fin = _lum(lr_fin) * fcos
+            w_fin = jnp.where(ph_fin > 0,
+                              wsum / jnp.maximum(m_fin * ph_fin, 1e-9),
+                              0.0)
+
+            # estimate: f(y) * W with f = albedo/pi * L * cos
+            # (single fresh sample sanity: W = pi*lum/(lum*cos) = pi/cos
+            # -> indirect = albedo * L, the plain cosine-sampled MC term)
+            indirect = alb * lr_fin * \
+                (w_fin * fcos / jnp.pi)[..., None]
+            rgb = jnp.moveaxis(target.color[:3], 0, -1) + \
+                jnp.where(geom[..., None], indirect, 0.0)
+            target.color = jnp.concatenate(
+                [jnp.moveaxis(rgb, -1, 0),
+                 target.color[3:4]], 0)
+
+            gi.hp = jnp.where(geom[..., None], hp_fin, gi.hp)
+            gi.lr = jnp.where(geom[..., None], lr_fin, gi.lr)
+            gi.wsum = wsum
+            gi.m = jnp.where(geom, m_fin, 0.0)
+            gi.w = jnp.where(geom, w_fin, 0.0)
+            gi.z = z
+
+        app.add_systems(Render, solari_gi, in_set=SHADE_SET,
+                        after="solari_di")

@@ -94,3 +94,62 @@ def test_restir_shadow_ray_darkens_occluded():
     reg_l = lit[20:36, 52:68, :3].sum()
     reg_s = sh[20:36, 52:68, :3].sum()
     assert reg_s < reg_l * 0.9, (reg_s, reg_l)
+
+
+def test_restir_gi_color_bleed():
+    """One-bounce ReSTIR GI (ref: bevy_solari realtime restir_gi.wesl):
+    a red wall beside a white floor under a point light must bleed red
+    onto nearby floor pixels — absent in the DI-only render — and the
+    temporal reservoir must keep the indirect term stable."""
+    def build(gi):
+        app = App(capacity=32)
+        plugin = Mesh3dPlugin(backend="pallas_interpret", deferred=True)
+        app.add_plugins(TimePlugin(), TransformPlugin(),
+                        RenderPlugin(width=64, height=48), plugin,
+                        SolariPlugin(plugin, candidates=4, presample_k=8,
+                                     gi=gi))
+        cube = plugin.add_mesh(cuboid(1.0, 1.0, 1.0))
+        app.insert_resource(AmbientLight(brightness=0.0))
+        # camera tilted down at the floor/wall corner
+        app.world.spawn(Camera3d(),
+                        *transform_bundle(translation=(0.0, 2.2, 3.4),
+                                          rotation=(-0.26, 0.0, 0.0,
+                                                    0.966)))
+        app.world.spawn(PointLight(intensity=6.0, range=50.0,
+                                   color=(1.0, 1.0, 1.0)),
+                        *transform_bundle(translation=(-1.0, 2.5, 1.0)))
+        # white floor (thin slab)
+        app.world.spawn(
+            Mesh3d(mesh=cube),
+            MeshMaterial(base_color=(0.9, 0.9, 0.9, 1.0),
+                         perceptual_roughness=0.9),
+            *transform_bundle(translation=(0.0, -0.1, 0.0),
+                              scale=(6.0, 0.2, 6.0)))
+        # red wall on the right, lit by the light, bounces onto floor
+        app.world.spawn(
+            Mesh3d(mesh=cube),
+            MeshMaterial(base_color=(0.9, 0.05, 0.05, 1.0),
+                         perceptual_roughness=0.9),
+            *transform_bundle(translation=(1.6, 1.0, 0.0),
+                              scale=(0.2, 2.0, 6.0)))
+        return app
+
+    def run(gi, frames):
+        app = build(gi)
+        acc = None
+        for _ in range(frames):
+            app.update(dt=1 / 60)
+            img = frame_image(app).astype(np.float64)
+            acc = img if acc is None else acc + img
+        return acc / frames
+
+    di_only = run(False, 1)
+    with_gi = run(True, 5)
+    # floor strip next to the red wall (measured: DI redness == 0 here,
+    # GI redness 2-9 growing toward the wall)
+    strip = (slice(28, 44), slice(32, 56))
+    redness_di = (di_only[strip][..., 0] - di_only[strip][..., 1]).mean()
+    redness_gi = (with_gi[strip][..., 0] - with_gi[strip][..., 1]).mean()
+    assert redness_gi > redness_di + 1.5, (redness_di, redness_gi)
+    # GI must add energy, not replace the direct term
+    assert with_gi[strip][..., 0].mean() > di_only[strip][..., 0].mean()
