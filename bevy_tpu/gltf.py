@@ -40,6 +40,11 @@ class GltfPrimitive:
         # (ref: bevy_gltf/src/material.rs KHR_materials_* handling)
         self.material = material or {}
         self.normal_image = normal_image          # (H, W, 4) u8 or None
+        # channel textures (set post-construction by the parser):
+        # emissive / metallic-roughness / occlusion images or None
+        self.emissive_image = None
+        self.mr_image = None
+        self.occlusion_image = None
 
     def dense_weights(self, num_joints: int) -> np.ndarray:
         """(VC, J) dense weight matrix for the MXU skinning einsum
@@ -122,20 +127,21 @@ class GltfDocument:
         for node in self.nodes:
             for prim in node.primitives:
                 mid = mesh_plugin.add_mesh(prim.mesh)
-                uv_min = uv_max = (0.0, 0.0)
-                nm_min = nm_max = (0.0, 0.0)
-                if atlas is not None and prim.base_color_image is not None:
-                    key = id(prim.base_color_image)
+
+                def rect_of(image):
+                    if atlas is None or image is None:
+                        return (0.0, 0.0), (0.0, 0.0)
+                    key = id(image)
                     if key not in packed:
-                        packed[key] = atlas.add(prim.base_color_image)
+                        packed[key] = atlas.add(image)
                     h = packed[key]
-                    uv_min, uv_max = h["uv_min"], h["uv_max"]
-                if atlas is not None and prim.normal_image is not None:
-                    key = id(prim.normal_image)
-                    if key not in packed:
-                        packed[key] = atlas.add(prim.normal_image)
-                    h = packed[key]
-                    nm_min, nm_max = h["uv_min"], h["uv_max"]
+                    return h["uv_min"], h["uv_max"]
+
+                uv_min, uv_max = rect_of(prim.base_color_image)
+                nm_min, nm_max = rect_of(prim.normal_image)
+                em_min, em_max = rect_of(prim.emissive_image)
+                mr_min, mr_max = rect_of(prim.mr_image)
+                oc_min, oc_max = rect_of(prim.occlusion_image)
                 nt = np.asarray(node.translation, np.float32)
                 nr = np.asarray(node.rotation, np.float32)
                 if convert_coordinates:
@@ -149,6 +155,9 @@ class GltfDocument:
                                  perceptual_roughness=prim.roughness,
                                  uv_min=uv_min, uv_max=uv_max,
                                  nm_min=nm_min, nm_max=nm_max,
+                                 em_min=em_min, em_max=em_max,
+                                 mr_min=mr_min, mr_max=mr_max,
+                                 oc_min=oc_min, oc_max=oc_max,
                                  **prim.material),
                     Transform(translation=t, rotation=tuple(nr),
                               scale=tuple(node.scale)),
@@ -397,11 +406,18 @@ def _parse(gltf, buffers) -> GltfDocument:
         volume, clearcoat, ior, anisotropy, emissive_strength, unlit)."""
         mi = prim.get("material")
         if mi is None:
-            return (1.0, 1.0, 1.0, 1.0), 0.0, 0.5, None, {}, None
+            return ((1.0, 1.0, 1.0, 1.0), 0.0, 0.5, None, {}, None,
+                    {"emissive_image": None, "mr_image": None,
+                     "occlusion_image": None})
         mat = materials[mi]
         pbr = mat.get("pbrMetallicRoughness", {})
         img = _tex_image(pbr.get("baseColorTexture"))
         nimg = _tex_image(mat.get("normalTexture"))
+        extras_imgs = {
+            "emissive_image": _tex_image(mat.get("emissiveTexture")),
+            "mr_image": _tex_image(pbr.get("metallicRoughnessTexture")),
+            "occlusion_image": _tex_image(mat.get("occlusionTexture")),
+        }
         ext = mat.get("extensions", {})
         extras = {}
         emissive = np.asarray(mat.get("emissiveFactor", [0, 0, 0]),
@@ -445,7 +461,7 @@ def _parse(gltf, buffers) -> GltfDocument:
             extras["emissive"] = tuple(float(v) for v in base[:3])
             base = (0.0, 0.0, 0.0, base[3])
             metallic, rough = 0.0, 1.0
-        return base, metallic, rough, img, extras, nimg
+        return base, metallic, rough, img, extras, nimg, extras_imgs
 
     mesh_prims: List[List[GltfPrimitive]] = []
     all_prims: List[GltfPrimitive] = []
@@ -468,7 +484,8 @@ def _parse(gltf, buffers) -> GltfDocument:
                 tris = np.asarray(idx, np.int32).reshape(-1, 3)
             else:
                 tris = np.arange(len(pos), dtype=np.int32).reshape(-1, 3)
-            color, metallic, rough, img, extras, nimg = material_of(prim)
+            color, metallic, rough, img, extras, nimg, cimgs = \
+                material_of(prim)
             joints = weights = None
             if "JOINTS_0" in attrs:
                 joints = np.asarray(
@@ -480,6 +497,9 @@ def _parse(gltf, buffers) -> GltfDocument:
             p = GltfPrimitive(Mesh(pos, nrm, uv, tris), color, metallic,
                               rough, img, joints, weights,
                               material=extras, normal_image=nimg)
+            p.emissive_image = cimgs["emissive_image"]
+            p.mr_image = cimgs["mr_image"]
+            p.occlusion_image = cimgs["occlusion_image"]
             prims.append(p)
             all_prims.append(p)
         mesh_prims.append(prims)

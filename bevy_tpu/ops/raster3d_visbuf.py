@@ -63,7 +63,7 @@ def _pad_to(x, m):
 def pack_planes_h(cc, cn, valid, width, height, viewport=None,
                   materials=None, cuv=None, tex_rect=None, build_srec=True,
                   id_base=0, tangents=None, nm_rect=None, lm_rect=None,
-                  dm_rect=None):
+                  dm_rect=None, em_rect=None, mr_rect=None, oc_rect=None):
     """Homogeneous (clipless) triangle setup.
 
     cc: (T, 3, 4) clip-space corner positions; cn: (T, 3, 3) per-corner
@@ -197,11 +197,19 @@ def pack_planes_h(cc, cn, valid, width, height, viewport=None,
         # uv rect; sampled by the mesh UVs at resolve)
         lm_part = lm_rect if lm_rect is not None else \
             jnp.zeros((t, 4), jnp.float32)
+        # channel-texture atlas rects (ref: StandardMaterial
+        # emissive_texture / metallic_roughness_texture /
+        # occlusion_texture — sampled by the mesh UVs at resolve)
+        zero4 = jnp.zeros((t, 4), jnp.float32)
+        em_part = em_rect if em_rect is not None else zero4
+        mr_part = mr_rect if mr_rect is not None else zero4
+        oc_part = oc_rect if oc_rect is not None else zero4
         srec = jnp.concatenate([
             iw_plane, combo(cn[:, :, 0]), combo(cn[:, :, 1]),
             combo(cn[:, :, 2]), mat9, uv_part, nm_part, lm_part,
             cc_part, aniso_part, pom_part,
-            jnp.zeros((t, SREC - 51), jnp.float32)], 1)
+            em_part, mr_part, oc_part,
+            jnp.zeros((t, SREC - 63), jnp.float32)], 1)
     else:
         srec = None      # flat-shading path builds 8-wide records instead
     return zrec, srec, valid
@@ -668,6 +676,36 @@ def resolve_shade(winner, srec, atlas=None, ray=None, parallax_layers=0):
         nmapped = nmapped * jax.lax.rsqrt(jnp.maximum(
             jnp.sum(nmapped * nmapped, -1, keepdims=True), 1e-12))
         n = jnp.where(has_nm[..., None], nmapped, n)
+
+        def _channel_tex(lo):
+            """Sample an optional channel-texture rect at srec slot lo
+            (u1 <= u0 = absent)."""
+            c0u, c0v = rec[..., lo], rec[..., lo + 1]
+            c1u, c1v = rec[..., lo + 2], rec[..., lo + 3]
+            has = (c1u > c0u) & ok
+            cu = c0u + fu * (c1u - c0u)
+            cv = c0v + fv * (c1v - c0v)
+            return has, sample_atlas(atlas, jnp.stack([cu, cv], -1))
+
+        # emissive_texture: modulates the emissive factor (ref:
+        # StandardMaterial::emissive_texture)
+        has_em, em_tx = _channel_tex(51)
+        emi = jnp.where(has_em[..., None],
+                        mat[..., 4:7] * em_tx[..., :3], mat[..., 4:7])
+        # metallic_roughness_texture: glTF packing — G = roughness,
+        # B = metallic (ref: StandardMaterial::metallic_roughness_texture)
+        has_mr, mr_tx = _channel_tex(55)
+        met = jnp.where(has_mr, mat[..., 7] * mr_tx[..., 2], mat[..., 7])
+        rgh = jnp.where(has_mr, mat[..., 8] * mr_tx[..., 1], mat[..., 8])
+        # occlusion_texture (R channel): attenuates the albedo's ambient
+        # response (approximation: the reference scales only indirect
+        # light; this resolve folds it into diffuse color)
+        has_oc, oc_tx = _channel_tex(59)
+        base2 = jnp.where(has_oc[..., None],
+                          mat[..., 0:3] * oc_tx[..., 0:1], mat[..., 0:3])
+        mat = jnp.concatenate([base2, mat[..., 3:4], emi,
+                               met[..., None], rgh[..., None],
+                               mat[..., 9:]], -1)
     return n, mat, ok
 
 

@@ -87,6 +87,12 @@ class MeshMaterial:
     nm_max = field(2)
     lm_min = field(2)       # lightmap atlas rect (ref: Lightmap uv_rect)
     lm_max = field(2)
+    em_min = field(2)       # emissive_texture atlas rect
+    em_max = field(2)
+    mr_min = field(2)       # metallic_roughness_texture (G=rough, B=met)
+    mr_max = field(2)
+    oc_min = field(2)       # occlusion_texture (R channel)
+    oc_max = field(2)
 
 
 @component
@@ -294,7 +300,8 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                    tan_i=None, nmr_i=None, lmr_i=None, cc_i=None,
                    ccr_i=None, aniso_i=None, anrot_i=None,
                    pds_i=None, dmr_i=None, ray=None, parallax_layers=0,
-                   material_fn=None, bias_i=None, uvt_i=None):
+                   material_fn=None, bias_i=None, uvt_i=None,
+                   emr_i=None, mrr_i=None, ocr_i=None):
     """Visibility-buffer raster of one uniform batch (ref: bevy meshlet sw
     raster, bevy_pbr/src/meshlet/ — cluster cull → visbuffer → material
     resolve). clip (Ni, VC, 4) clip-space positions, nrm (Ni, VC, 3) world
@@ -480,13 +487,20 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
             if lmr_i is not None and cuv is not None else None
         dm_tri = per_inst(dmr_i) \
             if dmr_i is not None and cuv is not None else None
+        em_tri = per_inst(emr_i) \
+            if emr_i is not None and cuv is not None else None
+        mr_tri = per_inst(mrr_i) \
+            if mrr_i is not None and cuv is not None else None
+        oc_tri = per_inst(ocr_i) \
+            if ocr_i is not None and cuv is not None else None
         id_base = cluster_base * cs
         zrec, srec, valid = pack_planes_h(
             cc_v, cn_v, tri_ok_v, width, height, viewport=viewport,
             materials=mat_tri, cuv=cuv, tex_rect=rect_tri,
             build_srec=not flat and not flat_def and not depth_only,
             id_base=id_base, tangents=tan_tri, nm_rect=nm_tri,
-            lm_rect=lm_tri, dm_rect=dm_tri)
+            lm_rect=lm_tri, dm_rect=dm_tri, em_rect=em_tri,
+            mr_rect=mr_tri, oc_rect=oc_tri)
         frec = pack_flat_shade(cn_v, mat_tri, light_vec, valid) \
             if flat else None
         fab = pack_flat_gbuf(cn_v, mat_tri, valid) if flat_def else None
@@ -1018,6 +1032,25 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         dmr = jnp.concatenate(
                             [q.mesh_material.dm_min[rows],
                              q.mesh_material.dm_max[rows]], 1)
+                        # channel textures (ref: StandardMaterial
+                        # emissive/metallic_roughness/occlusion textures);
+                        # trace-time gated so untextured worlds compile
+                        # the same program
+                        emr = jnp.concatenate(
+                            [q.mesh_material.em_min[rows],
+                             q.mesh_material.em_max[rows]], 1) \
+                            if _col_nondefault(plugin, "em_max",
+                                               (0.0, 0.0)) else None
+                        mrr = jnp.concatenate(
+                            [q.mesh_material.mr_min[rows],
+                             q.mesh_material.mr_max[rows]], 1) \
+                            if _col_nondefault(plugin, "mr_max",
+                                               (0.0, 0.0)) else None
+                        ocr = jnp.concatenate(
+                            [q.mesh_material.oc_min[rows],
+                             q.mesh_material.oc_max[rows]], 1) \
+                            if _col_nondefault(plugin, "oc_max",
+                                               (0.0, 0.0)) else None
                         # mesh-space per-tri tangents rotate with the
                         # instance exactly like normals
                         tcp_m = (m.num_triangles + 11) // 12 * 12
@@ -1026,7 +1059,7 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         tan = quat_rotate_vec3(gt_r[:, None, :],
                                                jnp.asarray(tan_l)[None])
                     else:
-                        dmr = None
+                        dmr = emr = mrr = ocr = None
                         uvr = cuv = nmr = tan = lmr = None
                         # anisotropy needs a tangent frame even without
                         # textures: trace-time gate via a HOST read of the
@@ -1116,7 +1149,8 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         if _col_nondefault(plugin, "uv_transform",
                                            (1.0, 0.0, 0.0, 1.0, 0.0, 0.0))
                         else None,
-                        dmr_i=dmr, ray=ray,
+                        dmr_i=dmr, emr_i=emr, mrr_i=mrr, ocr_i=ocr,
+                        ray=ray,
                         parallax_layers=parallax_layers if has_pom else 0,
                         viewport=viewport, win_h=win_h,
                         window_budget=window_budget, eval_tris=eval_tris,
