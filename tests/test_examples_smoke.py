@@ -115,3 +115,32 @@ def test_split_screen_2d_renders():
     left, right = img[:, :w // 2], img[:, w // 2:]
     assert (left[..., 0] > left[..., 1] + 60).any()
     assert (right[..., 1] > right[..., 0] + 60).any()
+
+
+def test_ecs_guide_runs():
+    import importlib
+
+    import jax
+
+    mod = importlib.import_module("ecs_guide")
+    app = mod.build_app(n_players=3, max_rounds=5)
+    for _ in range(7):
+        app.update(dt=1 / 60)
+    gs = app.world.state["res"]["game_state"]
+    assert int(jax.device_get(gs["done"])) == 1
+    assert int(jax.device_get(gs["round"])) == 5
+
+
+def test_observer_propagation_runs():
+    import importlib
+
+    import jax
+    import numpy as np
+
+    mod = importlib.import_module("observer_propagation")
+    app, goblin, helmet = mod.build_app()
+    app.update(dt=1 / 60)
+    from observer_propagation import HitPoints
+    hp = np.asarray(jax.device_get(app.world.column(HitPoints, "value")))
+    assert hp[goblin.index] == 17.0    # ancestor took the bubbled hit
+    assert hp[helmet.index] == 2.0
