@@ -169,10 +169,11 @@ def pack_planes_h(cc, cn, valid, width, height, viewport=None,
     if build_srec:
         if materials is None:
             materials = jnp.zeros((t, 14), jnp.float32)
-        if materials.shape[1] < 14:       # pad clearcoat/aniso/pom columns
-            materials = jnp.concatenate(
-                [materials,
-                 jnp.zeros((t, 14 - materials.shape[1]), jnp.float32)], 1)
+        if materials.shape[1] < 15:       # pad clearcoat/aniso/pom/refl
+            pad = jnp.zeros((t, 15 - materials.shape[1]), jnp.float32)
+            materials = jnp.concatenate([materials, pad], 1)
+            # absent reflectance column means the 4% default (0.5)
+            materials = materials.at[:, 14].set(0.5)
         mat9, cc_part = materials[:, :9], materials[:, 9:11]
         aniso_part = materials[:, 11:13]  # strength, rotation (ref:
         #                       StandardMaterial anisotropy_* fields)
@@ -209,7 +210,7 @@ def pack_planes_h(cc, cn, valid, width, height, viewport=None,
             combo(cn[:, :, 2]), mat9, uv_part, nm_part, lm_part,
             cc_part, aniso_part, pom_part,
             em_part, mr_part, oc_part,
-            jnp.zeros((t, SREC - 63), jnp.float32)], 1)
+            materials[:, 14:15]], 1)      # reflectance (slot 63)
     else:
         srec = None      # flat-shading path builds 8-wide records instead
     return zrec, srec, valid
@@ -584,9 +585,11 @@ def resolve_shade(winner, srec, atlas=None, ray=None, parallax_layers=0):
     n = n * jax.lax.rsqrt(jnp.maximum(jnp.sum(n * n, -1, keepdims=True),
                                       1e-12))
     # mat columns: rgba 0:4, emissive 4:7, metallic 7, roughness 8,
-    # clearcoat 9:11, raw tangent 11:14, anisotropy strength/rotation 14:16
+    # clearcoat 9:11, raw tangent 11:14, anisotropy strength/rotation
+    # 14:16, reflectance 16
     mat = jnp.concatenate([rec[..., 12:21], rec[..., 42:44],
-                           rec[..., 31:34], rec[..., 44:46]], -1)
+                           rec[..., 31:34], rec[..., 44:46],
+                           rec[..., 63:64]], -1)
     if atlas is not None:
         u = (rec[..., 21] * px + rec[..., 22] * py + rec[..., 23]) / iw
         v = (rec[..., 24] * px + rec[..., 25] * py + rec[..., 26]) / iw
@@ -740,13 +743,14 @@ def pack_flat_gbuf(cn, materials, valid):
     n = cn[:, 0]
     n = n * jax.lax.rsqrt(jnp.maximum(jnp.sum(n * n, -1, keepdims=True),
                                       1e-12))
-    if materials.shape[1] == 9:
-        materials = jnp.concatenate(
-            [materials, jnp.zeros((t, 2), jnp.float32)], 1)
+    if materials.shape[1] < 15:
+        pad = jnp.zeros((t, 15 - materials.shape[1]), jnp.float32)
+        materials = jnp.concatenate([materials, pad], 1)
+        materials = materials.at[:, 14].set(0.5)   # default reflectance
     a = jnp.concatenate([materials[:, 0:4], n,
                          jnp.zeros((t, 1), jnp.float32)], 1)
     b = jnp.concatenate([materials[:, 4:11],
-                         jnp.zeros((t, 1), jnp.float32)], 1)
+                         materials[:, 14:15]], 1)  # slot 7 = reflectance
     gate = valid[:, None]
     return jnp.where(gate, a, 0.0), jnp.where(gate, b, 0.0)
 
@@ -764,6 +768,8 @@ def resolve_gbuf_flat(winner, frec_a, frec_b, gbuf):
         planes = jnp.concatenate(
             [planes, jnp.zeros(planes.shape[:2] + (gbuf.shape[0] - 14,),
                                planes.dtype)], -1)
+    if gbuf.shape[0] >= 19:     # reflectance rides the spare b slot
+        planes = planes.at[..., 18].set(b[..., 7])
     return jnp.where(ok[None], jnp.moveaxis(planes, -1, 0), gbuf)
 
 
@@ -833,7 +839,8 @@ def resolve_gbuf(winner, srec, gbuf, atlas=None, ray=None,
     trot = tang * jnp.cos(rot) + bit * jnp.sin(rot)
     planes = jnp.concatenate([mat[..., 0:4], n, mat[..., 4:7],
                               mat[..., 7:11], trot,
-                              mat[..., 14:15]], -1)    # (H, W, 18)
+                              mat[..., 14:15],
+                              mat[..., 16:17]], -1)    # (H, W, 19)
     nplanes = gbuf.shape[0]
     return jnp.where(ok[None], jnp.moveaxis(planes[..., :nplanes], -1, 0),
                      gbuf)

@@ -79,7 +79,7 @@ def _shade_kernel(counts_ref, params_ref,
                   col_out_ref,
                   lights_ref, sem,
                   *, tile_h, tile_w, max_per_tile, spot, clearcoat=True,
-                  anisotropy=False):
+                  anisotropy=False, reflectance=False):
     i = pl.program_id(0)
     j = pl.program_id(1)
     ntx = pl.num_programs(1)
@@ -172,9 +172,15 @@ def _shade_kernel(counts_ref, params_ref,
     dr = ar * (1.0 - met)
     dg = ag * (1.0 - met)
     db = ab * (1.0 - met)
-    f0r = 0.04 * (1.0 - met) + ar * met
-    f0g = 0.04 * (1.0 - met) + ag * met
-    f0b = 0.04 * (1.0 - met) + ab * met
+    if reflectance:
+        # ref: StandardMaterial::reflectance — F0 = 0.16 * r^2 (0.5 maps
+        # to the 4% default); trace-time specialized like the coat lobe
+        base_f0 = 0.16 * gbuf_ref[18] * gbuf_ref[18]
+    else:
+        base_f0 = 0.04
+    f0r = base_f0 * (1.0 - met) + ar * met
+    f0g = base_f0 * (1.0 - met) + ag * met
+    f0b = base_f0 * (1.0 - met) + ab * met
 
     def shade_light(lx, ly, lz, cr, cg, cb):
         """L normalized toward the light; c* = light color (incl. atten)."""
@@ -275,11 +281,11 @@ def _shade_kernel(counts_ref, params_ref,
 
 @partial(jax.jit, static_argnames=("tile_h", "tile_w", "max_per_tile",
                                    "interpret", "spot", "clearcoat",
-                                   "anisotropy"))
+                                   "anisotropy", "reflectance"))
 def deferred_shade(gbuffer, depth, light_table, tile_counts, params,
                    shadow=None, *, tile_h=32, tile_w=128, max_per_tile=256,
                    interpret=False, spot=True, clearcoat=True,
-                   anisotropy=False):
+                   anisotropy=False, reflectance=False):
     """gbuffer (18,H,W), depth (H,W); light_table (num_tiles, 8, mpt) from
     bin_lights; params (40,) f32 (see _shade_kernel); shadow (H,W) lit
     factor for the directional light (None = fully lit).
@@ -316,7 +322,8 @@ def deferred_shade(gbuffer, depth, light_table, tile_counts, params,
     )
     kernel = partial(_shade_kernel, tile_h=tile_h, tile_w=tile_w,
                      max_per_tile=max_per_tile, spot=spot,
-                     clearcoat=clearcoat, anisotropy=anisotropy)
+                     clearcoat=clearcoat, anisotropy=anisotropy,
+                     reflectance=reflectance)
     col = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

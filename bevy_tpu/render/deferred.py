@@ -96,6 +96,7 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
         # structural change to retrace, like the alpha phase split)
         has_cc = True
         has_aniso = False
+        has_refl = False
         if world is not None:
             from bevy_tpu.render.mesh3d import MeshMaterial as _MM
             try:
@@ -104,6 +105,9 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
                     world.column(_MM, "clearcoat"))) > 0.0))
                 has_aniso = bool(_np.any(_np.asarray(jax.device_get(
                     world.column(_MM, "anisotropy_strength"))) > 0.0))
+                has_refl = bool(_np.any(_np.abs(_np.asarray(
+                    jax.device_get(world.column(_MM, "reflectance")))
+                    - 0.5) > 1e-6))
             except KeyError:
                 has_cc = False
         np_ = plight.mask.shape[0]
@@ -203,7 +207,7 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
             target.gbuffer, target.depth, table, counts, params, shadow,
             tile_h=tile_h, tile_w=tile_w, max_per_tile=max_lights_per_tile,
             interpret=interpret, spot=has_spots, clearcoat=has_cc,
-            anisotropy=has_aniso)
+            anisotropy=has_aniso, reflectance=has_refl)
         stats.pair_overflow = stats.pair_overflow + lstats["light_pair_overflow"]
         stats.tile_overflow = stats.tile_overflow + lstats["light_tile_overflow"]
 
@@ -226,9 +230,10 @@ class DeferredLightingPlugin(Plugin):
         app.world.register_component(PointLight)
         app.world.register_component(SpotLight)
         store = app.world.state["res"][RenderTarget.RESOURCE]
-        # 18 planes: albedo rgba, normal, emissive, metallic, roughness,
-        # clearcoat, ccr, anisotropy tangent xyz + strength (14:18)
-        store["gbuffer"] = jnp.zeros((18, rp.height, rp.width), jnp.float32)
+        # 19 planes: albedo rgba, normal, emissive, metallic, roughness,
+        # clearcoat, ccr, anisotropy tangent xyz + strength (14:18),
+        # reflectance (18)
+        store["gbuffer"] = jnp.zeros((19, rp.height, rp.width), jnp.float32)
         app.world.structure_version += 1
         app.add_systems(Render, clear_gbuffer, in_set=CLEAR_SET)
         app.add_systems(Render,

@@ -73,6 +73,10 @@ class MeshMaterial:
     attenuation_distance = field((), jnp.float32)
     attenuation_color = field(3, default=(1.0, 1.0, 1.0))
     diffuse_transmission = field((), jnp.float32)
+    # ref: pbr_material.rs reflectance — F0 = 0.16 * r^2 for the
+    # dielectric base (0.5 = the 4% default); deferred-path only, like
+    # the reference's own specular-tint deferred limitation
+    reflectance = field((), jnp.float32, default=0.5)
     # ref: pbr_material.rs depth_bias — higher values draw in front of
     # lower ones at equal depth (applied as a clip-space z offset of
     # bias * 1e-3 * w at triangle pack time, so it survives the
@@ -301,7 +305,7 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                    ccr_i=None, aniso_i=None, anrot_i=None,
                    pds_i=None, dmr_i=None, ray=None, parallax_layers=0,
                    material_fn=None, bias_i=None, uvt_i=None,
-                   emr_i=None, mrr_i=None, ocr_i=None):
+                   emr_i=None, mrr_i=None, ocr_i=None, refl_i=None):
     """Visibility-buffer raster of one uniform batch (ref: bevy meshlet sw
     raster, bevy_pbr/src/meshlet/ — cluster cull → visbuffer → material
     resolve). clip (Ni, VC, 4) clip-space positions, nrm (Ni, VC, 3) world
@@ -383,7 +387,7 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
             [col_i, emi_i, _col(met_i, 0.0), _col(rgh_i, 0.5),
              _col(cc_i, 0.0), _col(ccr_i, 0.5),
              _col(aniso_i, 0.0), _col(anrot_i, 0.0),
-             _col(pds_i, 0.0)], axis=1)
+             _col(pds_i, 0.0), _col(refl_i, 0.5)], axis=1)
     if corner_uv is not None and uvr_i is not None and not depth_only:
         cuv_static = jnp.asarray(_np.concatenate(
             [_np.asarray(corner_uv, _np.float32),
@@ -1142,6 +1146,7 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         aniso_i=q.mesh_material.anisotropy_strength[rows],
                         anrot_i=q.mesh_material.anisotropy_rotation[rows],
                         pds_i=q.mesh_material.parallax_depth_scale[rows],
+                        refl_i=q.mesh_material.reflectance[rows],
                         bias_i=q.mesh_material.depth_bias[rows]
                         if _col_nondefault(plugin, "depth_bias", 0.0)
                         else None,

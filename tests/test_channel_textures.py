@@ -104,3 +104,40 @@ def test_occlusion_texture_darkens():
     left = img[36, 30].sum()
     right = img[36, 66].sum()
     assert abs(left - right) > 80, (img[36, 30], img[36, 66])
+
+
+def test_reflectance_scales_specular():
+    """StandardMaterial::reflectance — F0 = 0.16*r^2 (ref:
+    pbr_material.rs, 0.5 = 4%). A smooth dielectric at reflectance 1.0
+    shows a stronger specular response than at 0.05 under the deferred
+    binned shade."""
+    from bevy_tpu.render.deferred import DeferredLightingPlugin, PointLight
+
+    def render(refl):
+        plugin = Mesh3dPlugin(backend="pallas_interpret", deferred=True)
+        quad = plugin.add_mesh(plane(2.5, 2.5))
+        app = App(capacity=16)
+        app.add_plugins(TimePlugin(), TransformPlugin(),
+                        RenderPlugin(width=96, height=72), plugin,
+                        DeferredLightingPlugin(backend="pallas_interpret"))
+        app.insert_resource(AmbientLight(brightness=0.05))
+        app.world.spawn(Camera3d(),
+                        *transform_bundle(translation=(0, 0, 3.5)))
+        app.world.spawn(PointLight(intensity=4.0, range=20.0),
+                        *transform_bundle(translation=(0.5, 0.5, 2.0)))
+        app.world.spawn(Mesh3d(mesh=quad),
+                        MeshMaterial(base_color=(0.3, 0.3, 0.3, 1.0),
+                                     metallic=0.0,
+                                     perceptual_roughness=0.15,
+                                     reflectance=refl),
+                        *transform_bundle(rotation=ROT_UP))
+        app.update(dt=1 / 60)
+        return frame_image(app).astype(int)
+
+    lo = render(0.05)[..., :3]
+    hi = render(1.0)[..., :3]
+    # the highlight region must brighten substantially with reflectance
+    assert hi.sum() > lo.sum() + 20000, (hi.sum(), lo.sum())
+    bright_hi = (hi.max(-1) > 150).sum()
+    bright_lo = (lo.max(-1) > 150).sum()
+    assert bright_hi > bright_lo, (bright_hi, bright_lo)
