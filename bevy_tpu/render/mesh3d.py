@@ -305,7 +305,8 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                    ccr_i=None, aniso_i=None, anrot_i=None,
                    pds_i=None, dmr_i=None, ray=None, parallax_layers=0,
                    material_fn=None, bias_i=None, uvt_i=None,
-                   emr_i=None, mrr_i=None, ocr_i=None, refl_i=None):
+                   emr_i=None, mrr_i=None, ocr_i=None, refl_i=None,
+                   cl_extra=None):
     """Visibility-buffer raster of one uniform batch (ref: bevy meshlet sw
     raster, bevy_pbr/src/meshlet/ — cluster cull → visbuffer → material
     resolve). clip (Ni, VC, 4) clip-space positions, nrm (Ni, VC, 3) world
@@ -369,6 +370,9 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
     #    visible prefix instead of all Ni*TC triangles (ref position:
     #    the cull-before-setup order of gpu_preprocess.wesl)
     cl_ok = jnp.broadcast_to(inst_ok[:, None], (ni, cc_num)).reshape(ni * cc_num)
+    if cl_extra is not None:
+        # upstream hierarchical verdicts (the BVH cull — ops/bvh.py)
+        cl_ok = cl_ok & cl_extra.reshape(ni * cc_num)
     aabb, cl_valid, zmax = cluster_screen_aabbs(
         cc, cl_ok, jnp.ones((ni * tcp,), bool), cs, width, height,
         viewport=viewport)
@@ -692,6 +696,9 @@ def raster_transparent(clip, nrm, triangles, inst_ok, col_i, emi_i,
     cc = jnp.moveaxis(corners[:, 0:4], 1, -1).reshape(t, 3, 4)
     cn = jnp.moveaxis(corners[:, 4:7], 1, -1).reshape(t, 3, 3)
     cl_ok = jnp.broadcast_to(inst_ok[:, None], (ni, cc_num)).reshape(ni * cc_num)
+    if cl_extra is not None:
+        # upstream hierarchical verdicts (the BVH cull — ops/bvh.py)
+        cl_ok = cl_ok & cl_extra.reshape(ni * cc_num)
     aabb, cl_valid, zmax = cluster_screen_aabbs(
         cc, cl_ok, jnp.ones((t,), bool), cs, width, height,
         viewport=viewport)
@@ -1131,6 +1138,23 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         target.depth = dep
                         stats.pair_overflow = stats.pair_overflow + ovf
                         continue
+                    # hierarchical cluster cull (opt-in; ref: the BVH
+                    # cull of meshlet cull_bvh.wesl) — worthwhile only
+                    # for cluster-heavy meshes, where interior nodes
+                    # gate whole subtrees for 8 corners each
+                    cl_extra = None
+                    if plugin._bvh_cull and m.num_triangles >= 12 * 64:
+                        from bevy_tpu.ops.bvh import (
+                            build_cluster_bvh, bvh_cull,
+                            cluster_local_aabbs)
+                        key = grp["mesh"]
+                        if key not in plugin._bvh:
+                            plugin._bvh[key] = build_cluster_bvh(
+                                cluster_local_aabbs(
+                                    m.positions, m.triangles, 12))
+                        lv_b, order_b = plugin._bvh[key]
+                        ncl_m = (m.num_triangles + 11) // 12
+                        cl_extra = bvh_cull(lv_b, order_b, mvp, ncl_m)
                     raster_batched(
                         clip, nrm, m.triangles, inst_ok,
                         q.mesh_material.base_color[rows],
@@ -1161,6 +1185,7 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         window_budget=window_budget, eval_tris=eval_tris,
                         corner_uv=cuv, uvr_i=uvr, visible_budget=visible_budget,
                         atlas=matlas.data if has_tex else None,
+                        cl_extra=cl_extra,
                         flat_ok=flat_ok, vis_state=vs,
                         phase_budget=phase_budget, tan_i=tan, nmr_i=nmr,
                         lmr_i=lmr, material_fn=material_fn)
@@ -1326,11 +1351,13 @@ class Mesh3dPlugin(Plugin):
                  eval_tris=None, atlas=None, visible_budget=65536,
                  occlusion_cull=False, phase_budget=16384,
                  material_fn=None, cull_budget=None, shards=None,
-                 parallax_layers=8):
+                 parallax_layers=8, bvh_cull=False):
         self.pool = pool or MeshPool()
         self._uniform = None
         self._groups = None
         self._lod_chains = {}      # mesh id -> {ids, errors, threshold}
+        self._bvh = {}             # mesh id -> (levels, order) bvh cache
+        self._bvh_cull = bvh_cull  # opt-in hierarchical cluster cull
         # shards: None, a device count, or a jax.sharding.Mesh — flat
         # opaque groups then raster multi-chip (parallel/raster.py)
         self._shards = shards
