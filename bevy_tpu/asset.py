@@ -317,10 +317,18 @@ class AssetPlugin(Plugin):
         server = AssetServer(self.root, watch=self.watch)
         app.assets = server
         if self.watch:
+            # event-driven reload when inotify is available (ref: the
+            # notify FileWatcher of bevy_asset/src/io/file/); the mtime
+            # poll stays as the cross-platform fallback cadence
+            from bevy_tpu.asset_watch import attach_watcher
+            watcher = attach_watcher(server)
             counter = {"n": 0}
             every = self.watch_every
 
             def tick(app_):
+                if watcher is not None:
+                    server.check_watched()      # per frame: O(events)
+                    return
                 counter["n"] += 1
                 if counter["n"] % every == 0:
                     server.check_modified()

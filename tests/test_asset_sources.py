@@ -86,3 +86,41 @@ def test_http_source_gated(tmp_path):
     assert srv.load_state(h) == LoadState.FAILED
     assert "egress" in str(srv._assets[h.id]) or "unreachable" in \
         str(srv._assets[h.id])
+
+
+def test_inotify_watcher_reloads_on_write(tmp_path):
+    """Event-driven hot reload (ref: bevy_asset's notify FileWatcher):
+    a write lands in the next check without an mtime poll sweep."""
+    import time
+
+    from bevy_tpu.asset import AssetServer, LoadState
+    from bevy_tpu.asset_watch import attach_watcher
+
+    f = tmp_path / "note.txt"
+    f.write_text("v1")
+    server = AssetServer(str(tmp_path), watch=True)
+    server.register_loader(".txt", lambda p: p.read_text())
+    h = server.load("note.txt")
+    server.block_on(h) if hasattr(server, "block_on") else None
+    for _ in range(50):
+        if server.load_state(h) == LoadState.LOADED:
+            break
+        time.sleep(0.02)
+    assert server.get(h) == "v1"
+
+    watcher = attach_watcher(server)
+    if watcher is None:
+        import pytest
+        pytest.skip("inotify unavailable on this platform")
+    assert server.check_watched() == 0      # quiescent: no events
+    f.write_text("v2")
+    time.sleep(0.05)
+    n = server.check_watched()
+    assert n == 1, n
+    assert server.get(h) == "v2"
+    # sub-second double edit still lands (the poll would miss mtimes)
+    f.write_text("v3")
+    time.sleep(0.05)
+    assert server.check_watched() == 1
+    assert server.get(h) == "v3"
+    watcher.close()
