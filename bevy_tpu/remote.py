@@ -91,6 +91,8 @@ class RemoteServer:
         if method == "rpc.discover":
             return {"methods": ["world.query", "world.get_components",
                                 "world.insert_components",
+                                "world.remove_components",
+                                "world.mutate_component",
                                 "world.spawn_entity", "world.despawn_entity",
                                 "world.reparent_entities",
                                 "world.watch_components",
@@ -122,6 +124,32 @@ class RemoteServer:
                     spec = self._spec(self.app.world, name)
                     self.app.world.insert(row, ComponentInstance(spec, {
                         f: np.asarray(v) for f, v in fields.items()}))
+                return True
+            return self._on_main(do)
+        if method == "world.remove_components":
+            # ref: builtin_methods.rs world.remove_components
+            row = int(params["entity"])
+
+            def do():
+                specs = [self._spec(self.app.world, c)
+                         for c in params["components"]]
+                self.app.world.remove(row, *specs)
+                return True
+            return self._on_main(do)
+        if method == "world.mutate_component":
+            # ref: builtin_methods.rs world.mutate_component — set one
+            # FIELD of one component without replacing the rest
+            row = int(params["entity"])
+
+            def do():
+                spec = self._spec(self.app.world, params["component"])
+                current = {
+                    f: np.asarray(self._get(
+                        self.app.world, row, params["component"])[f])
+                    for f in spec.fields}
+                current[params["path"]] = np.asarray(params["value"])
+                self.app.world.insert(
+                    row, ComponentInstance(spec, current))
                 return True
             return self._on_main(do)
         if method == "world.spawn_entity":

@@ -148,3 +148,39 @@ def test_brp_reparent():
     assert done["r"]["result"] is True
     assert int(app.world.get(crow, ChildOf).parent) == prow
     app.remote.shutdown()
+
+
+def test_brp_remove_and_mutate_component():
+    """world.remove_components + world.mutate_component (ref:
+    builtin_methods.rs). Mutations pump on the main thread between
+    frames, so the RPCs issue from a client thread."""
+    app = App(capacity=32)
+    app.add_plugins(TimePlugin(), RemotePlugin(port=0))
+    e = app.world.spawn(Hp(value=7.0))
+    app.update(dt=1 / 60)
+    port = app.remote.port
+    done = {}
+
+    def client():
+        done["mutate"] = _rpc(port, "world.mutate_component",
+                              {"entity": e.index, "component": "hp",
+                               "path": "value", "value": 99.0})["result"]
+        done["got"] = _rpc(port, "world.get_components",
+                           {"entity": e.index,
+                            "components": ["hp"]})["result"]
+        done["remove"] = _rpc(port, "world.remove_components",
+                              {"entity": e.index,
+                               "components": ["hp"]})["result"]
+        done["rows"] = _rpc(port, "world.query",
+                            {"components": ["hp"]})["result"]
+
+    t = threading.Thread(target=client)
+    t.start()
+    deadline = time.time() + 15
+    while t.is_alive() and time.time() < deadline:
+        app.update(dt=1 / 60)
+    t.join(timeout=1)
+    assert done["mutate"] is True
+    assert done["got"]["hp"]["value"] == 99.0
+    assert done["remove"] is True
+    assert all(r["entity"] != e.index for r in done["rows"])
