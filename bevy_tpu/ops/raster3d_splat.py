@@ -499,7 +499,8 @@ def _fused_kernel(nwin_ref, meta_hbm, rec_hbm, sciss_ref, dep_hbm,
                     for s in range(ntri):
 
                         def d(j, _b=base + s * ZREC):
-                            return buf[half, _b + j]
+                            f = _b + j          # static flat index
+                            return buf[half, f // WIN_W, f % WIN_W]
                         inside = (d(0) * px + d(1) * py + d(2) <= 0) & \
                                  (d(3) * px + d(4) * py + d(5) <= 0) & \
                                  (d(6) * px + d(7) * py + d(8) <= 0)
@@ -555,9 +556,18 @@ def fused_eval_composite(depth, winner, zrec, owner, meta, wvalid, *,
         meta = jnp.pad(meta, (0, bpad - b))
         wvalid = jnp.pad(wvalid, (0, bpad - b))
     # per-window record gather (63 MB at 64k windows — the whole point:
-    # the (B, win_h, 128) evaluated buffer would be 8-24x larger)
+    # the (B, win_h, 128) evaluated buffer would be 8-24x larger).
+    # Chunk rows reshape to (X, 128) with X a multiple of 8: Mosaic
+    # requires dim-0 slices of VMEM scratch to leave (8,128)-tile-aligned
+    # trailing dims, so a flat (2, N) scratch cannot be DMA'd per slot.
     recw = recs.reshape(ncl, ntri * ZREC)[owner]
-    rec_chunks = recw.reshape(bpad // CHUNK_WIN, CHUNK_WIN * ntri * ZREC)
+    nrow = CHUNK_WIN * ntri * ZREC
+    nrow_pad = (nrow + 1023) // 1024 * 1024
+    rec_chunks = recw.reshape(bpad // CHUNK_WIN, nrow)
+    if nrow_pad != nrow:
+        rec_chunks = jnp.pad(rec_chunks, ((0, 0), (0, nrow_pad - nrow)))
+    rec_chunks = rec_chunks.reshape(bpad // CHUNK_WIN,
+                                    nrow_pad // WIN_W, WIN_W)
     nwin = jnp.sum(wvalid.astype(jnp.int32))[None]
     mo = jnp.stack([meta, owner.astype(jnp.int32)], 1).reshape(
         bpad // CHUNK_WIN, 2 * CHUNK_WIN)
@@ -584,7 +594,7 @@ def fused_eval_composite(depth, winner, zrec, owner, meta, wvalid, *,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK_WIN * ntri * ZREC), jnp.float32),
+            pltpu.VMEM((2, nrow_pad // WIN_W, WIN_W), jnp.float32),
             pltpu.SMEM((2, 128), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,

@@ -162,13 +162,72 @@ class PointerClick:
     row = _f((), jnp.int32)
 
 
+@event
+class PointerPressed:
+    """Button went down over a sprite (ref: Pointer<Pressed>)."""
+    row = _f((), jnp.int32)
+
+
+@event
+class PointerReleased:
+    """Button came up; row is the press-target (ref: Pointer<Released>)."""
+    row = _f((), jnp.int32)
+
+
+@event
+class PointerMove:
+    """Cursor moved while over a sprite (ref: Pointer<Move>); dx/dy are
+    screen-pixel deltas since the previous frame."""
+    row = _f((), jnp.int32)
+    dx = _f((), jnp.float32)
+    dy = _f((), jnp.float32)
+
+
+@event
+class PointerDragStart:
+    """Cursor moved past the drag threshold while pressed on a sprite
+    (ref: Pointer<DragStart>, bevy_picking/src/events.rs)."""
+    row = _f((), jnp.int32)
+
+
+@event
+class PointerDrag:
+    """Per-frame drag update; dx/dy screen-pixel deltas since last frame,
+    tx/ty total since press (ref: Pointer<Drag> delta/distance)."""
+    row = _f((), jnp.int32)
+    dx = _f((), jnp.float32)
+    dy = _f((), jnp.float32)
+    tx = _f((), jnp.float32)
+    ty = _f((), jnp.float32)
+
+
+@event
+class PointerDragEnd:
+    """Button released after a drag (ref: Pointer<DragEnd>)."""
+    row = _f((), jnp.int32)
+
+
+@event
+class PointerDragDrop:
+    """A dragged sprite was dropped onto another: row is the drop target,
+    dropped is the dragged sprite (ref: Pointer<DragDrop>)."""
+    row = _f((), jnp.int32)
+    dropped = _f((), jnp.int32)
+
+
 class SpritePickingPlugin(Plugin):
     """Per-frame in-jit hover resolution over every sprite (rotation
-    aware, topmost z wins) + pointer event dispatch via observers."""
+    aware, topmost z wins) + pointer event dispatch via observers.
 
-    def __init__(self, width, height):
+    Event set (ref: bevy_picking/src/events.rs): Over/Out/Click plus
+    Pressed/Released/Move and the drag family DragStart/Drag/DragEnd/
+    DragDrop, all computed in-jit from mouse channels + hover state.
+    `drag_threshold` is in screen pixels (ref: PointerInputSettings)."""
+
+    def __init__(self, width, height, drag_threshold: float = 2.0):
         self.width = width
         self.height = height
+        self.drag_threshold = float(drag_threshold)
 
     def build(self, app):
         from bevy_tpu.ecs.query import Query
@@ -179,11 +238,19 @@ class SpritePickingPlugin(Plugin):
         from bevy_tpu.transform import GlobalTransform
 
         from bevy_tpu.ecs.observer import register_event_storage
-        for ev in (PointerOver, PointerOut, PointerClick):
+        for ev in (PointerOver, PointerOut, PointerClick, PointerPressed,
+                   PointerReleased, PointerMove, PointerDragStart,
+                   PointerDrag, PointerDragEnd, PointerDragDrop):
             register_event_storage(app.world, ev, 64)
         width, height = self.width, self.height
-        app.insert_resource("pointer_state",
-                            {"hovered": jnp.full((), -1, jnp.int32)})
+        thresh = self.drag_threshold
+        app.insert_resource("pointer_state", {
+            "hovered": jnp.full((), -1, jnp.int32),
+            "pressed_row": jnp.full((), -1, jnp.int32),
+            "dragging": jnp.zeros((), bool),
+            "press_xy": jnp.zeros((2,), jnp.float32),
+            "last_xy": jnp.zeros((2,), jnp.float32),
+        })
 
         @system(name="sprite_picking")
         def sprite_picking(q=Query(Read(Sprite), Read(GlobalTransform)),
@@ -193,7 +260,14 @@ class SpritePickingPlugin(Plugin):
                            ps=ResMut("pointer_state"),
                            over=Trigger(PointerOver),
                            out=Trigger(PointerOut),
-                           click=Trigger(PointerClick)):
+                           click=Trigger(PointerClick),
+                           pressed=Trigger(PointerPressed),
+                           released=Trigger(PointerReleased),
+                           moved=Trigger(PointerMove),
+                           drag_start=Trigger(PointerDragStart),
+                           drag=Trigger(PointerDrag),
+                           drag_end=Trigger(PointerDragEnd),
+                           drag_drop=Trigger(PointerDragDrop)):
             ci, has_cam = pick_camera(cam.mask)
             cgt = cam.global_transform
             ang = quat_z_angle(cgt.rotation[ci])
@@ -229,6 +303,45 @@ class SpritePickingPlugin(Plugin):
             click.trigger(
                 count=(mouse.just_pressed[0] & (hovered >= 0))
                 .astype(jnp.int32), row=hovered)
+
+            # --- press / release / move / drag family -------------------
+            cur = jnp.stack([mouse.position[0], mouse.position[1]]
+                            ).astype(jnp.float32)
+            delta = cur - ps.last_xy
+            moved_any = jnp.any(delta != 0.0)
+            press_now = mouse.just_pressed[0] & (hovered >= 0)
+            pressed.trigger(count=press_now.astype(jnp.int32), row=hovered)
+            moved.trigger(
+                count=(moved_any & (hovered >= 0)).astype(jnp.int32),
+                row=hovered, dx=delta[0], dy=delta[1])
+
+            p_row = jnp.where(press_now, hovered, ps.pressed_row)
+            press_xy = jnp.where(press_now, cur, ps.press_xy)
+            down = mouse.pressed[0] & (p_row >= 0)
+            total = cur - press_xy
+            past = jnp.sum(total * total) > thresh * thresh
+            start_now = down & ~ps.dragging & past
+            dragging = (ps.dragging | start_now) & down
+            drag_start.trigger(count=start_now.astype(jnp.int32), row=p_row)
+            drag.trigger(count=(dragging & moved_any).astype(jnp.int32),
+                         row=p_row, dx=delta[0], dy=delta[1],
+                         tx=total[0], ty=total[1])
+            release_now = mouse.just_released[0] & (ps.pressed_row >= 0)
+            released.trigger(count=release_now.astype(jnp.int32),
+                             row=ps.pressed_row)
+            end_now = release_now & ps.dragging
+            drag_end.trigger(count=end_now.astype(jnp.int32),
+                             row=ps.pressed_row)
+            drag_drop.trigger(
+                count=(end_now & (hovered >= 0) &
+                       (hovered != ps.pressed_row)).astype(jnp.int32),
+                row=hovered, dropped=ps.pressed_row)
+
             ps.hovered = hovered
+            ps.pressed_row = jnp.where(release_now,
+                                       jnp.full((), -1, jnp.int32), p_row)
+            ps.dragging = dragging & ~release_now
+            ps.press_xy = press_xy
+            ps.last_xy = cur
 
         app.add_systems(PreUpdate, sprite_picking)

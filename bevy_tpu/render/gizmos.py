@@ -202,6 +202,56 @@ class GizmosView:
         self.line_2d(b, b - dn * t + side * t * 0.5, color, width)
         self.line_2d(b, b - dn * t - side * t * 0.5, color, width)
 
+    def cross_2d(self, position, half_size=0.5,
+                 color=(1.0, 1.0, 1.0, 1.0), width=2.0):
+        """2D cross marker (ref: bevy_gizmos src/cross.rs)."""
+        p = jnp.asarray(position, jnp.float32)
+        h = half_size
+        self.line_2d(p + jnp.asarray([-h, 0.0]), p + jnp.asarray([h, 0.0]),
+                     color, width)
+        self.line_2d(p + jnp.asarray([0.0, -h]), p + jnp.asarray([0.0, h]),
+                     color, width)
+
+    def cross(self, position, half_size=0.5,
+              color=(1.0, 1.0, 1.0, 1.0), width=2.0):
+        """3D axis-aligned cross marker (ref: cross.rs)."""
+        p = jnp.asarray(position, jnp.float32)
+        for ax in ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)):
+            d = half_size * jnp.asarray(ax, jnp.float32)
+            self.line(p - d, p + d, color, width)
+
+    def text_2d(self, position, text, size=12.0,
+                color=(1.0, 1.0, 1.0, 1.0), width=1.5):
+        """Debug text drawn as stroke-font polylines in 2D world space;
+        `text` must be static at trace time (ref: bevy_gizmos
+        stroke_text.rs text_2d). Returns the measured (w, h)."""
+        from bevy_tpu.render.stroke_font import layout, measure
+
+        p = jnp.asarray(position, jnp.float32)
+        for poly in layout(str(text), float(size)):
+            if len(poly) >= 2:
+                self.linestrip_2d(
+                    p + jnp.asarray(poly, jnp.float32), color, width)
+        return measure(str(text), float(size))
+
+    def text(self, position, text, size=1.0, rotation=None,
+             color=(1.0, 1.0, 1.0, 1.0), width=1.5):
+        """3D stroke text on the plane of `rotation` (quat, default
+        identity = XY plane facing +Z; ref: stroke_text.rs text())."""
+        from bevy_tpu.math.quat import quat_rotate_vec3
+        from bevy_tpu.render.stroke_font import layout, measure
+
+        p = jnp.asarray(position, jnp.float32)
+        for poly in layout(str(text), float(size)):
+            if len(poly) < 2:
+                continue
+            pts = jnp.asarray([(x, y, 0.0) for x, y in poly], jnp.float32)
+            if rotation is not None:
+                q = jnp.asarray(rotation, jnp.float32)
+                pts = jax.vmap(lambda v: quat_rotate_vec3(q, v))(pts)
+            self.linestrip(p + pts, color, width)
+        return measure(str(text), float(size))
+
     def ray(self, origin, direction, color=(1.0, 1.0, 1.0, 1.0),
             width=2.0):
         o = jnp.asarray(origin, jnp.float32)

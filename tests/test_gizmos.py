@@ -160,3 +160,39 @@ def test_frame_time_graph_draws():
     # the curve occupies the top-left corner region
     region = img[4:40, 4:110]
     assert (region.max(-1) > 120).sum() > 30
+
+
+def test_stroke_text_2d_draws():
+    """Stroke-font debug text (ref: bevy_gizmos stroke_text.rs)."""
+    @system
+    def draw(g=Gizmos(budget=512)):
+        g.text_2d(jnp.asarray([-50.0, -5.0]), "HI 42!", size=20.0,
+                  color=(1.0, 1.0, 0.0, 1.0), width=2.0)
+        g.cross_2d(jnp.asarray([40.0, -20.0]), half_size=6.0,
+                   color=(0.0, 1.0, 1.0, 1.0))
+
+    app = App(capacity=32)
+    app.add_plugins(TimePlugin(), TransformPlugin(),
+                    RenderPlugin(width=128, height=64), SpritePlugin(),
+                    GizmosPlugin(capacity=512))
+    app.world.spawn(Camera2d(), *transform_bundle())
+    app.add_systems(Update, draw)
+    app.update(dt=1 / 60)
+    img = frame_image(app)
+    # text occupies the left-center band; lots of yellow stroke pixels
+    band = img[10:50, 0:110]
+    lit = ((band[..., 0] > 120) & (band[..., 1] > 120)).sum()
+    assert lit > 60, f"stroke text not drawn ({lit} px)"
+    # cross at world (40,-20) → screen (104, 52)
+    assert img[52, 104, 1] > 120 and img[52, 104, 2] > 120
+
+
+def test_stroke_font_measure():
+    from bevy_tpu.render.stroke_font import layout, measure
+
+    w, h = measure("AB\nC", 6.0)
+    assert w == 10.0 and h == 18.0
+    polys = layout("A", 6.0)
+    assert len(polys) == 2  # two strokes in 'A'
+    # lowercase maps to uppercase
+    assert len(layout("a", 6.0)) == len(polys)

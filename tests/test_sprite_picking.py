@@ -111,3 +111,110 @@ def test_click_bubbles_to_parent_observer():
     app.input.press_mouse(MouseButton.Left)
     app.update(dt=1 / 60)
     assert int(app.world.resource("blog").parent_hit) == 1
+
+
+def test_drag_family_sequence():
+    """Press → move past threshold → DragStart + per-frame Drag deltas →
+    release over another sprite → DragEnd + DragDrop (ref:
+    bevy_picking/src/events.rs drag family)."""
+    from bevy_tpu.picking import (
+        PointerDrag, PointerDragDrop, PointerDragEnd, PointerDragStart,
+        PointerPressed, PointerReleased,
+    )
+
+    app = App(capacity=16)
+    app.add_plugins(TimePlugin(), TransformPlugin(), InputPlugin(),
+                    RenderPlugin(width=W, height=H), SpritePlugin(),
+                    SpritePickingPlugin(W, H))
+    app.world.spawn(Camera2d(), *transform_bundle())
+    src = app.world.spawn(Sprite(size=(20, 20), color=(1, 0, 0, 1)),
+                          *transform_bundle(translation=(-30.0, 0.0, 5.0)))
+    dst = app.world.spawn(Sprite(size=(20, 20), color=(0, 1, 0, 1)),
+                          *transform_bundle(translation=(30.0, 0.0, 5.0)))
+    app.insert_resource("dlog", {
+        "press": jnp.zeros((), jnp.int32),
+        "start": jnp.zeros((), jnp.int32),
+        "drags": jnp.zeros((), jnp.int32),
+        "dx_sum": jnp.zeros((), jnp.float32),
+        "end": jnp.zeros((), jnp.int32),
+        "drop_target": jnp.full((), -1, jnp.int32),
+        "dropped": jnp.full((), -1, jnp.int32),
+        "release": jnp.zeros((), jnp.int32)})
+
+    @system(name="dtally")
+    def dtally(r=ResMut("dlog"), pr=On(PointerPressed),
+               st=On(PointerDragStart), dr=On(PointerDrag),
+               en=On(PointerDragEnd), dp=On(PointerDragDrop),
+               rl=On(PointerReleased)):
+        _, mp = pr.read()
+        r.press = r.press + jnp.sum(mp.astype(jnp.int32))
+        _, ms = st.read()
+        r.start = r.start + jnp.sum(ms.astype(jnp.int32))
+        fd, md = dr.read()
+        r.drags = r.drags + jnp.sum(md.astype(jnp.int32))
+        r.dx_sum = r.dx_sum + jnp.sum(jnp.where(md, fd["dx"], 0.0))
+        _, me = en.read()
+        r.end = r.end + jnp.sum(me.astype(jnp.int32))
+        fp, mq = dp.read()
+        any_drop = jnp.any(mq)
+        k = jnp.argmax(mq)
+        r.drop_target = jnp.where(any_drop, fp["row"][k], r.drop_target)
+        r.dropped = jnp.where(any_drop, fp["dropped"][k], r.dropped)
+        _, mr = rl.read()
+        r.release = r.release + jnp.sum(mr.astype(jnp.int32))
+
+    app.add_systems(Update, dtally)
+    app.update(dt=1 / 60)
+    # src world (-30,0) → screen (50,60); dst world (30,0) → (110,60)
+    app.input.move_to(50.0, 60.0)
+    app.update(dt=1 / 60)
+    app.input.press_mouse(MouseButton.Left)
+    app.update(dt=1 / 60)
+    log = app.world.resource("dlog")
+    assert int(log.press) == 1 and int(log.start) == 0
+    # drag right in two steps of +30 px
+    app.input.move_to(80.0, 60.0)
+    app.update(dt=1 / 60)
+    app.input.move_to(110.0, 60.0)
+    app.update(dt=1 / 60)
+    log = app.world.resource("dlog")
+    assert int(log.start) == 1
+    assert int(log.drags) == 2
+    assert abs(float(log.dx_sum) - 60.0) < 1e-4
+    # release over dst
+    app.input.release_mouse(MouseButton.Left)
+    app.update(dt=1 / 60)
+    log = app.world.resource("dlog")
+    assert int(log.end) == 1 and int(log.release) == 1
+    assert int(log.drop_target) == dst.index
+    assert int(log.dropped) == src.index
+
+
+def test_click_without_move_never_drags():
+    from bevy_tpu.picking import PointerDrag, PointerDragStart
+
+    app = _app()
+    app.world.spawn(Sprite(size=(40, 30), color=(1, 0, 0, 1)),
+                    *transform_bundle(translation=(20.0, 10.0, 5.0)))
+    app.insert_resource("dlog2", {"start": jnp.zeros((), jnp.int32),
+                                  "drags": jnp.zeros((), jnp.int32)})
+
+    @system(name="dtally2")
+    def dtally2(r=ResMut("dlog2"), st=On(PointerDragStart),
+                dr=On(PointerDrag)):
+        _, ms = st.read()
+        r.start = r.start + jnp.sum(ms.astype(jnp.int32))
+        _, md = dr.read()
+        r.drags = r.drags + jnp.sum(md.astype(jnp.int32))
+
+    app.add_systems(Update, dtally2)
+    app.update(dt=1 / 60)
+    app.input.move_to(100.0, 50.0)
+    app.update(dt=1 / 60)
+    app.input.press_mouse(MouseButton.Left)
+    app.update(dt=1 / 60)
+    app.update(dt=1 / 60)
+    app.input.release_mouse(MouseButton.Left)
+    app.update(dt=1 / 60)
+    log = app.world.resource("dlog2")
+    assert int(log.start) == 0 and int(log.drags) == 0
