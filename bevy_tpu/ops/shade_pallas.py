@@ -78,8 +78,8 @@ def _shade_kernel(counts_ref, params_ref,
                   gbuf_ref, dep_ref, shadow_ref,
                   col_out_ref,
                   lights_ref, sem,
-                  *, tile_h, tile_w, max_per_tile, spot, clearcoat=True,
-                  anisotropy=False, reflectance=False):
+                  *, tile_h, tile_w, max_per_tile, spot, rect=False,
+                  clearcoat=True, anisotropy=False, reflectance=False):
     i = pl.program_id(0)
     j = pl.program_id(1)
     ntx = pl.num_programs(1)
@@ -248,6 +248,24 @@ def _shade_kernel(counts_ref, params_ref,
         dx = d(0) - wx
         dy = d(1) - wy
         dz = d(2) - wz
+        if rect:
+            # rect (area) light, representative-point approximation
+            # (ref: bevy_light rect_light.rs): light the fragment from
+            # the nearest point of the rect (center d(0:3), axes u=d(16:19)
+            # v=d(19:22), half extents d(22), d(23)), one-sided along the
+            # normal d(8:11). Non-rect rows carry zero extents/axes so the
+            # clamp collapses to the center; the side gate keys on the
+            # slot-15 flag.
+            qu = jnp.clip(-(dx * d(16) + dy * d(17) + dz * d(18)),
+                          -d(22), d(22))
+            qv = jnp.clip(-(dx * d(19) + dy * d(20) + dz * d(21)),
+                          -d(23), d(23))
+            side = jnp.where(
+                (d(15) > 0.5) & (dx * d(8) + dy * d(9) + dz * d(10) > 0.0),
+                0.0, 1.0)
+            dx = dx + qu * d(16) + qv * d(19)
+            dy = dy + qu * d(17) + qv * d(20)
+            dz = dz + qu * d(18) + qv * d(21)
         d2 = dx * dx + dy * dy + dz * dz
         inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-9))
         rng2 = jnp.maximum(d(6) * d(6), 1e-9)
@@ -262,6 +280,8 @@ def _shade_kernel(counts_ref, params_ref,
                        dz * inv_d * d(10))
             cone = jnp.clip((cos_to - d(11)) * d(12), 0.0, 1.0)
             atten = atten * cone * cone
+        if rect:
+            atten = atten * side
         pr, pg, pb = shade_light(dx * inv_d, dy * inv_d, dz * inv_d,
                                  d(3) * atten, d(4) * atten, d(5) * atten)
         return (r + pr, g + pg, b + pb)
@@ -280,11 +300,11 @@ def _shade_kernel(counts_ref, params_ref,
 
 
 @partial(jax.jit, static_argnames=("tile_h", "tile_w", "max_per_tile",
-                                   "interpret", "spot", "clearcoat",
+                                   "interpret", "spot", "rect", "clearcoat",
                                    "anisotropy", "reflectance"))
 def deferred_shade(gbuffer, depth, light_table, tile_counts, params,
                    shadow=None, *, tile_h=32, tile_w=128, max_per_tile=256,
-                   interpret=False, spot=True, clearcoat=True,
+                   interpret=False, spot=True, rect=False, clearcoat=True,
                    anisotropy=False, reflectance=False):
     """gbuffer (18,H,W), depth (H,W); light_table (num_tiles, 8, mpt) from
     bin_lights; params (40,) f32 (see _shade_kernel); shadow (H,W) lit
@@ -321,7 +341,7 @@ def deferred_shade(gbuffer, depth, light_table, tile_counts, params,
         ],
     )
     kernel = partial(_shade_kernel, tile_h=tile_h, tile_w=tile_w,
-                     max_per_tile=max_per_tile, spot=spot,
+                     max_per_tile=max_per_tile, spot=spot, rect=rect,
                      clearcoat=clearcoat, anisotropy=anisotropy,
                      reflectance=reflectance)
     col = pl.pallas_call(

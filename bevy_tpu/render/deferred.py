@@ -48,6 +48,19 @@ class SpotLight:
     shadows = field((), jnp.int32)   # 1 = shadow-casting (SpotShadowPlugin)
 
 
+@component
+class RectLight:
+    """Rectangular area light emitting from one face of a w×h rect in
+    the entity's XY plane along -Z (ref: bevy_light/src/rect_light.rs).
+    Shaded with the representative-point approximation: each fragment is
+    lit from the nearest point on the rect, one-sided."""
+    color = field(3, default=(1.0, 1.0, 1.0))
+    intensity = field((), jnp.float32, default=1.0)
+    range = field((), jnp.float32, default=20.0)
+    width = field((), jnp.float32, default=1.0)
+    height = field((), jnp.float32, default=1.0)
+
+
 @system(name="clear_gbuffer")
 def clear_gbuffer(target=ResMut(RenderTarget.RESOURCE)):
     target.gbuffer = jnp.zeros_like(target.gbuffer)
@@ -69,6 +82,7 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
                                         Read(GlobalTransform)),
                            plight=Query(Read(PointLight), Read(GlobalTransform)),
                            slight=Query(Read(SpotLight), Read(GlobalTransform)),
+                           rlight=Query(Read(RectLight), Read(GlobalTransform)),
                            amb=Res(AmbientLight),
                            clear=Res(ClearColor),
                            target=ResMut(RenderTarget.RESOURCE),
@@ -90,6 +104,12 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
         # records and the cone-free kernel (the 0→nonzero transition bumps
         # structure_version, retracing into the full path) ---
         has_spots = world is None or world.component_rows(SpotLight) > 0
+        # rect (area) lights widen records to 24 fields (u/v axes + half
+        # extents) and force the full record layout (dir is the rect
+        # normal); worlds without RectLight rows pay nothing
+        has_rect = world is not None and \
+            world.component_rows(RectLight) > 0
+        wide = has_spots or has_rect
         # same trace-time specialization for the clearcoat lobe: worlds
         # whose materials all have clearcoat == 0 at trace time compile
         # the coat-free kernel (a later in-jit clearcoat edit needs a
@@ -114,7 +134,7 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
         p_pos = plight.global_transform.translation
         p_rng = plight.point_light.range
         p_col = plight.point_light.color * plight.point_light.intensity[:, None]
-        if has_spots:
+        if wide:
             p_rec = jnp.concatenate([
                 p_pos, p_col, p_rng[:, None], jnp.zeros((np_, 1)),
                 jnp.zeros((np_, 3)), jnp.full((np_, 1), -2.0),
@@ -146,6 +166,32 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
                 p_pos, p_col, p_rng[:, None], jnp.zeros((np_, 1))], axis=1)
             pos, rng = p_pos, p_rng
             lmask = plight.mask & (plight.point_light.shadows == 0)
+
+        if has_rect:
+            records = jnp.pad(records, ((0, 0), (0, 24 - records.shape[1])))
+            nr = rlight.mask.shape[0]
+            r_pos = rlight.global_transform.translation
+            rot = rlight.global_transform.rotation
+            r_col = rlight.rect_light.color * \
+                rlight.rect_light.intensity[:, None]
+            r_rng = rlight.rect_light.range
+            u_ax = quat_rotate_vec3(rot, jnp.asarray([1.0, 0.0, 0.0]))
+            v_ax = quat_rotate_vec3(rot, jnp.asarray([0.0, 1.0, 0.0]))
+            n_ax = quat_rotate_vec3(rot, jnp.asarray([0.0, 0.0, -1.0]))
+            hw = rlight.rect_light.width[:, None] * 0.5
+            hh = rlight.rect_light.height[:, None] * 0.5
+            r_rec = jnp.concatenate([
+                r_pos, r_col, r_rng[:, None], jnp.zeros((nr, 1)),
+                n_ax, jnp.full((nr, 1), -2.0), jnp.ones((nr, 1)),
+                jnp.zeros((nr, 2)), jnp.ones((nr, 1)),   # slot 15: rect
+                u_ax, v_ax, hw, hh], axis=1)
+            records = jnp.concatenate([records, r_rec])
+            pos = jnp.concatenate([pos, r_pos])
+            # conservative binning radius: emission reaches `range` from
+            # the NEAREST rect point, i.e. range + the rect half-diagonal
+            rng = jnp.concatenate([
+                rng, r_rng + jnp.sqrt(hw[:, 0] ** 2 + hh[:, 0] ** 2)])
+            lmask = jnp.concatenate([lmask, rlight.mask])
 
         # --- conservative screen AABBs ---
         ph = jnp.concatenate([pos, jnp.ones((pos.shape[0], 1))], 1)
@@ -206,8 +252,8 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
         target.color = deferred_shade(
             target.gbuffer, target.depth, table, counts, params, shadow,
             tile_h=tile_h, tile_w=tile_w, max_per_tile=max_lights_per_tile,
-            interpret=interpret, spot=has_spots, clearcoat=has_cc,
-            anisotropy=has_aniso, reflectance=has_refl)
+            interpret=interpret, spot=has_spots, rect=has_rect,
+            clearcoat=has_cc, anisotropy=has_aniso, reflectance=has_refl)
         stats.pair_overflow = stats.pair_overflow + lstats["light_pair_overflow"]
         stats.tile_overflow = stats.tile_overflow + lstats["light_tile_overflow"]
 
@@ -229,6 +275,7 @@ class DeferredLightingPlugin(Plugin):
             raise RuntimeError("DeferredLightingPlugin requires RenderPlugin")
         app.world.register_component(PointLight)
         app.world.register_component(SpotLight)
+        app.world.register_component(RectLight)
         store = app.world.state["res"][RenderTarget.RESOURCE]
         # 19 planes: albedo rgba, normal, emissive, metallic, roughness,
         # clearcoat, ccr, anisotropy tangent xyz + strength (14:18),

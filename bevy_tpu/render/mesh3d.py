@@ -524,10 +524,21 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         stream_all = _os.environ.get("BEVY_TPU_STREAM_ALL") == "1"
         h_px = aabb_p[:, 3] - aabb_p[:, 1]
         half_h = max(win_h // 2, 8)
+        quarter_h = max(win_h // 4, 8)
+        n_classes = int(_os.environ.get("BEVY_TPU_WIN_CLASSES", "2"))
         if stream_all:
             # dev A/B: skip the window path — every cluster goes through
             # the binned streaming tile kernel below
             classes = ()
+        elif n_classes >= 3 and quarter_h < half_h:
+            # third height class: with the fused kernel the per-class
+            # fixed cost is one extra kernel launch (the old negative
+            # result priced the evaluated-buffer round trip, now gone),
+            # while (8,128) ops issue in half the VPU cycles of (16,128)
+            classes = ((quarter_h, h_px <= quarter_h - 1.0),
+                       (half_h, (h_px > quarter_h - 1.0) &
+                        (h_px <= half_h - 1.0)),
+                       (win_h, h_px > half_h - 1.0))
         else:
             classes = ((half_h, h_px <= half_h - 1.0),
                        (win_h, h_px > half_h - 1.0))
@@ -660,6 +671,30 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         target.color = resolve_forward(win_i, srec, light_vec, target.color,
                                        atlas=atlas, ray=ray,
                                        parallax_layers=parallax_layers)
+
+
+def extended_material(extension_fn):
+    """ExtendedMaterial twin (ref: bevy_pbr/src/extended_material.rs —
+    `ExtendedMaterial<StandardMaterial, E>` runs the standard PBR
+    fragment logic, then the extension shader modifies the result).
+
+    Returns a `material_fn` for `Mesh3dPlugin(material_fn=...)`: the
+    StandardMaterial forward shade (same directional+ambient+emissive
+    math as `resolve_forward`) runs first, and `extension_fn(base_rgba,
+    n, mat, ok, light_vec)` post-processes it. Passing
+    `lambda base, *a: base` reproduces the standard material exactly."""
+
+    def fn(n, mat, ok, light_vec):
+        lam = jnp.maximum(0.0, -(n[..., 0] * light_vec[0] +
+                                 n[..., 1] * light_vec[1] +
+                                 n[..., 2] * light_vec[2]))
+        rgb = mat[..., 0:3] * (light_vec[6:9] +
+                               light_vec[3:6] * lam[..., None]) + \
+            mat[..., 4:7]
+        base = jnp.concatenate([rgb, mat[..., 3:4]], -1)
+        return extension_fn(base, n, mat, ok, light_vec)
+
+    return fn
 
 
 def raster_transparent(clip, nrm, triangles, inst_ok, col_i, emi_i,

@@ -133,7 +133,8 @@ class Style:
                  grid_col_span=1, grid_row=0, grid_row_span=1,
                  overflow="visible", border=0.0,
                  border_color=(0.0, 0.0, 0.0, 1.0), border_radius=0.0,
-                 gradient=None, box_shadow=None):
+                 gradient=None, box_shadow=None, material=None,
+                 material_key=None):
         self.width = width
         self.height = height
         self.flex_direction = flex_direction
@@ -162,6 +163,13 @@ class Style:
         self.border_radius = border_radius
         self.gradient = gradient        # (c0, c1, "vertical"|"horizontal")
         self.box_shadow = box_shadow    # (dx, dy, blur, rgba)
+        # UI material (ref: bevy_ui_render ui_material.rs — a custom
+        # shader over the node rect): `material(u, v, size) -> (h,w,4)`
+        # with u/v (h,w) grids in [0,1]; baked at layout time, composed
+        # with border ring + rounded-corner AA. `material_key` makes the
+        # bake cacheable across nodes sharing one material.
+        self.material = material
+        self.material_key = material_key
         self.grid_cols, self.grid_rows = grid_cols, grid_rows
         self.grid_col, self.grid_col_span = grid_col, grid_col_span
         self.grid_row, self.grid_row_span = grid_row, grid_row_span
@@ -216,7 +224,14 @@ def _bake_node_texture(w, h, s):
     bevy_ui_render rounded-box SDF shading — done as a host bake)."""
     dist = _rounded_dist(w, h, s.border_radius)
     hh, ww = dist.shape
-    if s.gradient is not None:
+    if s.material is not None:
+        v, u = np.mgrid[0:hh, 0:ww].astype(np.float32)
+        u = (u + 0.5) / max(ww, 1)
+        v = (v + 0.5) / max(hh, 1)
+        fill = np.asarray(s.material(u, v, (w, h)), np.float32)
+        if fill.shape != (hh, ww, 4):
+            fill = np.broadcast_to(fill, (hh, ww, 4)).copy()
+    elif s.gradient is not None:
         c0, c1, axis = s.gradient
         t = (np.mgrid[0:hh, 0:ww][0] / max(hh - 1, 1)) \
             if axis == "vertical" else \
@@ -558,12 +573,14 @@ class UiPlugin(Plugin):
             fields["uv_min"] = np.asarray(img_h["uv_min"], np.float32)
             fields["uv_max"] = np.asarray(img_h["uv_max"], np.float32)
             fields["tex"] = np.asarray(img_h["tex"], np.int32)
-        if (s.border_radius > 0 or s.border > 0 or
-                s.gradient is not None) and w >= 1 and h >= 1:
+        if (s.border_radius > 0 or s.border > 0 or s.gradient is not None
+                or s.material is not None) and w >= 1 and h >= 1:
             hd = self._deco_handle(
                 ("n", round(w), round(h), s.border_radius, s.border,
                  tuple(s.border_color), str(s.gradient),
-                 tuple(s.background)),
+                 tuple(s.background),
+                 s.material_key if s.material_key is not None
+                 else (id(s.material) if s.material is not None else None)),
                 lambda: _bake_node_texture(w, h, s))
             fields["color"] = np.ones(4, np.float32)
             fields["uv_min"] = np.asarray(hd["uv_min"], np.float32)

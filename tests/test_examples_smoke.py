@@ -144,3 +144,32 @@ def test_observer_propagation_runs():
     hp = np.asarray(jax.device_get(app.world.column(HitPoints, "value")))
     assert hp[goblin.index] == 17.0    # ancestor took the bubbled hit
     assert hp[helmet.index] == 2.0
+
+
+def test_drag_and_drop_example():
+    import importlib
+
+    from bevy_tpu.input import MouseButton
+    from bevy_tpu.render.plugin import frame_image
+    mod = importlib.import_module("drag_and_drop")
+    app = mod.build_app(width=160, height=100)
+    app.update(dt=1 / 60)
+    # scripted drag of sprite 0 (world -80 → screen 0 at 160w... use
+    # on-screen coords): sprite 0 at world (-80,0) is off the 160 canvas,
+    # so drag sprite 1 at world (0,0) = screen (80,50) onto sprite 2
+    app.input.move_to(80.0, 50.0)
+    app.update(dt=1 / 60)
+    app.input.press_mouse(MouseButton.Left)
+    app.update(dt=1 / 60)
+    import jax, numpy as np
+    t0 = np.asarray(jax.device_get(
+        app.world.state["comp"]["transform"]["f"]["translation"]))
+    for x in (100.0, 120.0, 140.0):
+        app.input.move_to(x, 50.0)
+        app.update(dt=1 / 60)
+    app.input.release_mouse(MouseButton.Left)
+    app.update(dt=1 / 60)
+    t1 = np.asarray(jax.device_get(
+        app.world.state["comp"]["transform"]["f"]["translation"]))
+    moved = np.abs(t1 - t0).max(-1)
+    assert (moved > 30).sum() >= 1, "dragged sprite did not move"
