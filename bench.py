@@ -8,9 +8,10 @@ ONE chip, no scaling extrapolation applied). vs_baseline = target_ms /
 measured_ms (>1 beats the target).
 
 "extra" carries the other stress workloads (measured the same way) so
-the driver sees every tracked number, not just the flagship: many_sprites
-100k and bevymark (steady-state ~30k live birds, in-jit spawning), both
-against the 16.67 ms (60 FPS) target.
+the driver sees every tracked number, not just the flagship: all five
+BASELINE.json configs — many_sprites 100k, bevymark (steady-state ~30k
+live birds, in-jit spawning), many_lights 100k, many_foxes 1k skinned.
+Sprite workloads are scored against the 16.67 ms (60 FPS) target.
 """
 
 import json
@@ -46,6 +47,8 @@ def _measure(build, n_frames=20, warm_frames=3, settle=0):
 def main():
     from bevymark import build_app as build_bevymark
     from many_cubes import build_app as build_cubes
+    from many_foxes import build_app as build_foxes
+    from many_lights import build_app as build_lights
     from many_sprites import build_app as build_sprites
 
     cubes_ms = _measure(lambda: build_cubes())
@@ -53,6 +56,8 @@ def main():
     # 150 settle frames ≈ 25k-38k live birds at 10k/s spawn (steady climb;
     # matches the reference's continuous-spawn shape, bevymark.rs:23)
     bevymark_ms = _measure(lambda: build_bevymark(), settle=150)
+    lights_ms = _measure(lambda: build_lights())
+    foxes_ms = _measure(lambda: build_foxes())
 
     print(json.dumps({
         "metric": "many_cubes_160k_frame_time",
@@ -64,6 +69,8 @@ def main():
             "many_sprites_vs_60fps": round(16.67 / sprites_ms, 3),
             "bevymark_30k_frame_time_ms": round(bevymark_ms, 3),
             "bevymark_vs_60fps": round(16.67 / bevymark_ms, 3),
+            "many_lights_100k_frame_time_ms": round(lights_ms, 3),
+            "many_foxes_1k_frame_time_ms": round(foxes_ms, 3),
         },
     }))
 

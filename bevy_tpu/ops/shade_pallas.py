@@ -23,9 +23,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from bevy_tpu.ops.binning import expand_runs
 
-LF = 16  # light record: x y z  r g b  range  pad | dir xyz  cos_outer
-         # inv(cos_inner - cos_outer)  pad×3 — point lights use the
-         # sentinel cos_outer=-2, inv=1 so the cone term clips to 1
+LF = 16  # base light record (point/spot): x y z  r g b  range  pad |
+         # dir xyz  cos_outer  inv(cos_inner - cos_outer)  pad  flag  —
+         # point lights use the sentinel cos_outer=-2, inv=1 so the cone
+         # term clips to 1; slot 15 is the rect-light flag. Worlds with
+         # RectLight rows widen records to 24 fields: 16:19 u-axis,
+         # 19:22 v-axis, 22/23 half extents (see deferred.py:102).
 
 
 def _pad_to(x, m):
@@ -306,10 +309,11 @@ def deferred_shade(gbuffer, depth, light_table, tile_counts, params,
                    shadow=None, *, tile_h=32, tile_w=128, max_per_tile=256,
                    interpret=False, spot=True, rect=False, clearcoat=True,
                    anisotropy=False, reflectance=False):
-    """gbuffer (18,H,W), depth (H,W); light_table (num_tiles, 8, mpt) from
-    bin_lights; params (40,) f32 (see _shade_kernel); shadow (H,W) lit
-    factor for the directional light (None = fully lit).
-    Returns color (4,H,W)."""
+    """gbuffer (18,H,W), depth (H,W); light_table (num_tiles, F, mpt) from
+    bin_lights, where F is the record width — 16 for point/spot scenes,
+    24 when rect=True (u/v axes + half extents, see LF comment); params
+    (40,) f32 (see _shade_kernel); shadow (H,W) lit factor for the
+    directional light (None = fully lit). Returns color (4,H,W)."""
     _, H, W = gbuffer.shape
     max_per_tile = _pad_to(max_per_tile, 128)
     hp, wp = _pad_to(H, tile_h), _pad_to(W, tile_w)

@@ -326,19 +326,32 @@ class SpritePickingPlugin(Plugin):
             drag.trigger(count=(dragging & moved_any).astype(jnp.int32),
                          row=p_row, dx=delta[0], dy=delta[1],
                          tx=total[0], ty=total[1])
-            release_now = mouse.just_released[0] & (ps.pressed_row >= 0)
+            # Release gates on the CURRENT-frame p_row so a same-frame
+            # press+release still fires Released and clears pressed state
+            # (ref: bevy_picking events.rs release handling).
+            release_now = mouse.just_released[0] & (p_row >= 0)
             released.trigger(count=release_now.astype(jnp.int32),
-                             row=ps.pressed_row)
+                             row=p_row)
             end_now = release_now & ps.dragging
             drag_end.trigger(count=end_now.astype(jnp.int32),
-                             row=ps.pressed_row)
+                             row=p_row)
+            # DragDrop target: top-most hovered sprite EXCLUDING the
+            # dragged one — the dragged sprite usually rides the cursor
+            # and would otherwise shadow every drop target (ref:
+            # bevy_picking events.rs excludes the dragged entity).
+            rows_idx = jnp.arange(inside.shape[0], dtype=jnp.int32)
+            drop_inside = inside & (rows_idx != p_row)
+            drop_key = jnp.where(drop_inside, z, -jnp.inf)
+            drop_row = jnp.where(jnp.any(drop_inside),
+                                 jnp.argmax(drop_key).astype(jnp.int32), -1)
             drag_drop.trigger(
-                count=(end_now & (hovered >= 0) &
-                       (hovered != ps.pressed_row)).astype(jnp.int32),
-                row=hovered, dropped=ps.pressed_row)
+                count=(end_now & (drop_row >= 0)).astype(jnp.int32),
+                row=drop_row, dropped=p_row)
 
             ps.hovered = hovered
-            ps.pressed_row = jnp.where(release_now,
+            # Clear pressed state whenever the button is up — belt and
+            # braces against missed release edges leaving a stale row.
+            ps.pressed_row = jnp.where(release_now | ~mouse.pressed[0],
                                        jnp.full((), -1, jnp.int32), p_row)
             ps.dragging = dragging & ~release_now
             ps.press_xy = press_xy

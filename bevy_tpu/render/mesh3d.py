@@ -516,10 +516,11 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         aabb_p = aabb_all if identity else aabb_all[ids]
         zmax_p = zmax_all if identity else zmax_all[ids]
         # window classes: half-height windows for small footprints.
-        # (A third win_h//4 class was tried in round 2 and measured
-        # NET-NEGATIVE on many_cubes — the extra build/eval/composite
-        # fixed costs exceed the per-pixel savings; see BASELINE.md
-        # negative-results log.)
+        # A third win_h//4 class is env-gated (BEVY_TPU_WIN_CLASSES=3)
+        # and remains NET-NEGATIVE on many_cubes even with the fused
+        # eval+composite kernel (68.5 → 72.5 ms retest; BASELINE.md
+        # negative-results log) — the extra launch + class split costs
+        # exceed the smaller-window VPU savings on that scene.
         import os as _os
         stream_all = _os.environ.get("BEVY_TPU_STREAM_ALL") == "1"
         h_px = aabb_p[:, 3] - aabb_p[:, 1]
@@ -531,10 +532,6 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
             # the binned streaming tile kernel below
             classes = ()
         elif n_classes >= 3 and quarter_h < half_h:
-            # third height class: with the fused kernel the per-class
-            # fixed cost is one extra kernel launch (the old negative
-            # result priced the evaluated-buffer round trip, now gone),
-            # while (8,128) ops issue in half the VPU cycles of (16,128)
             classes = ((quarter_h, h_px <= quarter_h - 1.0),
                        (half_h, (h_px > quarter_h - 1.0) &
                         (h_px <= half_h - 1.0)),

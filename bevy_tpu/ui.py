@@ -575,12 +575,25 @@ class UiPlugin(Plugin):
             fields["tex"] = np.asarray(img_h["tex"], np.int32)
         if (s.border_radius > 0 or s.border > 0 or s.gradient is not None
                 or s.material is not None) and w >= 1 and h >= 1:
+            if s.material is not None and s.material_key is None:
+                # id() of a GC'd callable can be reused, silently hitting a
+                # stale bake; anonymous per-frame materials would also grow
+                # the atlas without bound. Key on the function's identity
+                # (module.qualname) plus free-variable values so distinct
+                # closures bake distinctly but re-created equal closures hit.
+                fn = s.material
+                cells = tuple(
+                    repr(c.cell_contents)[:64] if not callable(
+                        getattr(c, "cell_contents", None)) else "<fn>"
+                    for c in (fn.__closure__ or ()))
+                mat_key = (getattr(fn, "__module__", ""),
+                           getattr(fn, "__qualname__", repr(fn)), cells)
+            else:
+                mat_key = s.material_key
             hd = self._deco_handle(
                 ("n", round(w), round(h), s.border_radius, s.border,
                  tuple(s.border_color), str(s.gradient),
-                 tuple(s.background),
-                 s.material_key if s.material_key is not None
-                 else (id(s.material) if s.material is not None else None)),
+                 tuple(s.background), mat_key),
                 lambda: _bake_node_texture(w, h, s))
             fields["color"] = np.ones(4, np.float32)
             fields["uv_min"] = np.asarray(hd["uv_min"], np.float32)
