@@ -40,6 +40,7 @@ class AppExit:
 class App:
     def __init__(self, capacity: int = World.DEFAULT_CAPACITY):
         self.world = World(capacity)
+        self.world._app = self   # back-ref (asset resolution in templates)
         self.schedules: Dict[str, Schedule] = {}
         self.main_order = list(MAIN_ORDER)
         self.startup_order = list(STARTUP_ORDER)

@@ -80,6 +80,16 @@ def _load_dds(path: Path):
     return load_dds(path)
 
 
+def _load_glb(path: Path):
+    from bevy_tpu.gltf import load_glb
+    return load_glb(path)
+
+
+def _load_gltf_text(path: Path):
+    from bevy_tpu.gltf import load_gltf
+    return load_gltf(path)
+
+
 DEFAULT_LOADERS = {
     ".png": _load_image, ".jpg": _load_image, ".jpeg": _load_image,
     ".bmp": _load_image, ".webp": _load_image,
@@ -88,6 +98,7 @@ DEFAULT_LOADERS = {
     ".ktx2": _load_ktx2, ".dds": _load_dds,
     ".json": _load_json, ".npy": _load_npy,
     ".scene": _load_scene,   # bevy_tpu world snapshots (see bevy_tpu.scene)
+    ".glb": _load_glb, ".gltf": _load_gltf_text,
 }
 
 
@@ -316,6 +327,8 @@ class AssetPlugin(Plugin):
     def build(self, app):
         server = AssetServer(self.root, watch=self.watch)
         app.assets = server
+        from bevy_tpu.scene_template import register_bsn_loader
+        register_bsn_loader(server)   # .bsn.json scene templates
         if self.watch:
             # event-driven reload when inotify is available (ref: the
             # notify FileWatcher of bevy_asset/src/io/file/); the mtime

@@ -75,7 +75,14 @@ def _kernel(counts_ref,                    # scalar prefetch (SMEM)
 
     dma.wait()
 
-    def body(s, fb):
+    def body(carry):
+        # front-to-back traversal of the back-to-front table: sprite
+        # cnt-1-s is the s-th from the front. Under-compositing
+        # (acc += T*src, T *= 1-a) is exact for the over operator and
+        # lets the loop exit once the tile saturates to opaque.
+        s_, pr0, pg0, pb0, pa0 = carry
+        s = cnt - 1 - s_
+
         def d(k):
             return sprites_ref[k, s]         # scalar load from SMEM
         cx, cy, hx, hy = d(0), d(1), d(2), d(3)
@@ -123,19 +130,24 @@ def _kernel(counts_ref,                    # scalar prefetch (SMEM)
         ta = jnp.where(textured, tex[3], one)
 
         a = jnp.where(inside, ta * d(9), 0.0)
-        inv_a = 1.0 - a
-        fr = fb[0] * inv_a + tr * d(6) * a
-        fg = fb[1] * inv_a + tg * d(7) * a
-        fbb = fb[2] * inv_a + tb * d(8) * a
-        fa = fb[3] * inv_a + a
-        return (fr, fg, fbb, fa)
+        t_ = 1.0 - pa0                      # transmittance in front of s
+        return (s_ + 1, pr0 + t_ * tr * d(6) * a, pg0 + t_ * tg * d(7) * a,
+                pb0 + t_ * tb * d(8) * a, pa0 + t_ * a)
 
-    fb0 = (fb_in_ref[0], fb_in_ref[1], fb_in_ref[2], fb_in_ref[3])
-    fr, fg, fbb, fa = jax.lax.fori_loop(0, cnt, body, fb0)
-    fb_out_ref[0] = fr
-    fb_out_ref[1] = fg
-    fb_out_ref[2] = fbb
-    fb_out_ref[3] = fa
+    def not_opaque(carry):
+        s_, _, _, _, pa0 = carry
+        # exit only on EXACT saturation (bit-identical to the full walk:
+        # remaining layers are scaled by a transmittance of exactly 0)
+        return (s_ < cnt) & (jnp.min(pa0) < 1.0)
+
+    z0 = jnp.zeros((tile_h, tile_w), jnp.float32)
+    _, pr, pg, pb, pa = jax.lax.while_loop(
+        not_opaque, body, (jnp.int32(0), z0, z0, z0, z0))
+    ia = 1.0 - pa
+    fb_out_ref[0] = fb_in_ref[0] * ia + pr
+    fb_out_ref[1] = fb_in_ref[1] * ia + pg
+    fb_out_ref[2] = fb_in_ref[2] * ia + pb
+    fb_out_ref[3] = fb_in_ref[3] * ia + pa
 
 
 def _kernel_batched(counts_ref,            # scalar prefetch (SMEM)
@@ -206,7 +218,15 @@ def _kernel_batched(counts_ref,            # scalar prefetch (SMEM)
 
     dma.wait()
 
-    def body(s, fb):
+    def body(carry):
+        # blocks are traversed front-to-back (block nblk-1-s_ first) with
+        # under-compositing, so the loop exits early once every pixel in
+        # the tile saturates to exactly-opaque — the win under extreme
+        # overlap (bevymark's spawn-corner fan) where hot tiles hold
+        # hundreds of sprites whose opaque cores cover the tile within a
+        # few blocks.
+        s_, apr, apg, apb, apa = carry
+        s = nblk - 1 - s_
         sp = sprites_ref[pl.ds(s * B, B), :]           # (B, 128)
         rp = jnp.dot(E, sp, preferred_element_type=jnp.float32)  # (R, 128)
 
@@ -291,18 +311,26 @@ def _kernel_batched(counts_ref,            # scalar prefetch (SMEM)
             pg = fr_g + ia * bk_g
             pb = fr_b + ia * bk_b
             n_lay //= 2
-        fr0, fg0, fb0_, fa0 = fb
-        ia = 1.0 - av[:tile_h]
-        return (fr0 * ia + pr[:tile_h], fg0 * ia + pg[:tile_h],
-                fb0_ * ia + pb[:tile_h], fa0 * ia + av[:tile_h])
+        # under-composite this block BEHIND the accumulated front layers
+        t_ = 1.0 - apa
+        return (s_ + 1, apr + t_ * pr[:tile_h], apg + t_ * pg[:tile_h],
+                apb + t_ * pb[:tile_h], apa + t_ * av[:tile_h])
 
-    fb0 = (fb_in_ref[0], fb_in_ref[1], fb_in_ref[2], fb_in_ref[3])
+    def not_opaque(carry):
+        s_, _, _, _, apa = carry
+        # exact-saturation exit: skipped blocks are scaled by T == 0, so
+        # the image is identical to the full walk
+        return (s_ < nblk) & (jnp.min(apa) < 1.0)
+
     nblk = (cnt + B - 1) // B
-    fr, fg, fbb, fa = jax.lax.fori_loop(0, nblk, body, fb0)
-    fb_out_ref[0] = fr
-    fb_out_ref[1] = fg
-    fb_out_ref[2] = fbb
-    fb_out_ref[3] = fa
+    z0 = jnp.zeros((tile_h, tile_w), jnp.float32)
+    _, apr, apg, apb, apa = jax.lax.while_loop(
+        not_opaque, body, (jnp.int32(0), z0, z0, z0, z0))
+    ia = 1.0 - apa
+    fb_out_ref[0] = fb_in_ref[0] * ia + apr
+    fb_out_ref[1] = fb_in_ref[1] * ia + apg
+    fb_out_ref[2] = fb_in_ref[2] * ia + apb
+    fb_out_ref[3] = fb_in_ref[3] * ia + apa
 
 
 @partial(jax.jit, static_argnames=(
@@ -382,6 +410,9 @@ def raster_sprites_pallas(fb_planar, packed, atlas_planar, *, tile_h=32,
 
     # ---- 3. fixed per-tile table; dim-0 slices are aligned for the DMA ----
     tile_counts = jnp.minimum(ends - starts, max_per_tile)
+    # on overflow keep the FRONT-most max_per_tile sprites (the tail of the
+    # back-to-front run) — dropping the front layers is visually worse
+    starts = jnp.maximum(starts, ends - max_per_tile)
     batched = sprite_batch > 1
     if batched:
         # bit-reversed placement inside each batch group: the kernel's

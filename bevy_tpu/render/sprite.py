@@ -142,7 +142,8 @@ def spawn_tiled(world, handle, size, pos=(0.0, 0.0), z=10.0, scale=1.0,
 
 def make_sprite_pass(width, height, tile_h=32, tile_w=128,
                      pairs_per_sprite=4, max_per_tile=256, bilinear=True,
-                     backend="auto", max_visible=None, max_cameras=1):
+                     backend="auto", max_visible=None, max_cameras=1,
+                     sprite_batch=8):
     """The 2D transparent pass (ref: queue_sprites → Transparent2d sorted
     phase → instanced draw, render/mod.rs:499). Static raster config is
     closed over — it shapes the XLA program.
@@ -217,7 +218,8 @@ def make_sprite_pass(width, height, tile_h=32, tile_w=128,
                     tile_h=tile_h, tile_w=tile_w,
                     pairs_per_sprite=pairs_per_sprite,
                     max_per_tile=max_per_tile,
-                    max_visible=max_visible, bilinear=bilinear)
+                    max_visible=max_visible, bilinear=bilinear,
+                    sprite_batch=sprite_batch)
             else:
                 fbi, st = raster_sprites(
                     fb.transpose(1, 2, 0), packed, atlas.data,
@@ -285,12 +287,12 @@ class SpritePlugin(Plugin):
 
     def __init__(self, tile_h=32, tile_w=128, pairs_per_sprite=4,
                  max_per_tile=256, bilinear=True, backend="auto",
-                 max_visible=None, max_cameras=1):
+                 max_visible=None, max_cameras=1, sprite_batch=8):
         self.cfg = dict(tile_h=tile_h, tile_w=tile_w,
                         pairs_per_sprite=pairs_per_sprite,
                         max_per_tile=max_per_tile, bilinear=bilinear,
                         backend=backend, max_visible=max_visible,
-                        max_cameras=max_cameras)
+                        max_cameras=max_cameras, sprite_batch=sprite_batch)
 
     def build(self, app):
         from bevy_tpu.render.plugin import RenderPlugin

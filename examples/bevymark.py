@@ -107,12 +107,13 @@ def make_movement_system(half_w, half_h):
 
 
 def build_app(width=1280, height=720, capacity=131072, spawn_budget=256,
-              max_per_tile=1024, max_visible=49152) -> App:
+              max_per_tile=1024, max_visible=49152, sprite_batch=8) -> App:
     app = App(capacity=capacity)
     app.add_plugins(TimePlugin(), TransformPlugin(),
                     RenderPlugin(width=width, height=height),
                     SpritePlugin(max_visible=min(max_visible, capacity),
-                                 max_per_tile=max_per_tile))
+                                 max_per_tile=max_per_tile,
+                                 sprite_batch=sprite_batch))
     app.insert_resource(ClearColor(color=tuple(np.asarray(srgba(0.1, 0.1, 0.12)))))
 
     atlas = AtlasBuilder(64, 64)

@@ -48,6 +48,31 @@ def main():
     app2.update(dt=1 / 60)
     print(f"scene round-trip: {len(mapping)} entities restored")
 
+    # -- BSN documents: inherit + patch layering + asset-path refs
+    # (ref: bevy_scene scene_patch.rs / resolved_scene.rs)
+    import json
+
+    from bevy_tpu.scene_template import register_bsn_loader
+
+    with tempfile.TemporaryDirectory() as tmp:
+        root = Path(tmp)
+        (root / "grunt.bsn.json").write_text(json.dumps({
+            "components": {"health": {"hp": 10.0, "armor": 2.0},
+                           "transform": {}}}))
+        (root / "elite.bsn.json").write_text(json.dumps({
+            "inherit": "grunt.bsn.json",              # nested template ref
+            "patches": [
+                {"components": {"health": {"hp": 40.0}}},     # layer 1
+                {"components": {"health": {"armor": 9.0}}},   # layer 2
+            ]}))
+        server = AssetServer(root=str(root))
+        register_bsn_loader(server)
+        elite = server.load_sync("elite.bsn.json")
+        e = elite.spawn(app.world, ctx={"assets": server})
+        app.update(dt=1 / 60)
+        h = app.world.get(e.index, Health)
+        print(f"bsn layered elite: hp={float(h.hp)} armor={float(h.armor)}")
+
     # -- asset processor: hash-gated offline processing
     with tempfile.TemporaryDirectory() as tmp:
         src = Path(tmp) / "assets"
