@@ -156,7 +156,7 @@ def _kernel_batched(counts_ref,            # scalar prefetch (SMEM)
                     fb_in_ref, fb_out_ref,  # VMEM (4, th, tw), aliased
                     sprites_ref, sem,      # scratch: VMEM rows + DMA sem
                     *, tile_h, tile_w, max_per_tile, ah, aw, bilinear,
-                    batch):
+                    batch, sample_dtype=jnp.float32):
     """Batched tile loop: each fori_loop step rasterizes `batch` sprites —
     coverage/uv math runs on (batch*th, tw) stacked blocks and the
     bilinear row pass is four (batch*th, AH)@(AH, AW) MXU matmuls shared
@@ -255,7 +255,11 @@ def _kernel_batched(counts_ref,            # scalar prefetch (SMEM)
         else:
             wy = (jnp.abs(ky - fy) <= 0.5).astype(jnp.float32)
         wy = wy / jnp.maximum(jnp.sum(wy, axis=1, keepdims=True), 1e-6)
-        t1 = [jnp.dot(wy, atlas_ref[c],
+        # sample_dtype=bf16 halves/quarters the MXU cost of the sampling
+        # matmuls; weights/texels are 8-bit-image-scale data, so bf16's 8
+        # mantissa bits are at the GPU texture-filter precision class
+        wy_s = wy.astype(sample_dtype)
+        t1 = [jnp.dot(wy_s, atlas_ref[c].astype(sample_dtype),
                       preferred_element_type=jnp.float32)          # (R, AW)
               for c in range(4)]
 
@@ -280,12 +284,14 @@ def _kernel_batched(counts_ref,            # scalar prefetch (SMEM)
         # Replaces 4*B small per-sprite matmuls with 4 MXU-sized ones.
         nrm_inv = jnp.dot(E, 1.0 / norm,
                           preferred_element_type=jnp.float32)  # (R, tw)
+        wx_s = wx.astype(sample_dtype)
         texs = []
         for c in range(4):
             blkdiag = jnp.concatenate(
-                [jnp.where(rsprite == k, t1[c], 0.0) for k in range(B)],
-                axis=1)                                # (R, B*aw)
-            tc = jnp.dot(blkdiag, wx,
+                [jnp.where(rsprite == k, t1[c].astype(sample_dtype),
+                           jnp.zeros((), sample_dtype))
+                 for k in range(B)], axis=1)           # (R, B*aw)
+            tc = jnp.dot(blkdiag, wx_s,
                          preferred_element_type=jnp.float32) * nrm_inv
             texs.append(jnp.where(rp[:, 14:15] >= 0.0, tc, 1.0))
         # premultiplied over-composite is ASSOCIATIVE: tree-reduce the B
@@ -335,11 +341,11 @@ def _kernel_batched(counts_ref,            # scalar prefetch (SMEM)
 
 @partial(jax.jit, static_argnames=(
     "tile_h", "tile_w", "pairs_per_sprite", "max_per_tile", "max_visible",
-    "bilinear", "interpret", "sprite_batch"))
+    "bilinear", "interpret", "sprite_batch", "sample_dtype"))
 def raster_sprites_pallas(fb_planar, packed, atlas_planar, *, tile_h=32,
                           tile_w=128, pairs_per_sprite=4, max_per_tile=256,
                           max_visible=None, bilinear=True, interpret=False,
-                          sprite_batch=8):
+                          sprite_batch=8, sample_dtype="f32"):
     """fb_planar (4, H, W) linear RGBA planes; atlas_planar (4, AH, AW);
     packed (N, 17) from ops.raster2d.pack_sprite_instances.
     Returns (fb_planar, stats)."""
@@ -383,6 +389,9 @@ def raster_sprites_pallas(fb_planar, packed, atlas_planar, *, tile_h=32,
     pk = packed[order]                      # (v, 17) visible, back-to-front
 
     # ---- 2. pair expansion + one stable sort by tile ----
+    # (a sort-free chunked-scatter binning was tried and measured SLOWER
+    # on TPU — XLA row scatters copy the table per chunk; the window-
+    # splat path in ops/raster2d_splat.py is the sort-free design)
     x0 = jnp.floor((pk[:, 0] - rx[order]) / tile_w).astype(jnp.int32)
     x1 = jnp.floor((pk[:, 0] + rx[order]) / tile_w).astype(jnp.int32)
     y0 = jnp.floor((pk[:, 1] - ry[order]) / tile_h).astype(jnp.int32)
@@ -460,7 +469,9 @@ def raster_sprites_pallas(fb_planar, packed, atlas_planar, *, tile_h=32,
     if batched:
         kernel = partial(_kernel_batched, tile_h=tile_h, tile_w=tile_w,
                          max_per_tile=max_per_tile, ah=ah, aw=aw,
-                         bilinear=bilinear, batch=sprite_batch)
+                         bilinear=bilinear, batch=sprite_batch,
+                         sample_dtype=(jnp.bfloat16 if sample_dtype == "bf16"
+                                       else jnp.float32))
     else:
         kernel = partial(_kernel, tile_h=tile_h, tile_w=tile_w,
                          max_per_tile=max_per_tile, ah=ah, aw=aw,

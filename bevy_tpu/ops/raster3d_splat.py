@@ -429,16 +429,29 @@ def _composite_kernel(nwin_ref, meta_hbm, win_hbm, dep_hbm, winid_hbm,
 
 
 def _fused_kernel(nwin_ref, meta_hbm, rec_hbm, sciss_ref, dep_hbm,
-                  winid_hbm, dep_out, win_out, buf, mbuf, sem_fb0,
-                  sem_fb1, sem_a, sem_b, sem_ma, sem_mb,
-                  *, win_h, ntri, use_scissor):
+                  winid_hbm, dep_out, win_out, buf, mbuf,
+                  sem_fb0, sem_fb1, sem_ra, sem_rb, sem_ma, sem_mb,
+                  *, win_h, ntri, rrows, use_scissor, load_fb):
     """Fused window evaluate + composite: streams per-window CLUSTER
     RECORDS (not evaluated pixels) HBM→VMEM and rasters each window
     directly into the VMEM framebuffer — the evaluated-window buffer
     (0.5-1.5 GB at many_cubes scale, ~20 ms of HBM traffic + zeroing in
     the round-2 profile) never exists. Winner ids come straight from
     record slot 12, so the packed z|id mantissa trick is unnecessary on
-    this path. Sequential grid ⇒ read-modify-write is race-free."""
+    this path. Sequential grid ⇒ read-modify-write is race-free.
+
+    Records are fetched per window from the CONTIGUOUS (ncl, rrows, 128)
+    HBM table by the window's owner id (dynamic-leading-index DMAs, one
+    per window, issued a chunk ahead) — the XLA-side per-window record
+    gather + relayout this replaces was ~9.4 ms of the round-2
+    many_cubes profile. Pipeline: meta chunks run two ahead, record
+    DMAs one ahead, both overlapped with window processing.
+
+    Edge/z evaluation is row/col-decomposed: e = (a*px + c)_row +
+    (b*py)_col leaves ONE full-block op per plane instead of three.
+    Invalid (padding/backface) triangles have zeroed planes, so z == 0
+    everywhere and `z > cur_d` rejects them (reverse-z depth is >= 0 by
+    construction) — no explicit validity test needed."""
     nwin = nwin_ref[0]
     cp0 = pltpu.make_async_copy(dep_hbm, dep_out, sem_fb0)
     cp1 = pltpu.make_async_copy(winid_hbm, win_out, sem_fb1)
@@ -446,39 +459,57 @@ def _fused_kernel(nwin_ref, meta_hbm, rec_hbm, sciss_ref, dep_hbm,
     cp1.start()
     nch = (nwin + CHUNK_WIN - 1) // CHUNK_WIN
 
-    def issue(c, sem, msem):
-        pltpu.make_async_copy(rec_hbm.at[c], buf.at[c % 2], sem).start()
+    def meta_issue(c, msem):
         pltpu.make_async_copy(meta_hbm.at[c], mbuf.at[c % 2], msem).start()
 
-    def wait(c, sem, msem):
-        pltpu.make_async_copy(rec_hbm.at[0], buf.at[c % 2], sem).wait()
+    def meta_wait(c, msem):
         pltpu.make_async_copy(meta_hbm.at[0], mbuf.at[c % 2], msem).wait()
 
+    def rec_issue(half, sem):
+        # one DMA per window from its owner row; owner ids sit in the
+        # already-arrived meta slot `half`
+        for k in range(CHUNK_WIN):
+            own = mbuf[half, 2 * k + 1]
+            pltpu.make_async_copy(rec_hbm.at[own], buf.at[half, k],
+                                  sem).start()
+
+    def rec_wait(half, sem):
+        for _ in range(CHUNK_WIN):
+            pltpu.make_async_copy(rec_hbm.at[0], buf.at[half, 0],
+                                  sem).wait()
+
+    # prologue: meta 0 → wait → records 0 issued; meta 1 in flight
     @pl.when(nch > 0)
     def _():
-        issue(0, sem_a, sem_ma)
+        meta_issue(0, sem_ma)
+        meta_wait(0, sem_ma)
+        rec_issue(0, sem_ra)
+
+    @pl.when(nch > 1)
+    def _():
+        meta_issue(1, sem_mb)
     cp0.wait()
     cp1.wait()
 
     iox = jax.lax.broadcasted_iota(
-        jnp.int32, (win_h, WIN_W), 1).astype(jnp.float32)
+        jnp.int32, (1, WIN_W), 1).astype(jnp.float32)
     ioy = jax.lax.broadcasted_iota(
-        jnp.int32, (win_h, WIN_W), 0).astype(jnp.float32)
+        jnp.int32, (win_h, 1), 0).astype(jnp.float32)
 
     def chunk(c, _):
         even = c % 2 == 0
 
-        @pl.when((c + 1 < nch) & even)
-        def _():
-            issue(c + 1, sem_b, sem_mb)
-
-        @pl.when((c + 1 < nch) & ~even)
-        def _():
-            issue(c + 1, sem_a, sem_ma)
-
         # STATIC buffer-slot indices only (same Mosaic constraint as
         # _composite_kernel — hence the even/odd duplication)
-        def process(half, c):
+        def stage(half, other, rsem, rsem_o, msem_self, msem_o, c):
+            # 1. finish this chunk's record DMAs
+            rec_wait(half, rsem)
+            # 2. kick next chunk's records (its meta is already in flight)
+            @pl.when(c + 1 < nch)
+            def _():
+                meta_wait(c + 1, msem_o)
+                rec_issue(other, rsem_o)
+            # 3. process this chunk
             for k in range(CHUNK_WIN):
                 w = c * CHUNK_WIN + k
 
@@ -487,102 +518,136 @@ def _fused_kernel(nwin_ref, meta_hbm, rec_hbm, sciss_ref, dep_hbm,
                     m = mbuf[half, 2 * k]
                     colk = m // 2048
                     y0 = m % 2048
+                    # row/col coordinate pieces: full-block ops below are
+                    # ONE broadcast-add per plane
                     px = iox + (colk * WIN_W).astype(jnp.float32) + 0.5
                     py = ioy + y0.astype(jnp.float32) + 0.5
                     if use_scissor:
-                        gate = (px >= sciss_ref[0]) & \
-                               (py >= sciss_ref[1]) & \
-                               (px < sciss_ref[2]) & (py < sciss_ref[3])
+                        gx = (px >= sciss_ref[0]) & (px < sciss_ref[2])
+                        gy = (py >= sciss_ref[1]) & (py < sciss_ref[3])
+                    # NOTE: a per-tri pl.when gate on slot 12 (skip
+                    # invalid tris, drop record compaction) was tried and
+                    # measured 68.8 → 184 ms: the scratch-tile round
+                    # trips + 786k scalar branches per frame defeat
+                    # Mosaic's register carrying and pipelining. Invalid
+                    # tris instead rely on zeroed planes (z == 0 fails
+                    # z > cur_d since reverse-z depth is >= 0).
                     cur_d = dep_out[colk, pl.ds(y0, win_h), :]
                     cur_w = win_out[colk, pl.ds(y0, win_h), :]
-                    base = k * ntri * ZREC
                     for s in range(ntri):
 
-                        def d(j, _b=base + s * ZREC):
+                        def d(j, _b=s * ZREC, _k=k):
                             f = _b + j          # static flat index
-                            return buf[half, f // WIN_W, f % WIN_W]
-                        inside = (d(0) * px + d(1) * py + d(2) <= 0) & \
-                                 (d(3) * px + d(4) * py + d(5) <= 0) & \
-                                 (d(6) * px + d(7) * py + d(8) <= 0)
-                        z = d(9) * px + d(10) * py + d(11)
-                        zpass = inside & (z > cur_d) & (d(12) >= 0)
+                            return buf[half, _k, f // WIN_W, f % WIN_W]
+                        e0 = (d(0) * px + d(2)) + d(1) * py
+                        e1 = (d(3) * px + d(5)) + d(4) * py
+                        e2 = (d(6) * px + d(8)) + d(7) * py
+                        z = (d(9) * px + d(11)) + d(10) * py
+                        emax = jnp.maximum(jnp.maximum(e0, e1), e2)
+                        zpass = (emax <= 0) & (z > cur_d)
                         if use_scissor:
-                            zpass = zpass & gate
+                            zpass = zpass & gx & gy
                         cur_d = jnp.where(zpass, z, cur_d)
                         cur_w = jnp.where(zpass, d(12), cur_w)
                     dep_out[colk, pl.ds(y0, win_h), :] = cur_d
                     win_out[colk, pl.ds(y0, win_h), :] = cur_w
+            # 4. the freed meta slot takes chunk c+2
+            @pl.when(c + 2 < nch)
+            def _():
+                meta_issue(c + 2, msem_self)
 
         @pl.when(even)
         def _():
-            wait(c, sem_a, sem_ma)
-            process(0, c)
+            stage(0, 1, sem_ra, sem_rb, sem_ma, sem_mb, c)
 
         @pl.when(~even)
         def _():
-            wait(c, sem_b, sem_mb)
-            process(1, c)
+            stage(1, 0, sem_rb, sem_ra, sem_mb, sem_ma, c)
         return 0
 
     jax.lax.fori_loop(0, nch, chunk, 0)
 
 
-@partial(jax.jit, static_argnames=("win_h", "cs", "eval_tris",
-                                   "interpret", "viewport"))
-def fused_eval_composite(depth, winner, zrec, owner, meta, wvalid, *,
-                         win_h=32, cs=12, eval_tris=None, viewport=None,
-                         interpret=False):
-    """Evaluate + merge windows in ONE pallas pass (see _fused_kernel).
-    zrec (NCL*cs, ZREC) compacted records (global tri ids in slot 12);
-    owner/meta/wvalid from build_windows. Replaces the
-    eval_windows → composite_windows pair on the opaque path."""
-    H, W0 = depth.shape
+def to_col_major(img, pad_value=0.0):
+    """(H, W) → (ncols, H, 128) column planes (the composite layout)."""
+    H, W0 = img.shape
     ncols = (W0 + WIN_W - 1) // WIN_W
     W = ncols * WIN_W
     if W != W0:
-        depth = jnp.pad(depth, ((0, 0), (0, W - W0)))
-        winner = jnp.pad(winner, ((0, 0), (0, W - W0)),
-                         constant_values=-1.0)
+        img = jnp.pad(img, ((0, 0), (0, W - W0)), constant_values=pad_value)
+    return img.reshape(H, ncols, WIN_W).transpose(1, 0, 2)
+
+
+def from_col_major(col, width):
+    """(ncols, H, 128) → (H, width)."""
+    ncols, H, _ = col.shape
+    return col.transpose(1, 0, 2).reshape(H, ncols * WIN_W)[:, :width]
+
+
+@partial(jax.jit, static_argnames=("win_h", "cs", "eval_tris",
+                                   "interpret", "viewport", "col_major",
+                                   "width"))
+def fused_eval_composite(depth, winner, zrec, owner, meta, wvalid, *,
+                         win_h=32, cs=12, eval_tris=None, viewport=None,
+                         interpret=False, col_major=False, width=None):
+    """Evaluate + merge windows in ONE pallas pass (see _fused_kernel).
+    zrec (NCL*cs, ZREC) compacted records (global tri ids in slot 12);
+    owner/meta/wvalid from build_windows. Replaces the
+    eval_windows → composite_windows pair on the opaque path.
+
+    col_major=True: depth/winner are already (ncols, H, 128) column
+    planes and are returned as such — callers running several window
+    classes hoist the row↔column relayout out of the loop (it was
+    ~3 ms of 29 MB transposes per many_cubes frame). `width` gives the
+    true pixel width when col_major (for the scissor default)."""
+    if col_major:
+        ncols, H, _ = depth.shape
+        dcol, wcol = depth, winner
+    else:
+        H, W0 = depth.shape
+        ncols = (W0 + WIN_W - 1) // WIN_W
+        W = ncols * WIN_W
+        if W != W0:
+            depth = jnp.pad(depth, ((0, 0), (0, W - W0)))
+            winner = jnp.pad(winner, ((0, 0), (0, W - W0)),
+                             constant_values=-1.0)
+        dcol = depth.reshape(H, ncols, WIN_W).transpose(1, 0, 2)
+        wcol = winner.reshape(H, ncols, WIN_W).transpose(1, 0, 2)
     t = zrec.shape[0]
     ncl = t // cs
     ntri = cs if eval_tris is None else min(eval_tris, cs)
-    ntri = (ntri + 3) // 4 * 4          # 128-byte DMA alignment (x20 f32)
-    ntri = min(ntri, cs)
-    recs = zrec.reshape(ncl, cs, ZREC)[:, :ntri]
     b = owner.shape[0]
     bpad = (b + CHUNK_WIN - 1) // CHUNK_WIN * CHUNK_WIN
     if bpad != b:
         owner = jnp.pad(owner, (0, bpad - b))
         meta = jnp.pad(meta, (0, bpad - b))
         wvalid = jnp.pad(wvalid, (0, bpad - b))
-    # per-window record gather (63 MB at 64k windows — the whole point:
-    # the (B, win_h, 128) evaluated buffer would be 8-24x larger).
-    # Chunk rows reshape to (X, 128) with X a multiple of 8: Mosaic
-    # requires dim-0 slices of VMEM scratch to leave (8,128)-tile-aligned
-    # trailing dims, so a flat (2, N) scratch cannot be DMA'd per slot.
-    recw = recs.reshape(ncl, ntri * ZREC)[owner]
-    nrow = CHUNK_WIN * ntri * ZREC
-    nrow_pad = (nrow + 1023) // 1024 * 1024
-    rec_chunks = recw.reshape(bpad // CHUNK_WIN, nrow)
-    if nrow_pad != nrow:
-        rec_chunks = jnp.pad(rec_chunks, ((0, 0), (0, nrow_pad - nrow)))
-    rec_chunks = rec_chunks.reshape(bpad // CHUNK_WIN,
-                                    nrow_pad // WIN_W, WIN_W)
+    # contiguous per-cluster record rows, lane-padded for aligned DMA:
+    # the kernel fetches each window's row by owner id (the XLA-side
+    # per-window gather + relayout this replaces was ~9 ms/frame)
+    rowlen = ntri * ZREC
+    rowpad = (rowlen + WIN_W - 1) // WIN_W * WIN_W
+    rrows = rowpad // WIN_W
+    recs = zrec.reshape(ncl, cs * ZREC)
+    if rowlen < cs * ZREC:
+        recs = recs[:, :rowlen]
+    rec_rows = jnp.pad(recs, ((0, 0), (0, rowpad - rowlen))).reshape(
+        ncl, rrows, WIN_W)
     nwin = jnp.sum(wvalid.astype(jnp.int32))[None]
     mo = jnp.stack([meta, owner.astype(jnp.int32)], 1).reshape(
         bpad // CHUNK_WIN, 2 * CHUNK_WIN)
     meta_chunks = jnp.pad(mo, ((0, 0), (0, 128 - 2 * CHUNK_WIN)))
-    dcol = depth.reshape(H, ncols, WIN_W).transpose(1, 0, 2)
-    wcol = winner.reshape(H, ncols, WIN_W).transpose(1, 0, 2)
-    sciss = jnp.asarray(viewport, jnp.float32) if viewport is not None \
-        else jnp.zeros(4, jnp.float32)
+    if viewport is not None:
+        sciss = jnp.asarray(viewport, jnp.float32)
+    else:
+        sciss = jnp.zeros(4, jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),            # meta chunks
-            pl.BlockSpec(memory_space=pl.ANY),            # record chunks
+            pl.BlockSpec(memory_space=pl.ANY),            # record rows
             pl.BlockSpec(memory_space=pltpu.SMEM),        # scissor
             pl.BlockSpec(memory_space=pl.ANY),            # depth (HBM)
             pl.BlockSpec(memory_space=pl.ANY),            # winner (HBM)
@@ -594,7 +659,7 @@ def fused_eval_composite(depth, winner, zrec, owner, meta, wvalid, *,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, nrow_pad // WIN_W, WIN_W), jnp.float32),
+            pltpu.VMEM((2, CHUNK_WIN, rrows, WIN_W), jnp.float32),
             pltpu.SMEM((2, 128), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -605,13 +670,15 @@ def fused_eval_composite(depth, winner, zrec, owner, meta, wvalid, *,
         ],
     )
     dep, win = pl.pallas_call(
-        partial(_fused_kernel, win_h=win_h, ntri=ntri,
-                use_scissor=viewport is not None),
+        partial(_fused_kernel, win_h=win_h, ntri=ntri, rrows=rrows,
+                use_scissor=viewport is not None, load_fb=True),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((ncols, H, WIN_W), jnp.float32),
                    jax.ShapeDtypeStruct((ncols, H, WIN_W), jnp.float32)],
         interpret=interpret,
-    )(nwin.astype(jnp.int32), meta_chunks, rec_chunks, sciss, dcol, wcol)
+    )(nwin.astype(jnp.int32), meta_chunks, rec_rows, sciss, dcol, wcol)
+    if col_major:
+        return dep, win
     dep = dep.transpose(1, 0, 2).reshape(H, W)[:, :W0]
     win = win.transpose(1, 0, 2).reshape(H, W)[:, :W0]
     return dep, win

@@ -512,7 +512,13 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         frec = pack_flat_shade(cn_v, mat_tri, light_vec, valid) \
             if flat else None
         fab = pack_flat_gbuf(cn_v, mat_tri, valid) if flat_def else None
-        zrec_c, _ = compact_cluster_tris(zrec, cs)
+        import os as _os_
+        if _os_.environ.get("BEVY_TPU_COMPACT", "1") == "0":
+            # A/B: skip compaction (fused kernel then evaluates all cs
+            # tris; zeroed invalid planes fail the depth test)
+            zrec_c = zrec
+        else:
+            zrec_c, _ = compact_cluster_tris(zrec, cs)
         aabb_p = aabb_all if identity else aabb_all[ids]
         zmax_p = zmax_all if identity else zmax_all[ids]
         # window classes: half-height windows for small footprints.
@@ -546,28 +552,41 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         # record slot 12 carries global tri ids, so no packed z|id and
         # no (B, win_h, 128) HBM round trip (~20 ms at many_cubes scale)
         fused = _os.environ.get("BEVY_TPU_FUSED", "1") == "1"
-        for class_h, cmask in classes:
+        if fused and classes:
+            # hoist the row<->column relayout OUT of the class loop
+            # (it was ~3 ms of 29 MB transposes per many_cubes frame)
+            from bevy_tpu.ops.raster3d_splat import (
+                from_col_major, fused_eval_composite, to_col_major)
+            dcol = to_col_major(depth)
+            wcol = to_col_major(winner, pad_value=-1.0)
+            for class_h, cmask in classes:
+                wins = build_windows(aabb_p, v & cmask, win_h=class_h,
+                                     width=width, height=height,
+                                     budget=wbudget)
+                dcol, wcol = fused_eval_composite(
+                    dcol, wcol, zrec_c, wins["owner"], wins["meta"],
+                    wins["wvalid"], win_h=class_h, cs=cs,
+                    eval_tris=eval_tris, viewport=viewport,
+                    interpret=interpret, col_major=True, width=width)
+                stats.pair_overflow = stats.pair_overflow + wins["overflow"]
+                fallback = wins["fallback"] if fallback is None else \
+                    (fallback | wins["fallback"])
+            depth = from_col_major(dcol, width)
+            winner = from_col_major(wcol, width)
+            classes = ()
+        for class_h, cmask in classes:    # non-fused (BEVY_TPU_FUSED=0)
             wins = build_windows(aabb_p, v & cmask, win_h=class_h,
                                  width=width, height=height,
                                  budget=wbudget)
-            if fused:
-                from bevy_tpu.ops.raster3d_splat import (
-                    fused_eval_composite)
-                depth, winner = fused_eval_composite(
-                    depth, winner, zrec_c, wins["owner"], wins["meta"],
-                    wins["wvalid"], win_h=class_h, cs=cs,
-                    eval_tris=eval_tris, viewport=viewport,
-                    interpret=interpret)
-            else:
-                windows = eval_windows(zrec_c, cs, wins["owner"],
-                                       wins["meta"], wins["wvalid"],
-                                       win_h=class_h, viewport=viewport,
-                                       eval_tris=eval_tris,
-                                       id_base=id_base)
-                depth, winner = composite_windows(
-                    depth, winner, windows, wins["owner"] + cluster_base,
-                    wins["meta"], wins["wvalid"], win_h=class_h, cs=cs,
-                    interpret=interpret)
+            windows = eval_windows(zrec_c, cs, wins["owner"],
+                                   wins["meta"], wins["wvalid"],
+                                   win_h=class_h, viewport=viewport,
+                                   eval_tris=eval_tris,
+                                   id_base=id_base)
+            depth, winner = composite_windows(
+                depth, winner, windows, wins["owner"] + cluster_base,
+                wins["meta"], wins["wvalid"], win_h=class_h, cs=cs,
+                interpret=interpret)
             stats.pair_overflow = stats.pair_overflow + wins["overflow"]
             fallback = wins["fallback"] if fallback is None else \
                 (fallback | wins["fallback"])

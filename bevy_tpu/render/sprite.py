@@ -143,7 +143,8 @@ def spawn_tiled(world, handle, size, pos=(0.0, 0.0), z=10.0, scale=1.0,
 def make_sprite_pass(width, height, tile_h=32, tile_w=128,
                      pairs_per_sprite=4, max_per_tile=256, bilinear=True,
                      backend="auto", max_visible=None, max_cameras=1,
-                     sprite_batch=8):
+                     sprite_batch=8, sample_dtype="f32", mode="tiles",
+                     win_h=40):
     """The 2D transparent pass (ref: queue_sprites → Transparent2d sorted
     phase → instanced draw, render/mod.rs:499). Static raster config is
     closed over — it shapes the XLA program.
@@ -211,7 +212,14 @@ def make_sprite_pass(width, height, tile_h=32, tile_w=128,
                 uv_max=q.sprite.uv_max, tex=q.sprite.tex, z=t[:, 2],
                 active=q.mask & alive &
                 ((q.sprite.layers & cam.camera2d.layers[cam_idx]) != 0))
-            if backend == "pallas":
+            if backend == "pallas" and mode == "splat":
+                from bevy_tpu.ops.raster2d_splat import raster_sprites_splat
+                out, st = raster_sprites_splat(
+                    fb, packed, atlas.data.transpose(2, 0, 1),
+                    win_h=win_h, windows_per_sprite=pairs_per_sprite,
+                    max_visible=max_visible, bilinear=bilinear,
+                    sample_dtype=sample_dtype)
+            elif backend == "pallas":
                 from bevy_tpu.ops.raster2d_pallas import raster_sprites_pallas
                 out, st = raster_sprites_pallas(
                     fb, packed, atlas.data.transpose(2, 0, 1),
@@ -219,7 +227,7 @@ def make_sprite_pass(width, height, tile_h=32, tile_w=128,
                     pairs_per_sprite=pairs_per_sprite,
                     max_per_tile=max_per_tile,
                     max_visible=max_visible, bilinear=bilinear,
-                    sprite_batch=sprite_batch)
+                    sprite_batch=sprite_batch, sample_dtype=sample_dtype)
             else:
                 fbi, st = raster_sprites(
                     fb.transpose(1, 2, 0), packed, atlas.data,
@@ -287,12 +295,17 @@ class SpritePlugin(Plugin):
 
     def __init__(self, tile_h=32, tile_w=128, pairs_per_sprite=4,
                  max_per_tile=256, bilinear=True, backend="auto",
-                 max_visible=None, max_cameras=1, sprite_batch=8):
+                 max_visible=None, max_cameras=1, sprite_batch=8,
+                 sample_dtype="f32", mode="tiles", win_h=40):
+        # sample_dtype="bf16" runs the kernel's texture-sampling matmuls
+        # in bfloat16 (GPU texture-filter precision class) — opt-in for
+        # stress scenes; f32 keeps bit-parity with the XLA reference path
         self.cfg = dict(tile_h=tile_h, tile_w=tile_w,
                         pairs_per_sprite=pairs_per_sprite,
                         max_per_tile=max_per_tile, bilinear=bilinear,
                         backend=backend, max_visible=max_visible,
-                        max_cameras=max_cameras, sprite_batch=sprite_batch)
+                        max_cameras=max_cameras, sprite_batch=sprite_batch,
+                        sample_dtype=sample_dtype, mode=mode, win_h=win_h)
 
     def build(self, app):
         from bevy_tpu.render.plugin import RenderPlugin

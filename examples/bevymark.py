@@ -107,16 +107,23 @@ def make_movement_system(half_w, half_h):
 
 
 def build_app(width=1280, height=720, capacity=131072, spawn_budget=256,
-              max_per_tile=1024, max_visible=49152, sprite_batch=8) -> App:
+              max_per_tile=1024, max_visible=49152, sprite_batch=8,
+              sample_dtype="bf16") -> App:
     app = App(capacity=capacity)
     app.add_plugins(TimePlugin(), TransformPlugin(),
                     RenderPlugin(width=width, height=height),
                     SpritePlugin(max_visible=min(max_visible, capacity),
                                  max_per_tile=max_per_tile,
-                                 sprite_batch=sprite_batch))
+                                 pairs_per_sprite=2,  # birds span <= 2 windows
+                                 sprite_batch=sprite_batch,
+                                 # sort-free window-splat raster + GPU-
+                                 # texture-filter-class bf16 sampling
+                                 mode="splat", sample_dtype=sample_dtype))
     app.insert_resource(ClearColor(color=tuple(np.asarray(srgba(0.1, 0.1, 0.12)))))
 
-    atlas = AtlasBuilder(64, 64)
+    # atlas sized to content: its width/height are the K dims of the
+    # raster kernel's separable sampling matmuls
+    atlas = AtlasBuilder(32, 32)
     yy, xx = np.mgrid[0:32, 0:32]
     d = np.sqrt((xx - 15.5) ** 2 + (yy - 15.5) ** 2)
     bird = np.ones((32, 32, 4), np.float32)

@@ -155,3 +155,56 @@ def test_splat_compacted_eval_cap():
     ref_fb, ref_dep, fb, dep, _ = _render_both(xyz, col, 40, eval_tris=8,
                                                compact=True)
     _compare(ref_fb, ref_dep, fb, dep)
+
+
+def test_fused_matches_two_pass():
+    """fused_eval_composite (in-kernel per-owner record DMA, row/col
+    edge decomposition) must match the eval_windows+composite_windows
+    pair pixel-for-pixel (winner ids; depth up to the packed id bits the
+    two-pass path folds into the mantissa)."""
+    from bevy_tpu.ops.raster3d_splat import fused_eval_composite
+
+    n = 40
+    xyz, col = _scene(n, seed=3)
+    m = cuboid(1.0, 1.0, 1.0)
+    vc, tc = m.num_vertices, m.num_triangles
+    view = view_matrix(jnp.zeros(3), jnp.asarray([0.0, 0.0, 0.0, 1.0]),
+                       jnp.ones(3))
+    proj = perspective_infinite_reverse(jnp.asarray(0.9), W / H,
+                                        jnp.asarray(0.1))
+    vp = proj @ view
+    rot = jnp.tile(jnp.asarray([0.2474, 0.0, 0.0, 0.9689]), (n, 1))
+    mats = trs_to_mat4(TRS(translation=xyz, rotation=rot,
+                           scale=jnp.ones((n, 3))))
+    mvp = jnp.einsum("ij,njk->nik", vp, mats)
+    ph = jnp.concatenate([jnp.asarray(m.positions),
+                          jnp.ones((vc, 1), jnp.float32)], 1)
+    clip = jnp.einsum("nij,vj->nvi", mvp, ph).reshape(n * vc, 4)
+    tri_verts = (jnp.asarray(m.triangles, jnp.int32)[None] +
+                 (jnp.arange(n, dtype=jnp.int32) * vc)[:, None, None]
+                 ).reshape(n * tc, 3)
+    cc = clip[tri_verts]
+    nrm = quat_rotate_vec3(rot[:, None, :], jnp.asarray(m.normals)[None]
+                           ).reshape(n * vc, 3)[tri_verts]
+    zrec, _, valid = pack_planes_h(cc, nrm, jnp.ones(n * tc, bool), W, H)
+    zrec_c, _ = compact_cluster_tris(zrec, tc)
+    aabb, cl_valid, _ = cluster_screen_aabbs(
+        cc, jnp.ones(n, bool), valid, tc, W, H)
+    wins = build_windows(aabb, cl_valid, win_h=WIN_H, width=W, height=H,
+                         budget=max(16 * n, 64))
+
+    dep0 = jnp.zeros((H, W), jnp.float32)
+    win0 = jnp.full((H, W), -1.0, jnp.float32)
+    windows = eval_windows(zrec_c, tc, wins["owner"], wins["meta"],
+                           wins["wvalid"], win_h=WIN_H, eval_tris=8)
+    dep_a, win_a = composite_windows(dep0, win0, windows, wins["owner"],
+                                     wins["meta"], wins["wvalid"],
+                                     win_h=WIN_H, cs=tc, interpret=True)
+    dep_b, win_b = fused_eval_composite(dep0, win0, zrec_c, wins["owner"],
+                                        wins["meta"], wins["wvalid"],
+                                        win_h=WIN_H, cs=tc, eval_tris=8,
+                                        interpret=True)
+    assert np.array_equal(np.asarray(win_a), np.asarray(win_b))
+    hit = np.asarray(dep_a) > 0
+    assert np.allclose(np.asarray(dep_a)[hit], np.asarray(dep_b)[hit],
+                       atol=1e-4)
