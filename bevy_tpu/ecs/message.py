@@ -77,6 +77,7 @@ class MessageWriterView:
                 fields[fname] = fields[fname].at[cur, rows].set(val, mode="drop")
             added = jnp.sum(valid.astype(jnp.int32))
             store["count"] = store["count"].at[cur].add(added)
+            store["t"] = store["t"].at[cur, rows].set(tick, mode="drop")
         store["f"] = fields
         return set_in(state, ("msg", name), store)
 
@@ -92,17 +93,23 @@ class MessageReader:
         return set()
 
     def build(self, state, world, sysctx):
-        return MessageReaderView(self.spec, state["msg"][self.spec.name])
+        last_run = state["sys"][sysctx["id"]]["last_run"]
+        return MessageReaderView(self.spec, state["msg"][self.spec.name],
+                                 last_run)
 
 
 class MessageReaderView:
-    def __init__(self, spec, store):
+    def __init__(self, spec, store, last_run=None):
         self._spec = spec
         self._store = store
+        self._last_run = last_run
 
     def read(self):
         """Returns (fields, mask): each field flattened to (2*capacity, ...)
-        with previous-frame rows first, and a validity mask."""
+        with previous-frame rows first, and a validity mask. The mask is
+        cursor-filtered: only messages written since this system's last
+        run show (ref: MessageCursor, message/messages.rs — each reader
+        consumes each message exactly once)."""
         store = self._store
         cur = store["cur"]
         prev = 1 - cur
@@ -116,6 +123,9 @@ class MessageReaderView:
         lane = jnp.arange(cap, dtype=jnp.int32)
         counts = store["count"][order]
         mask = jnp.concatenate([lane < counts[0], lane < counts[1]])
+        if self._last_run is not None:
+            ticks = store["t"][order].reshape(2 * cap)
+            mask = mask & (ticks > self._last_run)
         return fields, mask
 
     def count(self):
@@ -134,6 +144,7 @@ def swap_message_buffers(state):
         msgs[name] = {
             "f": store["f"],
             "count": store["count"].at[cur].set(0),
+            "t": store["t"],
             "cur": cur,
         }
     return set_in(state, ("msg",), msgs)

@@ -60,6 +60,9 @@ class Schedule:
             if not isinstance(s, System):
                 raise TypeError(f"{s!r} is not a System (forgot @system?)")
         sets = (in_set,) if in_set else ()
+        # chained conditions AND together (ref: .run_if(a).run_if(b))
+        if isinstance(run_if, (list, tuple)):
+            run_if = tuple(run_if) or None
         prev = None
         for s in sys_list:
             entry_after = _tup(after)
@@ -161,8 +164,8 @@ class Schedule:
     def init_systems(self, world):
         for e in self.entries:
             e.system.init_state(world)
-            if e.run_if is not None:
-                e.run_if.init_state(world)
+            for c in _conds(e.run_if):
+                c.init_state(world)
 
     def has_host_systems(self) -> bool:
         return any(e.system.host for e in self.entries)
@@ -192,9 +195,8 @@ def run_host_entry(entry: SystemEntry, world):
     systems pinned to the main thread, multi_threaded.rs:701)."""
     import jax
 
-    if entry.run_if is not None:
-        keep = bool(jax.device_get(_eval_condition(entry.run_if, world.state, world)))
-        if not keep:
+    for cond in _conds(entry.run_if):
+        if not bool(jax.device_get(_eval_condition(cond, world.state, world))):
             return
     sysctx = {"id": entry.system.id}
     views = {}
@@ -226,6 +228,13 @@ def run_host_entry(entry: SystemEntry, world):
     world.state = state
 
 
+def _conds(run_if):
+    """Normalize a run_if spec (None | System | tuple) to a tuple."""
+    if run_if is None:
+        return ()
+    return run_if if isinstance(run_if, tuple) else (run_if,)
+
+
 def _eval_condition(cond: System, state, world):
     sysctx = {"id": cond.id}
     views = {pname: p.build(state, world, sysctx)
@@ -236,9 +245,12 @@ def _eval_condition(cond: System, state, world):
 def _run_entry(entry: SystemEntry, state, world):
     import jax
 
-    if entry.run_if is None:
+    conds = _conds(entry.run_if)
+    if not conds:
         return entry.system.run(state, world)
-    pred = _eval_condition(entry.run_if, state, world)
+    pred = _eval_condition(conds[0], state, world)
+    for c in conds[1:]:
+        pred = pred & _eval_condition(c, state, world)
     return jax.lax.cond(
         pred,
         lambda s: entry.system.run(s, world),

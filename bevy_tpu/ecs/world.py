@@ -124,6 +124,10 @@ class World:
                 for fname, fld in spec.fields.items()
             },
             "count": jnp.zeros(2, jnp.int32),
+            # per-slot write tick: backs the reader cursor (ref:
+            # MessageCursor, message/messages.rs — each reader sees each
+            # message once, regardless of writer/reader order)
+            "t": jnp.zeros((2, capacity), jnp.int32),
             "cur": jnp.asarray(0, jnp.int32),
         }
         self.structure_version += 1

@@ -21,7 +21,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from bevy_tpu.ops.binning import expand_runs
 
 LF = 16  # base light record (point/spot): x y z  r g b  range  pad |
          # dir xyz  cos_outer  inv(cos_inner - cos_outer)  pad  flag  —
@@ -39,7 +38,13 @@ def bin_lights(pos_view_z, center_px, radius_px, active, nty, ntx,
                tile_h, tile_w, pairs_per_light, max_per_tile, records):
     """Tile-bin point lights by conservative screen AABB. records (L, 8)
     rows are pre-packed [x y z  r g b  range  pad] (world space, color
-    premultiplied by intensity). Returns (tile_table, counts, stats)."""
+    premultiplied by intensity). Returns (tile_table, counts, stats).
+
+    TPU layout note: every per-pair lookup is a 2-D ROW gather from a
+    packed (L, 8) table, and the tile sort carries its payload through
+    `lax.sort` variadic operands — flat 1-D int32 gathers run on the
+    scalar core and measured 3-10 ms EACH at 524k pairs (r3 xplane),
+    ~10x slower per element than the row-gather path."""
     num_tiles = nty * ntx
     l = records.shape[0]
     x0 = jnp.floor((center_px[:, 0] - radius_px) / tile_w).astype(jnp.int32)
@@ -52,20 +57,32 @@ def bin_lights(pos_view_z, center_px, radius_px, active, nty, ntx,
     kx, ky = x1 - x0 + 1, y1 - y0 + 1
     counts = jnp.where(onscreen, kx * ky, 0)
     pair_cap = l * pairs_per_light + num_tiles
-    owner, rank, pvalid, total = expand_runs(counts, pair_cap)
-    code = (y0 * 1024 + x0) * 32 + jnp.minimum(kx, 31)
-    c = code[owner]
-    kxo = c % 32
-    x0o = (c // 32) % 1024
-    y0o = c // 32768
-    tile_id = (y0o + rank // kxo) * ntx + (x0o + rank % kxo)
+    ends_l = jnp.cumsum(counts)
+    starts_l = ends_l - counts
+    total = ends_l[-1]
+    pos = jnp.arange(pair_cap, dtype=jnp.int32)
+    # owner via scatter + cummax (see expand_runs)
+    mark_at = jnp.where(counts > 0, starts_l, pair_cap)
+    mark = jnp.full(pair_cap, -1, jnp.int32).at[mark_at].max(
+        jnp.arange(l, dtype=jnp.int32), mode="drop")
+    owner = jnp.clip(jax.lax.cummax(mark), 0, l - 1)
+    # one row gather for ALL per-light pair data (8-wide for the fast path)
+    packed = jnp.stack(
+        [x0, y0, jnp.maximum(kx, 1), starts_l,
+         jnp.arange(l, dtype=jnp.int32), jnp.zeros_like(x0),
+         jnp.zeros_like(x0), jnp.zeros_like(x0)], axis=1)   # (L, 8)
+    prow = packed[owner]                                    # (P, 8)
+    rank = pos - prow[:, 3]
+    kxo = prow[:, 2]
+    tile_id = (prow[:, 1] + rank // kxo) * ntx + (prow[:, 0] + rank % kxo)
+    pvalid = pos < jnp.minimum(total, pair_cap)
     tile_id = jnp.where(pvalid, tile_id, num_tiles)
-    perm = jnp.argsort(tile_id)
-    sorted_tile = tile_id[perm]
+    # sort pairs by tile, carrying the light index as a payload operand
+    sorted_tile, pair_light = jax.lax.sort(
+        (tile_id, prow[:, 4]), dimension=0, is_stable=True, num_keys=1)
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(sorted_tile, tids + 1, side="left").astype(jnp.int32)
-    pair_light = owner[perm]
     tile_counts = jnp.minimum(ends - starts, max_per_tile)
     slot = starts[:, None] + jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
     slot = jnp.minimum(slot, pair_cap - 1)

@@ -173,3 +173,24 @@ def test_drag_and_drop_example():
         app.world.state["comp"]["transform"]["f"]["translation"]))
     moved = np.abs(t1 - t0).max(-1)
     assert (moved > 30).sum() >= 1, "dragged sprite did not move"
+
+
+# ---- ECS example sweep (round 3; ref: examples/ecs/*.rs twins) ----
+
+@pytest.mark.parametrize("name,check", [
+    ("ecs_hierarchy", lambda r: r is not None),
+    ("removal_detection", lambda r: r == (1, 0)),
+    ("fixed_timestep", lambda r: r == (64, 30)),
+    ("custom_schedules", lambda r: r == (1, 2)),
+    ("run_conditions", lambda r: r == (5, 0)),
+    ("one_shot_systems", lambda r: r[0] == 2),
+    ("component_hooks", lambda r: r == (1, 2)),
+    ("message_events", lambda r: r[1] == 31),
+    ("computed_states", lambda r: r == (1, 3)),
+    ("startup_systems", lambda r: r[0][:3] == [1, 2, 3]),
+])
+def test_ecs_example(name, check):
+    import importlib
+
+    mod = importlib.import_module(name)
+    assert check(mod.demo()), name
