@@ -58,25 +58,34 @@ WIN_W = 128
 CHUNK = 16           # windows per record DMA
 
 
-def _splat_kernel(nwin_ref, meta_hbm, rec_hbm, atlas_ref,
+def _splat_kernel(range_ref, meta_hbm, rec_hbm, atlas_ref,
                   r_out, g_out, b_out, a_out,
                   buf, mbuf, sem_a, sem_b, sem_ma, sem_mb,
-                  *, win_h, ah, aw, bilinear, y_lo, y_hi, sample_dtype):
-    """One slab pass. Outputs are (ncols, H2, 128) accumulation planes
-    (premultiplied rgb + alpha), zeroed at kernel start."""
-    nwin = nwin_ref[0]
-    h2 = y_hi - y_lo
-    zeros = jnp.zeros((r_out.shape[0], h2, WIN_W), jnp.float32)
+                  *, win_h, ah, aw, bilinear, c_lo, n_cols, sample_dtype):
+    """One column-group pass: windows are pre-partitioned by column so
+    every streamed record is composited (no skip-streaming). range_ref
+    (3,): [w_lo, w_hi, chunk_base] — the pass's window range in the
+    column-sorted list; one boundary chunk may be shared with the
+    neighbouring pass. Outputs are (n_cols, H, 128) accumulation planes
+    (premultiplied rgb + alpha), zeroed at kernel start. atlas_ref is
+    channel-stacked (4*ah, aw) so stage-1 sampling is ONE matmul."""
+    w_lo = range_ref[0]
+    w_hi = range_ref[1]
+    cbase = range_ref[2]
+    hp = r_out.shape[1]
+    zeros = jnp.zeros((n_cols, hp, WIN_W), jnp.float32)
     r_out[...] = zeros
     g_out[...] = zeros
     b_out[...] = zeros
     a_out[...] = zeros
 
-    nch = (nwin + CHUNK - 1) // CHUNK
+    nch = (w_hi + CHUNK - 1) // CHUNK - cbase
 
     def issue(c, sem, msem):
-        pltpu.make_async_copy(rec_hbm.at[c], buf.at[c % 2], sem).start()
-        pltpu.make_async_copy(meta_hbm.at[c], mbuf.at[c % 2], msem).start()
+        pltpu.make_async_copy(rec_hbm.at[cbase + c], buf.at[c % 2],
+                              sem).start()
+        pltpu.make_async_copy(meta_hbm.at[cbase + c], mbuf.at[c % 2],
+                              msem).start()
 
     def wait(c, sem, msem):
         pltpu.make_async_copy(rec_hbm.at[0], buf.at[c % 2], sem).wait()
@@ -107,17 +116,13 @@ def _splat_kernel(nwin_ref, meta_hbm, rec_hbm, atlas_ref,
         # STATIC buffer-slot indices only (the raster3d Mosaic lesson)
         def process(half, c):
             for k in range(CHUNK):
-                w = c * CHUNK + k
+                w = (cbase + c) * CHUNK + k
                 m = mbuf[half, k]
-                colk = m // 2048
-                y0g = m % 2048
+                colk = m // 2048 - c_lo
+                y0l = m % 2048
 
-                # window intersects this slab? (meta of padded slots is 0
-                # with a zeroed record — harmless, but skip via w < nwin)
-                @pl.when((w < nwin) & (y0g + win_h > y_lo) & (y0g < y_hi))
+                @pl.when((w >= w_lo) & (w < w_hi))
                 def _():
-                    y0l = jnp.clip(y0g - y_lo, 0, h2 - win_h)
-
                     def d(j, _k=k):
                         f = _k * 32 + j
                         return buf[half, f // WIN_W, f % WIN_W]
@@ -131,8 +136,9 @@ def _splat_kernel(nwin_ref, meta_hbm, rec_hbm, atlas_ref,
                         cx, cy = d(0), d(1)
                         hx, hy = d(2), d(3)
                         cos, sin = d(4), d(5)
-                        px = (iox + colk * WIN_W).astype(jnp.float32) + 0.5
-                        py = (ioy + (y_lo + y0l)).astype(jnp.float32) + 0.5
+                        px = (iox + (colk + c_lo) * WIN_W
+                              ).astype(jnp.float32) + 0.5
+                        py = (ioy + y0l).astype(jnp.float32) + 0.5
                         # rotated coverage as row+col affine pieces: the
                         # full-block work is one broadcast-add per edge
                         lxr = cos * px - (cos * cx + sin * cy)  # (1, 128)
@@ -163,16 +169,19 @@ def _splat_kernel(nwin_ref, meta_hbm, rec_hbm, atlas_ref,
                             jnp.sum(wy, axis=1, keepdims=True), 1e-6)
                         wx = wx / jnp.maximum(
                             jnp.sum(wx, axis=0, keepdims=True), 1e-6)
+                        # stage 1 — one channel-stacked matmul:
+                        # (4*ah, aw) @ (aw, 128); stage 2 — four
+                        # independent (win_h, ah) @ (ah, 128) slices
+                        mid = jnp.dot(
+                            atlas_ref[...].astype(sample_dtype),
+                            wx.astype(sample_dtype),
+                            preferred_element_type=jnp.float32)
+                        mid_s = mid.astype(sample_dtype)
                         wy_s = wy.astype(sample_dtype)
-                        wx_s = wx.astype(sample_dtype)
-                        texs = []
-                        for ch in range(4):
-                            rows = jnp.dot(
-                                wy_s, atlas_ref[ch].astype(sample_dtype),
-                                preferred_element_type=jnp.float32)
-                            texs.append(jnp.dot(
-                                rows.astype(sample_dtype), wx_s,
-                                preferred_element_type=jnp.float32))
+                        texs = [jnp.dot(
+                            wy_s, mid_s[ch * ah:(ch + 1) * ah],
+                            preferred_element_type=jnp.float32)
+                            for ch in range(4)]
                         textured = d(14) >= 0.0
                         one = jnp.ones((win_h, WIN_W), jnp.float32)
                         tr = jnp.where(textured, texs[0], one)
@@ -279,41 +288,57 @@ def raster_sprites_splat(fb_planar, packed, atlas_planar, *, win_h=40,
     ybase = jnp.where(single_band, tight_y, b0 * win_h)
     # ONE packed per-sprite code gather (budget-sized gathers dominate
     # expansion cost): y (11b) | c0 (10b) | nbx (5b)
-    code = ((ybase * 1024 + c0) * 32 + nbx)[owner]
-    nbxo = code % 32
-    c0o = (code // 32) % 1024
-    yo = code // 32768
+    # packed per-sprite expansion data, ONE row gather (1-D int32
+    # gathers run on the scalar core — see ops/shade_pallas.bin_lights)
+    z8 = jnp.zeros_like(c0)
+    sprite_pack = jnp.stack([ybase, c0, jnp.maximum(nbx, 1),
+                             z8, z8, z8, z8, z8], axis=1)     # (v, 8)
+    srow = sprite_pack[owner]                                 # (wcap, 8)
+    yo, c0o, nbxo = srow[:, 0], srow[:, 1], srow[:, 2]
     col = jnp.clip(c0o + rank % nbxo, 0, ncols - 1)
     wy_ = jnp.clip(yo + (rank // nbxo) * win_h, 0, max(hp - win_h, 0))
-    meta = jnp.where(wvalid, col * 2048 + wy_, 0).astype(jnp.int32)
+    meta = (col * 2048 + wy_).astype(jnp.int32)
 
-    # ---- 3. per-window records (32-f32 rows; CHUNK per DMA) ----
-    recw = jnp.pad(pk, ((0, 0), (0, 15)))[owner]        # (wcap, 32)
+    # ---- 3. partition windows by column group (each window belongs to
+    # exactly ONE pass — passes stream only their own records, unlike a
+    # row split where every pass walks the full list) then build records
+    # in partitioned order. The sort key carries z order within each
+    # group (stable) and pushes invalid windows past every group. ----
+    n_passes = min(passes, ncols)
+    cols_pp = (ncols + n_passes - 1) // n_passes
+    group = jnp.where(wvalid, col // cols_pp, n_passes).astype(jnp.int32)
+    group_s, meta_s, owner_s = jax.lax.sort(
+        (group, meta, owner.astype(jnp.int32)), dimension=0,
+        is_stable=True, num_keys=1)
+    recw = jnp.pad(pk, ((0, 0), (0, 15)))[owner_s]      # (wcap, 32)
     rec_chunks = recw.reshape(wcap // CHUNK, CHUNK * 32 // WIN_W, WIN_W)
-    mo = meta.reshape(wcap // CHUNK, CHUNK)
+    mo = meta_s.reshape(wcap // CHUNK, CHUNK)
     meta_chunks = jnp.pad(mo, ((0, 0), (0, WIN_W - CHUNK)))
-    nwin = jnp.sum(wvalid.astype(jnp.int32))[None].astype(jnp.int32)
+    pids = jnp.arange(n_passes + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(group_s, pids, side="left").astype(jnp.int32)
 
-    # ---- 4. slab passes ----
+    # ---- 4. column-group passes ----
     sdt = jnp.bfloat16 if sample_dtype == "bf16" else jnp.float32
-    slab = (nbands + passes - 1) // passes * win_h
+    atlas_stacked = atlas_planar.reshape(4 * ah, aw)
     accs = []
-    for p in range(passes):
-        y_lo = p * slab
-        y_hi = min((p + 1) * slab, hp)
-        if y_lo >= hp:
+    for p in range(n_passes):
+        c_lo = p * cols_pp
+        n_cols = min(cols_pp, ncols - c_lo)
+        if n_cols <= 0:
             break
-        h2 = y_hi - y_lo
+        w_lo = bounds[p]
+        w_hi = bounds[p + 1]
+        rng = jnp.stack([w_lo, w_hi, w_lo // CHUNK]).astype(jnp.int32)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(1,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),       # meta chunks
                 pl.BlockSpec(memory_space=pl.ANY),       # record chunks
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas (stacked)
             ],
             out_specs=[
-                pl.BlockSpec((ncols, h2, WIN_W), lambda *_: (0, 0, 0),
+                pl.BlockSpec((n_cols, hp, WIN_W), lambda *_: (0, 0, 0),
                              memory_space=pltpu.VMEM)] * 4,
             scratch_shapes=[
                 pltpu.VMEM((2, CHUNK * 32 // WIN_W, WIN_W), jnp.float32),
@@ -326,16 +351,16 @@ def raster_sprites_splat(fb_planar, packed, atlas_planar, *, win_h=40,
         )
         out = pl.pallas_call(
             partial(_splat_kernel, win_h=win_h, ah=ah, aw=aw,
-                    bilinear=bilinear, y_lo=y_lo, y_hi=y_hi,
+                    bilinear=bilinear, c_lo=c_lo, n_cols=n_cols,
                     sample_dtype=sdt),
             grid_spec=grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((ncols, h2, WIN_W), jnp.float32)
+            out_shape=[jax.ShapeDtypeStruct((n_cols, hp, WIN_W), jnp.float32)
                        ] * 4,
             interpret=interpret,
-        )(nwin, meta_chunks, rec_chunks, atlas_planar)
+        )(rng, meta_chunks, rec_chunks, atlas_stacked)
         accs.append(out)
 
-    acc = [jnp.concatenate([a[i] for a in accs], axis=1) for i in range(4)]
+    acc = [jnp.concatenate([a[i] for a in accs], axis=0) for i in range(4)]
     # (ncols, hp, 128) column planes → (hp, W) rows
     acc = [a.transpose(1, 0, 2).reshape(hp, W)[:H, :W0] for a in acc]
     ia = 1.0 - acc[3]

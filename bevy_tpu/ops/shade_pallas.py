@@ -117,10 +117,12 @@ def _shade_kernel(counts_ref, params_ref,
 
     # params (40,): [0:16 inv_vp row-major, 16:19 light dir, 19:22 light
     # rgb, 22:25 ambient rgb, 25 width, 26 height, 27:31 clear rgba,
-    # 31:34 camera position]
+    # 31:34 camera position, 34 global row offset (row-band sharding:
+    # each device shades a band but reconstructs GLOBAL pixel rays)]
     def p(k):
         return params_ref[k]
 
+    py = py + p(34)
     depth = dep_ref[:]
     geom = depth > 0.0
     ndx = 2.0 * px / p(25) - 1.0

@@ -238,3 +238,55 @@ def sharded_instance_raster(mesh: Mesh, clip, nrm, triangles, inst_ok,
         out_specs=(P(None, axis, None), P(axis, None), P()),
         check_vma=False)
     return fn(clip, nrm, inst_ok, mat_inst, light_vec, color, depth)
+
+
+def sharded_deferred_shade(mesh: Mesh, gbuffer, depth, light_table,
+                           tile_counts, params, shadow=None, *,
+                           tile_h=32, tile_w=128, max_per_tile=256,
+                           interpret=True, **spec_kw):
+    """Row-band sharded deferred G-buffer shade (VERDICT r2 #5: extend
+    sharding past the flat resolve; ref position: the per-view clustered
+    shade of bevy_pbr/src/render/clustered_forward.wesl scaled past one
+    device).
+
+    The G-buffer/depth/shadow planes shard by rows; the tile light table
+    (built once, replicated — binning is cheap after the row-gather
+    rework) is sliced per device to its band's tile rows. Each device
+    runs the SAME deferred_shade kernel on its band with a global row
+    offset in params[34], so ray reconstruction matches the unsharded
+    frame bit-for-bit. No collectives: shading is pixel-local; the
+    result stays row-sharded for a following post/present pass."""
+    from bevy_tpu.ops.shade_pallas import deferred_shade
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    c, h, w = gbuffer.shape
+    band = (h + n * tile_h - 1) // (n * tile_h) * tile_h   # rows per device
+    hp = band * n
+    ntx = (w + tile_w - 1) // tile_w
+    ntyb = band // tile_h
+
+    gb = jnp.pad(gbuffer, ((0, 0), (0, hp - h), (0, 0)))
+    dp = jnp.pad(depth, ((0, hp - h), (0, 0)))
+    sh = jnp.ones((hp, w), jnp.float32) if shadow is None else \
+        jnp.pad(shadow, ((0, hp - h), (0, 0)), constant_values=1.0)
+
+    def shard_fn(gb_s, dp_s, sh_s, table, counts, prm):
+        d = jax.lax.axis_index(axis)
+        t0 = d * ntyb * ntx
+        table_b = jax.lax.dynamic_slice_in_dim(table, t0, ntyb * ntx, 0)
+        counts_b = jax.lax.dynamic_slice_in_dim(counts, t0, ntyb * ntx, 0)
+        prm = prm.at[34].set((d * band).astype(jnp.float32))
+        return deferred_shade(
+            gb_s, dp_s, table_b, counts_b, prm, sh_s, tile_h=tile_h,
+            tile_w=tile_w, max_per_tile=max_per_tile, interpret=interpret,
+            **spec_kw)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, axis, None), P(axis, None), P(axis, None),
+                  P(), P(), P()),
+        out_specs=P(None, axis, None),
+        check_vma=False)
+    color = fn(gb, dp, sh, light_table, tile_counts, params)
+    return color[:, :h, :w]

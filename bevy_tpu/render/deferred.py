@@ -68,7 +68,7 @@ def clear_gbuffer(target=ResMut(RenderTarget.RESOURCE)):
 
 def make_deferred_shade(width, height, tile_h=32, tile_w=128,
                         pairs_per_light=4, max_lights_per_tile=256,
-                        backend="auto", world=None):
+                        backend="auto", world=None, shards=None):
     from bevy_tpu.transform import GlobalTransform
 
     if backend == "auto":
@@ -210,7 +210,15 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
         cy = jnp.where(engulf, height * 0.5, cy)
         active = lmask & has_cam & (vz + rng > near)
 
-        hp = (height + tile_h - 1) // tile_h
+        if shards is not None:
+            # row-band sharding: bin over the n*tile_h-padded grid so
+            # per-device tile-row slices line up (parallel/raster.py)
+            n_dev = shards.devices.size
+            band = (height + n_dev * tile_h - 1) // (n_dev * tile_h) \
+                * tile_h
+            hp = band * n_dev // tile_h
+        else:
+            hp = (height + tile_h - 1) // tile_h
         wp = (width + tile_w - 1) // tile_w
         table, counts, lstats = bin_lights(
             vz, jnp.stack([cx, cy], 1), r_px, active, hp, wp,
@@ -249,11 +257,22 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
             world_pos = wh[..., :3] / jnp.where(
                 jnp.abs(wh[..., 3:4]) > 1e-9, wh[..., 3:4], 1.0)
             shadow = shadow_factor(world_pos, shadow_depth, shadow_vp)
-        target.color = deferred_shade(
-            target.gbuffer, target.depth, table, counts, params, shadow,
-            tile_h=tile_h, tile_w=tile_w, max_per_tile=max_lights_per_tile,
-            interpret=interpret, spot=has_spots, rect=has_rect,
-            clearcoat=has_cc, anisotropy=has_aniso, reflectance=has_refl)
+        if shards is not None:
+            from bevy_tpu.parallel.raster import sharded_deferred_shade
+            target.color = sharded_deferred_shade(
+                shards, target.gbuffer, target.depth, table, counts,
+                params, shadow, tile_h=tile_h, tile_w=tile_w,
+                max_per_tile=max_lights_per_tile, interpret=interpret,
+                spot=has_spots, rect=has_rect, clearcoat=has_cc,
+                anisotropy=has_aniso, reflectance=has_refl)
+        else:
+            target.color = deferred_shade(
+                target.gbuffer, target.depth, table, counts, params, shadow,
+                tile_h=tile_h, tile_w=tile_w,
+                max_per_tile=max_lights_per_tile,
+                interpret=interpret, spot=has_spots, rect=has_rect,
+                clearcoat=has_cc, anisotropy=has_aniso,
+                reflectance=has_refl)
         stats.pair_overflow = stats.pair_overflow + lstats["light_pair_overflow"]
         stats.tile_overflow = stats.tile_overflow + lstats["light_tile_overflow"]
 
@@ -262,11 +281,16 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
 
 class DeferredLightingPlugin(Plugin):
     def __init__(self, tile_h=32, tile_w=128, pairs_per_light=4,
-                 max_lights_per_tile=256, backend="auto"):
+                 max_lights_per_tile=256, backend="auto", shards=None):
+        # shards: None, a device count, or a jax.sharding.Mesh — row-band
+        # multi-chip shade (same product knob as Mesh3dPlugin(shards=...))
+        if shards is not None and not hasattr(shards, "devices"):
+            from bevy_tpu.parallel import make_mesh
+            shards = make_mesh(int(shards))
         self.cfg = dict(tile_h=tile_h, tile_w=tile_w,
                         pairs_per_light=pairs_per_light,
                         max_lights_per_tile=max_lights_per_tile,
-                        backend=backend)
+                        backend=backend, shards=shards)
 
     def build(self, app):
         from bevy_tpu.render.plugin import RenderPlugin

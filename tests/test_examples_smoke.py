@@ -194,3 +194,76 @@ def test_ecs_example(name, check):
 
     mod = importlib.import_module(name)
     assert check(mod.demo()), name
+
+
+# ---- round-3 sweep: input/audio/animation/camera/picking/diagnostics ----
+
+def test_input_tour_example():
+    import importlib
+    mod = importlib.import_module("input_tour")
+    x, jumps, clicks = mod.demo()
+    assert abs(x) < 1.0 and jumps == 2 and clicks == 1
+
+
+def test_audio_control_example():
+    import importlib
+    mod = importlib.import_module("audio_control")
+    r = mod.demo()
+    assert r["paused"] == 0.0 and r["quiet"] < r["playing"]
+    assert 1.6 < r["zc2"] / max(r["zc1"], 1) < 2.4
+    assert r["far"] < r["near"] * 0.5
+
+
+def test_animation_masks_example():
+    import importlib
+    import numpy as np
+    mod = importlib.import_module("animation_masks")
+    tr = mod.demo()
+    np.testing.assert_allclose(tr[0], [1, 0, 0], atol=1e-5)   # leg: walk
+    np.testing.assert_allclose(tr[2], [0, 2, 0], atol=1e-5)   # arm: wave
+
+
+def test_camera_orbit_example():
+    import importlib
+    mod = importlib.import_module("camera_orbit")
+    assert mod.demo() > 2.0
+
+
+def test_mesh_picking_example():
+    import importlib
+    mod = importlib.import_module("mesh_picking")
+    hits = mod.demo()
+    assert hits["left"] == 0 and hits["right"] == 1 and hits["miss"] == -1
+
+
+def test_log_diagnostics_example():
+    import importlib
+    mod = importlib.import_module("log_diagnostics")
+    fps, ents = mod.demo()
+    assert fps > 0 and ents == 10
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("ui_flex_layout", {}),
+    ("ui_overflow_scroll", {}),
+    ("fog_3d", {}),
+    ("decals", {"backend": "pallas_interpret"}),
+    ("lightmaps", {"backend": "pallas_interpret"}),
+    ("irradiance_volumes", {"backend": "pallas_interpret"}),
+])
+def test_render_example_covers(name, kw):
+    import importlib
+    mod = importlib.import_module(name)
+    from bevy_tpu.render.plugin import frame_image
+    app = mod.build_app(width=160, height=96, **kw)
+    app.update(dt=1 / 60)
+    img = np.asarray(frame_image(app)).astype(int)
+    bg = img[0, 0]
+    assert (np.abs(img - bg).max(-1) > 10).mean() > 0.05, name
+
+
+def test_ui_text_input_example():
+    import importlib
+    mod = importlib.import_module("ui_text_input")
+    v0, v1, submitted = mod.demo()
+    assert v0 == "nametpu" and v1 == "ok" and submitted == ["nametpu"]
