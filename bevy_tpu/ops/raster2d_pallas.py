@@ -380,42 +380,54 @@ def raster_sprites_pallas(fb_planar, packed, atlas_planar, *, tile_h=32,
             jnp.arange(n, dtype=jnp.int32), mode="drop")[:v]
         cvalid = jnp.arange(v, dtype=jnp.int32) < n_visible
         zc = jnp.where(cvalid, z[cand], jnp.inf)
-        ordz = jnp.argsort(zc, stable=True)
-        order = cand[ordz]
-        vis = cvalid[ordz]
+        # sort carries its payloads (1-D gathers run on the scalar core
+        # — see ops/shade_pallas.bin_lights)
+        _, order, visi = jax.lax.sort(
+            (zc, cand, cvalid.astype(jnp.int32)), dimension=0,
+            is_stable=True, num_keys=1)
+        vis = visi > 0
     else:
-        order = jnp.argsort(jnp.where(onscreen, z, jnp.inf), stable=True)[:v]
-        vis = onscreen[order]
+        zkey = jnp.where(onscreen, z, jnp.inf)
+        _, order, visi = jax.lax.sort(
+            (zkey, jnp.arange(n, dtype=jnp.int32),
+             onscreen.astype(jnp.int32)), dimension=0,
+            is_stable=True, num_keys=1)
+        order = order[:v]
+        vis = visi[:v] > 0
     pk = packed[order]                      # (v, 17) visible, back-to-front
 
     # ---- 2. pair expansion + one stable sort by tile ----
     # (a sort-free chunked-scatter binning was tried and measured SLOWER
     # on TPU — XLA row scatters copy the table per chunk; the window-
     # splat path in ops/raster2d_splat.py is the sort-free design)
-    x0 = jnp.floor((pk[:, 0] - rx[order]) / tile_w).astype(jnp.int32)
-    x1 = jnp.floor((pk[:, 0] + rx[order]) / tile_w).astype(jnp.int32)
-    y0 = jnp.floor((pk[:, 1] - ry[order]) / tile_h).astype(jnp.int32)
-    y1 = jnp.floor((pk[:, 1] + ry[order]) / tile_h).astype(jnp.int32)
+    cso, sno = pk[:, 4], pk[:, 5]
+    rxo = jnp.abs(cso) * pk[:, 2] + jnp.abs(sno) * pk[:, 3]
+    ryo = jnp.abs(sno) * pk[:, 2] + jnp.abs(cso) * pk[:, 3]
+    x0 = jnp.floor((pk[:, 0] - rxo) / tile_w).astype(jnp.int32)
+    x1 = jnp.floor((pk[:, 0] + rxo) / tile_w).astype(jnp.int32)
+    y0 = jnp.floor((pk[:, 1] - ryo) / tile_h).astype(jnp.int32)
+    y1 = jnp.floor((pk[:, 1] + ryo) / tile_h).astype(jnp.int32)
     x0, x1 = jnp.clip(x0, 0, ntx - 1), jnp.clip(x1, 0, ntx - 1)
     y0, y1 = jnp.clip(y0, 0, nty - 1), jnp.clip(y1, 0, nty - 1)
     kx, ky = x1 - x0 + 1, y1 - y0 + 1
     counts = jnp.where(vis, kx * ky, 0)
     pair_cap = v * pairs_per_sprite + num_tiles
     owner, rank, valid, total = expand_runs(counts, pair_cap)
-    # one packed gather instead of three (gathers dominate binning cost)
-    code = (y0 * 1024 + x0) * 32 + kx
-    c = code[owner]
-    kxo = c % 32
-    x0o = (c // 32) % 1024
-    y0o = c // 32768
-    tile_id = (y0o + rank // kxo) * ntx + (x0o + rank % kxo)
+    # one packed ROW gather instead of three 1-D gathers
+    zv = jnp.zeros_like(x0)
+    spack = jnp.stack([x0, y0, jnp.maximum(kx, 1), zv, zv, zv, zv, zv],
+                      axis=1)
+    srow = spack[owner]
+    tile_id = (srow[:, 1] + rank // srow[:, 2]) * ntx + \
+        (srow[:, 0] + rank % srow[:, 2])
     tile_id = jnp.where(valid, tile_id, num_tiles)
-    perm = jnp.argsort(tile_id, stable=True)   # stability keeps z order
-    sorted_tile = tile_id[perm]
+    # stable tile sort carrying the sprite index payload
+    sorted_tile, pair_sprite = jax.lax.sort(
+        (tile_id, owner.astype(jnp.int32)), dimension=0, is_stable=True,
+        num_keys=1)
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(sorted_tile, tids + 1, side="left").astype(jnp.int32)
-    pair_sprite = owner[perm]
 
     # ---- 3. fixed per-tile table; dim-0 slices are aligned for the DMA ----
     tile_counts = jnp.minimum(ends - starts, max_per_tile)

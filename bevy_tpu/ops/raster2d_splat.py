@@ -30,11 +30,11 @@ lists:
 The framebuffer accumulator lives in VMEM as (ncols, H, 128) per-channel
 column-major planes (the raster3d composite layout). A full 1280x736x4ch
 f32 buffer is ~15 MB — over the VMEM budget with scratch — so the screen
-splits into `passes` horizontal slabs; every pass streams the full
-window list and skips windows outside its rows (scalar test). A window
-straddling a slab boundary is CLAMPED into each slab it touches and
-evaluated with GLOBAL pixel coordinates, so each slab draws exactly its
-rows of the sprite and their union is the full window.
+splits into `passes` COLUMN groups. Windows belong to exactly one column
+(meta = col*2048 + y), so the window list is stable-sorted by column
+group and each pass streams ONLY its own records — unlike a row split,
+where every pass walks the full list to skip foreign windows (measured
+~7 ms of wasted streaming on bevymark's sparse half).
 
 Texture sampling is the tile kernel's separable form: bilinear tents
 row/col weight matrices against the planar atlas (two small matmuls per
@@ -55,7 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from bevy_tpu.ops.binning import expand_runs
 
 WIN_W = 128
-CHUNK = 16           # windows per record DMA
+CHUNK = 16           # windows per record DMA (32 measured neutral-to-worse)
 
 
 def _splat_kernel(range_ref, meta_hbm, rec_hbm, atlas_ref,
@@ -171,7 +171,11 @@ def _splat_kernel(range_ref, meta_hbm, rec_hbm, atlas_ref,
                             jnp.sum(wx, axis=0, keepdims=True), 1e-6)
                         # stage 1 — one channel-stacked matmul:
                         # (4*ah, aw) @ (aw, 128); stage 2 — four
-                        # independent (win_h, ah) @ (ah, 128) slices
+                        # independent (win_h, ah) @ (ah, 128) slices.
+                        # (A single block-diagonal stage-2 matmul was
+                        # tried and measured SLOWER: 27.7 → 30.1 ms —
+                        # the blockdiag build + the 4x-M matmul cost
+                        # more than the small-matmul latency they hide)
                         mid = jnp.dot(
                             atlas_ref[...].astype(sample_dtype),
                             wx.astype(sample_dtype),
@@ -250,12 +254,20 @@ def raster_sprites_splat(fb_planar, packed, atlas_planar, *, win_h=40,
             jnp.arange(n, dtype=jnp.int32), mode="drop")[:v]
         cvalid = jnp.arange(v, dtype=jnp.int32) < n_visible
         zc = jnp.where(cvalid, z[cand], jnp.inf)
-        ordz = jnp.argsort(zc, stable=True)
-        order = cand[ordz]
-        vis = cvalid[ordz]
+        # sort carries payloads (1-D gathers run on the scalar core —
+        # see ops/shade_pallas.bin_lights)
+        _, order, visi = jax.lax.sort(
+            (zc, cand, cvalid.astype(jnp.int32)), dimension=0,
+            is_stable=True, num_keys=1)
+        vis = visi > 0
     else:
-        order = jnp.argsort(jnp.where(onscreen, z, jnp.inf), stable=True)[:v]
-        vis = onscreen[order]
+        zkey = jnp.where(onscreen, z, jnp.inf)
+        _, order, visi = jax.lax.sort(
+            (zkey, jnp.arange(n, dtype=jnp.int32),
+             onscreen.astype(jnp.int32)), dimension=0,
+            is_stable=True, num_keys=1)
+        order = order[:v]
+        vis = visi[:v] > 0
     # reverse the stable back-to-front order: exact front-to-back with
     # equal-z ties still resolving later-spawned-on-top
     order = order[::-1]
@@ -263,7 +275,9 @@ def raster_sprites_splat(fb_planar, packed, atlas_planar, *, win_h=40,
     pk = packed[order]                      # (v, 17) front-to-back
 
     # ---- 2. window expansion (one per overlapped block) ----
-    rxo, ryo = rx[order], ry[order]
+    cso, sno = pk[:, 4], pk[:, 5]
+    rxo = jnp.abs(cso) * pk[:, 2] + jnp.abs(sno) * pk[:, 3]
+    ryo = jnp.abs(sno) * pk[:, 2] + jnp.abs(cso) * pk[:, 3]
     x0 = pk[:, 0] - rxo
     x1 = pk[:, 0] + rxo
     y0 = pk[:, 1] - ryo

@@ -92,12 +92,19 @@ def build_windows(aabb, cl_valid, *, win_h, width, height, budget,
     use = onscreen & (blocks <= max_blocks)
     counts = jnp.where(use, blocks, 0)
     owner, rank, pvalid, total = expand_runs(counts, budget)
-    col = jnp.clip(c0[owner] + rank % nbx[owner], 0, ncols - 1)
-    band_y = (b0[owner] + rank // nbx[owner]) * win_h
+    # packed per-cluster expansion data, ONE row gather (1-D int32
+    # gathers run on the scalar core — see ops/shade_pallas.bin_lights)
+    z8 = jnp.zeros_like(c0)
+    cpack = jnp.stack(
+        [c0, jnp.maximum(nbx, 1), b0,
+         jnp.clip(jnp.floor(y0).astype(jnp.int32), 0,
+                  max(height - win_h, 0)),
+         single_band.astype(jnp.int32), z8, z8, z8], axis=1)
+    crow = cpack[owner]                                   # (B, 8)
+    col = jnp.clip(crow[:, 0] + rank % crow[:, 1], 0, ncols - 1)
+    band_y = (crow[:, 2] + rank // crow[:, 1]) * win_h
     # single-band clusters: one unaligned window at their own y0
-    tight_y = jnp.clip(jnp.floor(y0[owner]).astype(jnp.int32), 0,
-                       max(height - win_h, 0))
-    wy = jnp.where(single_band[owner], tight_y,
+    wy = jnp.where(crow[:, 4] > 0, crow[:, 3],
                    jnp.clip(band_y, 0, max(height - win_h, 0)))
     meta = jnp.where(pvalid, col * 2048 + wy, 0)
     return {

@@ -108,7 +108,7 @@ def make_movement_system(half_w, half_h):
 
 def build_app(width=1280, height=720, capacity=131072, spawn_budget=256,
               max_per_tile=1024, max_visible=49152, sprite_batch=8,
-              sample_dtype="bf16") -> App:
+              sample_dtype="bf16", mode="splat") -> App:
     app = App(capacity=capacity)
     app.add_plugins(TimePlugin(), TransformPlugin(),
                     RenderPlugin(width=width, height=height),
@@ -118,7 +118,7 @@ def build_app(width=1280, height=720, capacity=131072, spawn_budget=256,
                                  sprite_batch=sprite_batch,
                                  # sort-free window-splat raster + GPU-
                                  # texture-filter-class bf16 sampling
-                                 mode="splat", sample_dtype=sample_dtype))
+                                 mode=mode, sample_dtype=sample_dtype))
     app.insert_resource(ClearColor(color=tuple(np.asarray(srgba(0.1, 0.1, 0.12)))))
 
     # atlas sized to content: its width/height are the K dims of the

@@ -35,6 +35,8 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 _FULL_TIER_FILES = {
     "test_meshlet_lod.py",       # >9 min of compile on CPU
     "test_sharded_cubes.py",     # 8-device mesh at scale
+    "test_sharded_hlo.py",       # benchmark-scale SPMD compile
+    "test_sharded_shade.py",
     "test_sharded_raster.py",
     "test_solari.py",            # ReSTIR DI+GI compiles
     "test_pathtracer.py",

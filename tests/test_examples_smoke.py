@@ -267,3 +267,28 @@ def test_ui_text_input_example():
     mod = importlib.import_module("ui_text_input")
     v0, v1, submitted = mod.demo()
     assert v0 == "nametpu" and v1 == "ok" and submitted == ["nametpu"]
+
+
+def test_scene_composition_example():
+    import importlib
+    mod = importlib.import_module("scene_composition")
+    hp, dmg = mod.demo()
+    assert hp == 40.0 and dmg == 9.0
+
+
+def test_asset_pipeline_example():
+    import importlib
+    mod = importlib.import_module("asset_pipeline")
+    par, first, again = mod.demo()
+    assert par == 6 and first == 1 and again == 0
+
+
+def test_3d_gizmos_example():
+    import importlib
+    mod = importlib.import_module("3d_gizmos")
+    from bevy_tpu.render.plugin import frame_image
+    app = mod.build_app(width=160, height=96)
+    app.update(dt=1 / 60)
+    img = np.asarray(frame_image(app)).astype(int)
+    bg = img[0, 0]
+    assert (np.abs(img - bg).max(-1) > 10).mean() > 0.05
