@@ -208,3 +208,4 @@ def test_fused_matches_two_pass():
     hit = np.asarray(dep_a) > 0
     assert np.allclose(np.asarray(dep_a)[hit], np.asarray(dep_b)[hit],
                        atol=1e-4)
+
