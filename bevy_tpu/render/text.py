@@ -52,34 +52,68 @@ class FontAtlas:
         self.bearings: Dict[str, tuple] = {}
         self.scale = scale if path is None and size is None else 1
         scale = self.scale
+        self._builder = builder          # lazy non-ASCII glyph bakes
+        self._path = path
+        self._pil = font
+        self._cmap = None                # fontTools coverage, built on demand
         try:
             ascent, descent = font.getmetrics()
             line_h = ascent + descent
         except AttributeError:
             ascent, line_h = None, None
         for code in range(ASCII_START, ASCII_END):
-            ch = chr(code)
-            box = font.getbbox(ch)
-            x0, y0 = (box[0], box[1]) if self.proportional else (0, 0)
-            w = max(box[2] - x0, 1)
-            h = max(box[3] - y0, 1)
-            img = Image.new("L", (w, h), 0)
-            ImageDraw.Draw(img).text((-x0, -y0), ch, fill=255, font=font)
-            a = np.asarray(img, np.float32) / 255.0
-            if scale != 1:
-                a = np.repeat(np.repeat(a, scale, 0), scale, 1)
-            rgba = np.ones(a.shape + (4,), np.float32)
-            rgba[..., 3] = a
-            self.handles[ch] = builder.add(rgba, f"glyph:{ch}", srgb=False)
-            adv = font.getlength(ch) if self.proportional else w
-            self.advances[ch] = float(adv) * scale
-            self.bearings[ch] = (float(x0) * scale, float(y0) * scale)
+            self._bake(chr(code))
         self.char_w = (self.advances["M"] if self.proportional
                        else self.handles["M"]["size"][0])
         self.char_h = (float(line_h) if line_h is not None
                        else self.handles["M"]["size"][1])
         self.ascent = float(ascent) if ascent is not None else self.char_h
         self._font = font if self.proportional else None
+
+    def _bake(self, ch: str):
+        """Rasterize one glyph into the atlas (shared by the eager ASCII
+        loop and lazy non-ASCII bakes from the rich-text layout)."""
+        from PIL import Image, ImageDraw
+        font, scale = self._pil, self.scale
+        box = font.getbbox(ch)
+        x0, y0 = (box[0], box[1]) if self.proportional else (0, 0)
+        w = max(box[2] - x0, 1)
+        h = max(box[3] - y0, 1)
+        img = Image.new("L", (w, h), 0)
+        ImageDraw.Draw(img).text((-x0, -y0), ch, fill=255, font=font)
+        a = np.asarray(img, np.float32) / 255.0
+        if scale != 1:
+            a = np.repeat(np.repeat(a, scale, 0), scale, 1)
+        rgba = np.ones(a.shape + (4,), np.float32)
+        rgba[..., 3] = a
+        self.handles[ch] = self._builder.add(rgba, f"glyph:{ch}",
+                                             srgb=False)
+        adv = font.getlength(ch) if self.proportional else w
+        self.advances[ch] = float(adv) * scale
+        self.bearings[ch] = (float(x0) * scale, float(y0) * scale)
+
+    def has(self, ch: str) -> bool:
+        """Does this font cover `ch`? (cmap query via fontTools for file
+        fonts; the PIL built-in/default fonts report ASCII only). The
+        rich-text fallback chain walks this (ref: bevy_text's
+        FontFamily fallback resolution in parley_context.rs)."""
+        if ch in self.handles:
+            return True
+        if self._path is None:
+            return ASCII_START <= ord(ch) < ASCII_END
+        if self._cmap is None:
+            from fontTools.ttLib import TTFont
+            tt = TTFont(self._path, fontNumber=0, lazy=True)
+            self._cmap = tt.getBestCmap()
+            tt.close()
+        return ord(ch) in self._cmap
+
+    def glyph(self, ch: str) -> dict:
+        """Atlas handle for `ch`, baking it on first use. Lazy bakes must
+        happen before the atlas builder's build() uploads the texture."""
+        if ch not in self.handles:
+            self._bake(ch)
+        return self.handles[ch]
 
     def measure(self, text: str) -> float:
         """Pixel width of a single line at native size. FreeType fonts

@@ -340,7 +340,11 @@ class ThemePlugin(Plugin):
             ui._focus_ring = app.world.spawn(
                 _Sprite(size=(1.0, 1.0), color=(0, 0, 0, 0)),
                 _T(), _GT()).index
+            # chrome placement reads in-jit state (Checked, SliderValue,
+            # focus) every frame — a prepare hook would only re-run on
+            # structure changes and miss pure state toggles
             app.add_prepare_hook(lambda world: self._chrome_tick(world))
+            app.add_frame_hook(lambda a: self._chrome_tick(a.world))
         # cursor feedback (ref: cursor.rs): hovered interactive control →
         # pointer icon; a host viewer maps the name to an OS cursor
         app.cursor_icon = "default"

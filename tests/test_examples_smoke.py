@@ -292,3 +292,14 @@ def test_3d_gizmos_example():
     img = np.asarray(frame_image(app)).astype(int)
     bg = img[0, 0]
     assert (np.abs(img - bg).max(-1) > 10).mean() > 0.05
+
+
+def test_rich_text_example():
+    import importlib
+    mod = importlib.import_module("rich_text")
+    from bevy_tpu.render.plugin import frame_image
+    app = mod.build_app(width=480, height=270)
+    app.update(dt=1 / 60)
+    img = np.asarray(frame_image(app)).astype(int)
+    bg = img[0, 0]
+    assert (np.abs(img - bg).max(-1) > 10).mean() > 0.01

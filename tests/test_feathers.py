@@ -36,6 +36,7 @@ def test_toggle_switch_knob_slides():
     # click the switch (it lays out at the root's top-left)
     r = app.ui._rects[sw]
     app.input.move_to(r[0] + 4, r[1] + 4)
+    app.update(dt=1 / 60)                     # hover frame
     app.input.press_mouse(MouseButton.Left)
     app.update(dt=1 / 60)
     app.input.release_mouse(MouseButton.Left)
@@ -70,10 +71,11 @@ def test_focus_ring_and_cursor_feedback():
     ring = app.ui._focus_ring
     assert float(np.asarray(
         app.world.get(ring, Sprite).color)[3]) == 0.0  # nothing focused
-    # Tab focuses the button → ring lights up around it
-    app.input.press(KeyCode.Tab)
+    # directional nav focuses the button → ring lights up around it
+    # (ref: auto_directional_navigation; Tab cycles text inputs)
+    app.input.press(KeyCode.ArrowDown)
     app.update(dt=1 / 60)
-    app.input.release(KeyCode.Tab)
+    app.input.release(KeyCode.ArrowDown)
     app.update(dt=1 / 60)
     assert float(np.asarray(
         app.world.get(ring, Sprite).color)[3]) > 0.5
