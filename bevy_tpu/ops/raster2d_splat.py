@@ -128,24 +128,30 @@ def _splat_kernel(range_ref, meta_hbm, rec_hbm, atlas_ref,
                         return buf[half, f // WIN_W, f % WIN_W]
 
                     a_cur = a_out[colk, pl.ds(y0l, win_h), :]
+                    cx, cy = d(0), d(1)
+                    hx, hy = d(2), d(3)
+                    cos, sin = d(4), d(5)
+                    px = (iox + (colk + c_lo) * WIN_W
+                          ).astype(jnp.float32) + 0.5
+                    py = (ioy + y0l).astype(jnp.float32) + 0.5
+                    # rotated coverage as row+col affine pieces: the
+                    # full-block work is one broadcast-add per edge
+                    lxr = cos * px - (cos * cx + sin * cy)      # (1, 128)
+                    lyr = -sin * px + (sin * cx - cos * cy)
+                    lx = lxr + sin * py                         # (win_h, 128)
+                    ly = lyr + cos * py
+                    inside = (jnp.abs(lx) <= hx) & (jnp.abs(ly) <= hy)
 
-                    # exact-saturation skip: layers behind an opaque
-                    # region are scaled by T == 0
-                    @pl.when(jnp.min(a_cur) < 1.0)
+                    # exact-saturation skip, tested over the SPRITE'S
+                    # covered pixels only (layers behind an opaque region
+                    # are scaled by T == 0): at bevymark steady-state
+                    # overdraw (~30x) a sprite's own footprint saturates
+                    # far sooner than the whole (win_h, 128) block, so
+                    # hoisting the cheap coverage test above the gate
+                    # trades ~8 block-ops for skipping the sampling
+                    # matmuls + blend of every buried sprite
+                    @pl.when(jnp.min(jnp.where(inside, a_cur, 1.0)) < 1.0)
                     def _():
-                        cx, cy = d(0), d(1)
-                        hx, hy = d(2), d(3)
-                        cos, sin = d(4), d(5)
-                        px = (iox + (colk + c_lo) * WIN_W
-                              ).astype(jnp.float32) + 0.5
-                        py = (ioy + y0l).astype(jnp.float32) + 0.5
-                        # rotated coverage as row+col affine pieces: the
-                        # full-block work is one broadcast-add per edge
-                        lxr = cos * px - (cos * cx + sin * cy)  # (1, 128)
-                        lyr = -sin * px + (sin * cx - cos * cy)
-                        lx = lxr + sin * py                     # (win_h, 128)
-                        ly = lyr + cos * py
-                        inside = (jnp.abs(lx) <= hx) & (jnp.abs(ly) <= hy)
 
                         # bilinear tents with the uv chain folded into the
                         # tap coordinate: f = a*l + b (affine in the local

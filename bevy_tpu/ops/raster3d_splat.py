@@ -51,6 +51,159 @@ WIN_W = 128          # window width = one framebuffer column (lane-aligned)
 CHUNK_WIN = 8        # windows per composite DMA
 ID_BITS = 4          # low mantissa bits of packed z = tri-in-cluster id
 ID_MASK = (1 << ID_BITS) - 1
+REC_FIELDS = 13      # fused-kernel record: 3 edge planes (9) + z plane (3) + id
+
+
+def build_rec_rows(zrec, cs: int, ntri: int):
+    """Valid-first record packing for the fused kernel, gather-free.
+
+    Replaces compact_cluster_tris (argsort + take_along_axis — 6.3 ms of
+    (65536,12,20) slice-gathers in the round-2 many_cubes profile) plus
+    fused_eval_composite's internal row relayout (3.1 ms, and it re-ran
+    per window class): slot s of each cluster's output row is the s-th
+    VALID triangle, selected by a masked SUM over the cs axis — pure
+    elementwise multiply + sublane reduction, which XLA fuses into one
+    pass with no gather. Empty slots are all-zero records; the kernel's
+    `z > cur_d` test rejects them (reverse-z depth is >= 0), matching
+    the zeroed-invalid-planes convention.
+
+    Returns (ncl, rrows, 128) float32 rows, field stride REC_FIELDS
+    (ntri=8 packs to a single 128-lane row per cluster — half the
+    ZREC-stride DMA bytes)."""
+    t = zrec.shape[0]
+    ncl = t // cs
+    r = zrec.reshape(ncl, cs, -1)[:, :, :REC_FIELDS]
+    valid = r[:, :, 12] >= 0.0                     # tri_id < 0 = culled
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+    vr = jnp.where(valid, rank, -1)
+    slots = [jnp.sum(r * (vr == s).astype(r.dtype)[:, :, None], axis=1)
+             for s in range(min(ntri, cs))]
+    rows = jnp.concatenate(slots, axis=1)          # (ncl, ntri*13)
+    rowlen = len(slots) * REC_FIELDS
+    rrows = (rowlen + WIN_W - 1) // WIN_W
+    if rrows * WIN_W != rowlen:
+        rows = jnp.pad(rows, ((0, 0), (0, rrows * WIN_W - rowlen)))
+    return rows.reshape(ncl, rrows, WIN_W)
+
+
+def coplanar_quad_pairs(positions, triangles):
+    """Host-side static pairing of coplanar adjacent triangles into
+    convex quads (classic quad-fusion: a planar convex quad rasterizes
+    with 4 edge planes + 1 z plane = 13 block-ops/slot instead of two
+    triangles' 22 — the cube-heavy instancing scenes halve their window
+    eval work; ref workload: examples/stress_tests/many_cubes.rs).
+
+    Returns a list of entries covering every non-degenerate triangle:
+    ("pair", iA, aU, aV, iB, bU, bV) — iA/iB local tri indices, aU/aV
+    the A-local corner indices of the two SHARED verts (their lambda
+    planes vanish on A's two boundary edges), bU/bV likewise for B —
+    or ("tri", i) for unpaired triangles."""
+    import numpy as np
+    tris = np.asarray(triangles, np.int64)
+    pos = np.asarray(positions, np.float64)
+    tc = len(tris)
+    n = np.cross(pos[tris[:, 1]] - pos[tris[:, 0]],
+                 pos[tris[:, 2]] - pos[tris[:, 0]])
+    nl = np.linalg.norm(n, axis=1)
+    scale = float(np.max(np.abs(pos)) + 1e-12)
+    nn = n / np.maximum(nl, 1e-20)[:, None]
+    edge_map = {}
+    for i in range(tc):
+        if nl[i] < 1e-12:
+            continue                       # degenerate (padding) tri
+        for k in range(3):
+            a, b = int(tris[i, k]), int(tris[i, (k + 1) % 3])
+            edge_map.setdefault((min(a, b), max(a, b)), []).append((i, k))
+    used = np.zeros(tc, bool)
+    out = []
+    for i in range(tc):
+        if used[i] or nl[i] < 1e-12:
+            continue
+        used[i] = True
+        match = None
+        for k in range(3):
+            a = int(tris[i, k])
+            b = int(tris[i, (k + 1) % 3])
+            for (j, kj) in edge_map.get((min(a, b), max(a, b)), ()):
+                if j == i or used[j]:
+                    continue
+                if float(np.dot(nn[i], nn[j])) < 1.0 - 1e-5:
+                    continue               # not coplanar / opposite facing
+                oj = int(tris[j, (kj + 2) % 3])
+                if abs(float(np.dot(pos[oj] - pos[tris[i, 0]], nn[i]))) \
+                        > 1e-5 * scale:
+                    continue               # parallel but offset planes
+                # convexity of the union polygon oi -> a -> oj -> b
+                oi = int(tris[i, (k + 2) % 3])
+                quad = pos[[oi, a, oj, b]]
+                ed = np.roll(quad, -1, 0) - quad
+                cr = np.cross(ed, np.roll(ed, -1, 0)) @ nn[i]
+                if not (np.all(cr > 1e-12 * scale * scale) or
+                        np.all(cr < -1e-12 * scale * scale)):
+                    continue               # non-convex quad
+                match = (j, k, kj)
+                break
+            if match:
+                break
+        if match is None:
+            out.append(("tri", i))
+            continue
+        j, k, kj = match
+        used[j] = True
+        a = int(tris[i, k])
+        b = int(tris[i, (k + 1) % 3])
+        bl = [int(x) for x in tris[j]]
+        out.append(("pair", i, k, (k + 1) % 3, j,
+                    bl.index(a), bl.index(b)))
+    return out
+
+
+def build_quad_rec_rows(zrec, cs: int, entries, nquad: int):
+    """Quad records for the fused kernel (nedge=4, stride 16), assembled
+    from the per-TRIANGLE zrec by STATIC slices (the pairing pattern is
+    per-mesh static and uniform across clusters — single-cluster meshes
+    only, which is the instancing-stress case). Quad fields:
+    [edgeA_u(3), edgeA_v(3), edgeB_u(3), edgeB_v(3), z(3), id(1)] where
+    the edges are the lambda planes of the shared corners (they vanish
+    on the four boundary edges; see coplanar_quad_pairs) and z/id come
+    from triangle A — so the resolve's winner-id -> srec/frec mapping is
+    untouched (a coplanar pair shares attribute planes). A quad is valid
+    only when BOTH triangles passed the pack_planes_h guards; unpaired
+    ("tri", i) entries duplicate an edge plane as the 4th.
+
+    Returns (ncl, rrows, 128) rows, valid-first like build_rec_rows."""
+    t = zrec.shape[0]
+    ncl = t // cs
+    r = zrec.reshape(ncl, cs, -1)
+    qs, oks = [], []
+    for e in entries:
+        if e[0] == "pair":
+            _, iA, aU, aV, iB, bU, bV = e
+            rec = jnp.concatenate([
+                r[:, iA, 3 * aU:3 * aU + 3], r[:, iA, 3 * aV:3 * aV + 3],
+                r[:, iB, 3 * bU:3 * bU + 3], r[:, iB, 3 * bV:3 * bV + 3],
+                r[:, iA, 9:13]], axis=1)
+            ok = (r[:, iA, 12] >= 0.0) & (r[:, iB, 12] >= 0.0)
+        else:
+            i = e[1]
+            rec = jnp.concatenate([
+                r[:, i, 0:9], r[:, i, 0:3], r[:, i, 9:13]], axis=1)
+            ok = r[:, i, 12] >= 0.0
+        qs.append(rec)
+        oks.append(ok)
+    q = jnp.stack(qs, axis=1)                      # (ncl, nq, 16)
+    vq = jnp.stack(oks, axis=1)                    # (ncl, nq)
+    rank = jnp.cumsum(vq.astype(jnp.int32), axis=1) - 1
+    vr = jnp.where(vq, rank, -1)
+    nquad = min(nquad, len(entries))
+    slots = [jnp.sum(q * (vr == s).astype(q.dtype)[:, :, None], axis=1)
+             for s in range(nquad)]
+    rows = jnp.concatenate(slots, axis=1)          # (ncl, nquad*16)
+    rowlen = nquad * 16
+    rrows = (rowlen + WIN_W - 1) // WIN_W
+    if rrows * WIN_W != rowlen:
+        rows = jnp.pad(rows, ((0, 0), (0, rrows * WIN_W - rowlen)))
+    return rows.reshape(ncl, rrows, WIN_W)
 
 
 def compact_cluster_tris(zrec, cs: int):
@@ -438,7 +591,8 @@ def _composite_kernel(nwin_ref, meta_hbm, win_hbm, dep_hbm, winid_hbm,
 def _fused_kernel(nwin_ref, meta_hbm, rec_hbm, sciss_ref, dep_hbm,
                   winid_hbm, dep_out, win_out, buf, mbuf,
                   sem_fb0, sem_fb1, sem_ra, sem_rb, sem_ma, sem_mb,
-                  *, win_h, ntri, rrows, use_scissor, load_fb):
+                  *, win_h, ntri, rrows, use_scissor, load_fb,
+                  stride=ZREC, nedge=3):
     """Fused window evaluate + composite: streams per-window CLUSTER
     RECORDS (not evaluated pixels) HBM→VMEM and rasters each window
     directly into the VMEM framebuffer — the evaluated-window buffer
@@ -543,19 +697,25 @@ def _fused_kernel(nwin_ref, meta_hbm, rec_hbm, sciss_ref, dep_hbm,
                     cur_w = win_out[colk, pl.ds(y0, win_h), :]
                     for s in range(ntri):
 
-                        def d(j, _b=s * ZREC, _k=k):
+                        def d(j, _b=s * stride, _k=k):
                             f = _b + j          # static flat index
                             return buf[half, _k, f // WIN_W, f % WIN_W]
-                        e0 = (d(0) * px + d(2)) + d(1) * py
-                        e1 = (d(3) * px + d(5)) + d(4) * py
-                        e2 = (d(6) * px + d(8)) + d(7) * py
-                        z = (d(9) * px + d(11)) + d(10) * py
-                        emax = jnp.maximum(jnp.maximum(e0, e1), e2)
+                        # nedge boundary planes, then the z plane, then
+                        # the id slot (nedge=3: triangles, the ZREC/
+                        # REC_FIELDS layouts; nedge=4: coplanar quad
+                        # records — see build_quad_rec_rows)
+                        es = [(d(3 * j) * px + d(3 * j + 2)) +
+                              d(3 * j + 1) * py for j in range(nedge)]
+                        zb = 3 * nedge
+                        z = (d(zb) * px + d(zb + 2)) + d(zb + 1) * py
+                        emax = jnp.maximum(es[0], es[1])
+                        for ee in es[2:]:
+                            emax = jnp.maximum(emax, ee)
                         zpass = (emax <= 0) & (z > cur_d)
                         if use_scissor:
                             zpass = zpass & gx & gy
                         cur_d = jnp.where(zpass, z, cur_d)
-                        cur_w = jnp.where(zpass, d(12), cur_w)
+                        cur_w = jnp.where(zpass, d(zb + 3), cur_w)
                     dep_out[colk, pl.ds(y0, win_h), :] = cur_d
                     win_out[colk, pl.ds(y0, win_h), :] = cur_w
             # 4. the freed meta slot takes chunk c+2
@@ -593,10 +753,11 @@ def from_col_major(col, width):
 
 @partial(jax.jit, static_argnames=("win_h", "cs", "eval_tris",
                                    "interpret", "viewport", "col_major",
-                                   "width"))
+                                   "width", "nedge", "rec_slots"))
 def fused_eval_composite(depth, winner, zrec, owner, meta, wvalid, *,
                          win_h=32, cs=12, eval_tris=None, viewport=None,
-                         interpret=False, col_major=False, width=None):
+                         interpret=False, col_major=False, width=None,
+                         rec_rows=None, nedge=3, rec_slots=None):
     """Evaluate + merge windows in ONE pallas pass (see _fused_kernel).
     zrec (NCL*cs, ZREC) compacted records (global tri ids in slot 12);
     owner/meta/wvalid from build_windows. Replaces the
@@ -606,7 +767,12 @@ def fused_eval_composite(depth, winner, zrec, owner, meta, wvalid, *,
     planes and are returned as such — callers running several window
     classes hoist the row↔column relayout out of the loop (it was
     ~3 ms of 29 MB transposes per many_cubes frame). `width` gives the
-    true pixel width when col_major (for the scissor default)."""
+    true pixel width when col_major (for the scissor default).
+
+    rec_rows: prebuilt (ncl, rrows, 128) REC_FIELDS-stride rows from
+    build_rec_rows — hoists the record layout out of the class loop and
+    skips this call's internal ZREC-stride build (zrec may then be a
+    dummy; its shape still sets ncl for validation)."""
     if col_major:
         ncols, H, _ = depth.shape
         dcol, wcol = depth, winner
@@ -632,14 +798,23 @@ def fused_eval_composite(depth, winner, zrec, owner, meta, wvalid, *,
     # contiguous per-cluster record rows, lane-padded for aligned DMA:
     # the kernel fetches each window's row by owner id (the XLA-side
     # per-window gather + relayout this replaces was ~9 ms/frame)
-    rowlen = ntri * ZREC
-    rowpad = (rowlen + WIN_W - 1) // WIN_W * WIN_W
-    rrows = rowpad // WIN_W
-    recs = zrec.reshape(ncl, cs * ZREC)
-    if rowlen < cs * ZREC:
-        recs = recs[:, :rowlen]
-    rec_rows = jnp.pad(recs, ((0, 0), (0, rowpad - rowlen))).reshape(
-        ncl, rrows, WIN_W)
+    if rec_rows is not None:
+        assert rec_rows.shape[0] == ncl
+        rrows = rec_rows.shape[1]
+        stride = 3 * nedge + 4        # tri rows 13, quad rows 16
+        if rec_slots is not None:
+            ntri = rec_slots          # quad rows pack ~half the slots
+    else:
+        assert nedge == 3, "n-gon records require prebuilt rec_rows"
+        stride = ZREC
+        rowlen = ntri * ZREC
+        rowpad = (rowlen + WIN_W - 1) // WIN_W * WIN_W
+        rrows = rowpad // WIN_W
+        recs = zrec.reshape(ncl, cs * ZREC)
+        if rowlen < cs * ZREC:
+            recs = recs[:, :rowlen]
+        rec_rows = jnp.pad(recs, ((0, 0), (0, rowpad - rowlen))).reshape(
+            ncl, rrows, WIN_W)
     nwin = jnp.sum(wvalid.astype(jnp.int32))[None]
     mo = jnp.stack([meta, owner.astype(jnp.int32)], 1).reshape(
         bpad // CHUNK_WIN, 2 * CHUNK_WIN)
@@ -678,7 +853,8 @@ def fused_eval_composite(depth, winner, zrec, owner, meta, wvalid, *,
     )
     dep, win = pl.pallas_call(
         partial(_fused_kernel, win_h=win_h, ntri=ntri, rrows=rrows,
-                use_scissor=viewport is not None, load_fb=True),
+                use_scissor=viewport is not None, load_fb=True,
+                stride=stride, nedge=nedge),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((ncols, H, WIN_W), jnp.float32),
                    jax.ShapeDtypeStruct((ncols, H, WIN_W), jnp.float32)],

@@ -306,7 +306,7 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                    pds_i=None, dmr_i=None, ray=None, parallax_layers=0,
                    material_fn=None, bias_i=None, uvt_i=None,
                    emr_i=None, mrr_i=None, ocr_i=None, refl_i=None,
-                   cl_extra=None):
+                   cl_extra=None, mesh_positions=None):
     """Visibility-buffer raster of one uniform batch (ref: bevy meshlet sw
     raster, bevy_pbr/src/meshlet/ — cluster cull → visbuffer → material
     resolve). clip (Ni, VC, 4) clip-space positions, nrm (Ni, VC, 3) world
@@ -400,6 +400,20 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         cuv_static = None
     cc_cl = cc.reshape(n_cl, cs, 3, 4)
     cn_cl = cn.reshape(n_cl, cs, 3, 3)
+
+    # static coplanar quad pairing (single-cluster meshes): the fused
+    # window kernel then evaluates ~half the record slots with 4-edge
+    # quads — see ops/raster3d_splat.coplanar_quad_pairs. RIGID geometry
+    # only (callers skip it for skinned/morphed meshes).
+    import os as _osq
+    quad_entries = None
+    if mesh_positions is not None and tcp == cs and \
+            _osq.environ.get("BEVY_TPU_QUADS", "1") == "1":
+        from bevy_tpu.ops.raster3d_splat import coplanar_quad_pairs
+        _entries = coplanar_quad_pairs(mesh_positions, triangles)
+        _npaired = sum(1 for e in _entries if e[0] == "pair")
+        if 2 * _npaired >= tc0:          # mostly-quad meshes only
+            quad_entries = _entries
 
     def run_phase(sel, k, cluster_base, depth, winner, order="index"):
         """Select ≤k clusters from `sel`, pack their planes with ids
@@ -513,9 +527,15 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
             if flat else None
         fab = pack_flat_gbuf(cn_v, mat_tri, valid) if flat_def else None
         import os as _os_
-        if _os_.environ.get("BEVY_TPU_COMPACT", "1") == "0":
-            # A/B: skip compaction (fused kernel then evaluates all cs
-            # tris; zeroed invalid planes fail the depth test)
+        fused = _os_.environ.get("BEVY_TPU_FUSED", "1") == "1"
+        if fused:
+            # the fused path builds its own gather-free valid-first
+            # record rows below (build_rec_rows); compaction of the
+            # ZREC-stride table would be dead work
+            zrec_c = zrec
+        elif _os_.environ.get("BEVY_TPU_COMPACT", "1") == "0":
+            # A/B: skip compaction (kernel then evaluates all cs tris;
+            # zeroed invalid planes fail the depth test)
             zrec_c = zrec
         else:
             zrec_c, _ = compact_cluster_tris(zrec, cs)
@@ -551,14 +571,26 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         # fused path (default): evaluate + merge inside one pallas pass —
         # record slot 12 carries global tri ids, so no packed z|id and
         # no (B, win_h, 128) HBM round trip (~20 ms at many_cubes scale)
-        fused = _os.environ.get("BEVY_TPU_FUSED", "1") == "1"
         if fused and classes:
             # hoist the row<->column relayout OUT of the class loop
             # (it was ~3 ms of 29 MB transposes per many_cubes frame)
             from bevy_tpu.ops.raster3d_splat import (
-                from_col_major, fused_eval_composite, to_col_major)
+                build_quad_rec_rows, build_rec_rows, from_col_major,
+                fused_eval_composite, to_col_major)
             dcol = to_col_major(depth)
             wcol = to_col_major(winner, pad_value=-1.0)
+            # gather-free valid-first record rows, built ONCE for all
+            # window classes (replaces compact_cluster_tris + the
+            # in-call relayout: ~9.4 ms of the round-2 profile)
+            ntri_f = cs if eval_tris is None else min(eval_tris, cs)
+            if quad_entries is not None:
+                # coplanar-quad records: ~half the slots at 13 ops each
+                nq = min(len(quad_entries), max(2, (ntri_f + 1) // 2))
+                rec_rows = build_quad_rec_rows(zrec, cs, quad_entries, nq)
+                nedge_f, rslots = 4, nq
+            else:
+                rec_rows = build_rec_rows(zrec, cs, ntri_f)
+                nedge_f, rslots = 3, None
             for class_h, cmask in classes:
                 wins = build_windows(aabb_p, v & cmask, win_h=class_h,
                                      width=width, height=height,
@@ -567,7 +599,8 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                     dcol, wcol, zrec_c, wins["owner"], wins["meta"],
                     wins["wvalid"], win_h=class_h, cs=cs,
                     eval_tris=eval_tris, viewport=viewport,
-                    interpret=interpret, col_major=True, width=width)
+                    interpret=interpret, col_major=True, width=width,
+                    rec_rows=rec_rows, nedge=nedge_f, rec_slots=rslots)
                 stats.pair_overflow = stats.pair_overflow + wins["overflow"]
                 fallback = wins["fallback"] if fallback is None else \
                     (fallback | wins["fallback"])
@@ -1239,7 +1272,8 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         cl_extra=cl_extra,
                         flat_ok=flat_ok, vis_state=vs,
                         phase_budget=phase_budget, tan_i=tan, nmr_i=nmr,
-                        lmr_i=lmr, material_fn=material_fn)
+                        lmr_i=lmr, material_fn=material_fn,
+                        mesh_positions=m.positions)
                     if vs is not None:
                         setattr(vism, vkey, vs["mask"])
                 # transparent phase: weighted-blended OIT over the opaque

@@ -209,3 +209,91 @@ def test_fused_matches_two_pass():
     assert np.allclose(np.asarray(dep_a)[hit], np.asarray(dep_b)[hit],
                        atol=1e-4)
 
+    # gather-free prebuilt record rows (build_rec_rows, 13-field stride):
+    # must be pixel-identical to the in-call ZREC-stride build — note it
+    # takes the UNcompacted zrec (it partitions valid-first itself)
+    from bevy_tpu.ops.raster3d_splat import build_rec_rows
+    rec_rows = build_rec_rows(zrec, tc, 8)
+    dep_c, win_c = fused_eval_composite(dep0, win0, zrec_c, wins["owner"],
+                                        wins["meta"], wins["wvalid"],
+                                        win_h=WIN_H, cs=tc, eval_tris=8,
+                                        interpret=True, rec_rows=rec_rows)
+    assert np.array_equal(np.asarray(win_b), np.asarray(win_c))
+    assert np.array_equal(np.asarray(dep_b), np.asarray(dep_c))
+
+
+
+def test_quad_records_match_tri_records():
+    """Coplanar-quad records (4-edge windows, half the slots) must cover
+    the same pixels as the triangle records: quad boundary edges reuse
+    the tris' own lambda planes bit-for-bit, so coverage is identical
+    except the vanished interior diagonal; depth differs only by the
+    coplanar pair's plane-coefficient rounding."""
+    from bevy_tpu.ops.raster3d_splat import (
+        build_quad_rec_rows, build_rec_rows, coplanar_quad_pairs,
+        fused_eval_composite)
+    from bevy_tpu.render.mesh import cuboid
+
+    m = cuboid(1.0, 1.0, 1.0)
+    entries = coplanar_quad_pairs(m.positions, m.triangles)
+    assert sum(1 for e in entries if e[0] == "pair") == 6  # 6 faces
+
+    n = 24
+    xyz, col = _scene(n, seed=11)
+    vc, tc = m.num_vertices, m.num_triangles
+    view = view_matrix(jnp.zeros(3), jnp.asarray([0.0, 0.0, 0.0, 1.0]),
+                       jnp.ones(3))
+    proj = perspective_infinite_reverse(jnp.asarray(0.9), W / H,
+                                        jnp.asarray(0.1))
+    vp = proj @ view
+    rot = jnp.tile(jnp.asarray([0.2474, 0.0, 0.3, 0.9689]), (n, 1))
+    rot = rot / jnp.linalg.norm(rot, axis=1, keepdims=True)
+    mats = trs_to_mat4(TRS(translation=xyz, rotation=rot,
+                           scale=jnp.ones((n, 3))))
+    mvp = jnp.einsum("ij,njk->nik", vp, mats)
+    ph = jnp.concatenate([jnp.asarray(m.positions),
+                          jnp.ones((vc, 1), jnp.float32)], 1)
+    clip = jnp.einsum("nij,vj->nvi", mvp, ph).reshape(n * vc, 4)
+    tri_verts = (jnp.asarray(m.triangles, jnp.int32)[None] +
+                 (jnp.arange(n, dtype=jnp.int32) * vc)[:, None, None]
+                 ).reshape(n * tc, 3)
+    cc = clip[tri_verts]
+    nrm = quat_rotate_vec3(rot[:, None, :], jnp.asarray(m.normals)[None]
+                           ).reshape(n * vc, 3)[tri_verts]
+    zrec, _, valid = pack_planes_h(cc, nrm, jnp.ones(n * tc, bool), W, H)
+    aabb, cl_valid, _ = cluster_screen_aabbs(
+        cc, jnp.ones(n, bool), valid, tc, W, H)
+    wins = build_windows(aabb, cl_valid, win_h=WIN_H, width=W, height=H,
+                         budget=max(16 * n, 64))
+    dep0 = jnp.zeros((H, W), jnp.float32)
+    win0 = jnp.full((H, W), -1.0, jnp.float32)
+
+    tri_rows = build_rec_rows(zrec, tc, 8)
+    dep_t, win_t = fused_eval_composite(
+        dep0, win0, zrec, wins["owner"], wins["meta"], wins["wvalid"],
+        win_h=WIN_H, cs=tc, eval_tris=8, interpret=True,
+        rec_rows=tri_rows)
+    quad_rows = build_quad_rec_rows(zrec, tc, entries, 4)
+    dep_q, win_q = fused_eval_composite(
+        dep0, win0, zrec, wins["owner"], wins["meta"], wins["wvalid"],
+        win_h=WIN_H, cs=tc, eval_tris=8, interpret=True,
+        rec_rows=quad_rows, nedge=4, rec_slots=4)
+
+    hit_t = np.asarray(dep_t) > 0
+    hit_q = np.asarray(dep_q) > 0
+    assert np.mean(hit_t != hit_q) < 0.002          # coverage identical
+    both = hit_t & hit_q
+    # winner ids agree up to the face pair (quad id = its A tri): map
+    # both to the face index (tri_id // 2 within the cube's 12 tris)
+    face_t = (np.asarray(win_t).astype(np.int64) % tc) // 2
+    face_q = (np.asarray(win_q).astype(np.int64) % tc) // 2
+    assert np.mean(face_t[both] != face_q[both]) < 0.002
+    # depth matches wherever the same face won (elsewhere — shared
+    # silhouette-edge pixels — either face's depth is a valid winner).
+    # The quad reuses tri A's z plane over tri B's half, so depth
+    # differs by the coplanar pair's coefficient rounding (measured
+    # max 6e-6 reverse-z here — far below the 1e-4 the splat-vs-
+    # reference comparisons already allow)
+    same = both & (face_t == face_q)
+    assert np.allclose(np.asarray(dep_t)[same], np.asarray(dep_q)[same],
+                       atol=1e-4)
