@@ -26,20 +26,17 @@ def _pad_to(x, m):
     return (x + m - 1) // m * m
 
 
-def triangle_setup(clip, tri_verts, tri_active, width, height,
-                   viewport=None):
-    """Clip-space verts (V,4) + tris (T,3) → screen-space setup.
-
-    Returns dict of per-tri arrays: screen corners (T,3,2), corner depths
-    (T,3), corner 1/w (T,3), validity (T,), and screen AABB (T,4).
-    Triangles with any vertex behind the near plane are dropped (the
-    reference's clipper handles these; stress scenes keep geometry in
-    front — a guard, not a clipper. TODO: near-plane clipping)."""
-    w = clip[:, 3]
+def triangle_setup_corners(clip_c, tri_active, width, height,
+                           viewport=None):
+    """Per-corner clip coords (T,3,4) → screen-space setup (the corner
+    form of triangle_setup; run clip_near_corners first if geometry can
+    straddle the near plane — corners with w <= 0 still invalidate the
+    triangle here, a guard, not a clipper)."""
+    w = clip_c[..., 3]                                # (T,3)
     w_ok = w > 1e-6
     safe_w = jnp.where(w_ok, w, 1.0)
     inv_w = 1.0 / safe_w
-    ndc = clip[:, :3] * inv_w[:, None]
+    ndc = clip_c[..., :3] * inv_w[..., None]
     # NDC maps onto the viewport pixel rect (ref: Camera::viewport,
     # bevy_render/src/camera.rs — defaults to the whole target)
     if viewport is None:
@@ -47,33 +44,118 @@ def triangle_setup(clip, tri_verts, tri_active, width, height,
     else:
         vx0, vy0, vx1, vy1 = viewport
         vw, vh = vx1 - vx0, vy1 - vy0
-    sx = vx0 + (ndc[:, 0] * 0.5 + 0.5) * vw
-    sy = vy0 + (0.5 - ndc[:, 1] * 0.5) * vh
-    sdepth = ndc[:, 2]
+    sx = vx0 + (ndc[..., 0] * 0.5 + 0.5) * vw          # (T,3)
+    sy = vy0 + (0.5 - ndc[..., 1] * 0.5) * vh
+    sdepth = ndc[..., 2]
 
-    i0, i1, i2 = tri_verts[:, 0], tri_verts[:, 1], tri_verts[:, 2]
-    ax, ay = sx[i0], sy[i0]
-    bx, by = sx[i1], sy[i1]
-    cx, cy = sx[i2], sy[i2]
+    ax, ay = sx[:, 0], sy[:, 0]
+    bx, by = sx[:, 1], sy[:, 1]
+    cx, cy = sx[:, 2], sy[:, 2]
     # signed area*2 in y-down screen space: CCW (front) world tris come out
     # NEGATIVE after the y flip — cull area2 >= 0 (back-facing/degenerate)
     area2 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
     front = area2 < -1e-12
-    valid = tri_active & front & w_ok[i0] & w_ok[i1] & w_ok[i2]
+    valid = tri_active & front & jnp.all(w_ok, axis=1)
 
     x0 = jnp.minimum(jnp.minimum(ax, bx), cx)
     x1 = jnp.maximum(jnp.maximum(ax, bx), cx)
     y0 = jnp.minimum(jnp.minimum(ay, by), cy)
     y1 = jnp.maximum(jnp.maximum(ay, by), cy)
     return {
-        "corners": jnp.stack([jnp.stack([ax, ay], -1), jnp.stack([bx, by], -1),
-                              jnp.stack([cx, cy], -1)], axis=1),
-        "depth": jnp.stack([sdepth[i0], sdepth[i1], sdepth[i2]], axis=1),
-        "inv_w": jnp.stack([inv_w[i0], inv_w[i1], inv_w[i2]], axis=1),
+        "corners": jnp.stack([sx, sy], axis=-1),       # (T,3,2)
+        "depth": sdepth,
+        "inv_w": inv_w,
         "area2": area2,
         "valid": valid,
         "aabb": jnp.stack([x0, y0, x1, y1], axis=1),
     }
+
+
+def triangle_setup(clip, tri_verts, tri_active, width, height,
+                   viewport=None):
+    """Clip-space verts (V,4) + tris (T,3) → screen-space setup.
+
+    Returns dict of per-tri arrays: screen corners (T,3,2), corner depths
+    (T,3), corner 1/w (T,3), validity (T,), and screen AABB (T,4).
+    Triangles with any vertex behind the near plane are dropped here —
+    callers whose geometry can straddle the near plane run
+    clip_near_corners + triangle_setup_corners instead (the reference's
+    clipper role; the Pallas visbuf/splat paths are clipless homogeneous
+    and need neither)."""
+    return triangle_setup_corners(clip[tri_verts], tri_active, width,
+                                  height, viewport=viewport)
+
+
+def clip_near_corners(clip_c, var_c, active, eps=1e-4, extra_budget=None):
+    """Vectorized near-plane clip (the role of the hardware/reference
+    clipper for the XLA fallback raster; the Pallas paths are clipless
+    homogeneous and skip this). Clips each triangle against w = eps.
+
+    clip_c (T,3,4) per-corner clip coords; var_c (T,3,K) per-corner
+    varyings (linearly interpolated along clipped edges in clip space —
+    exact, since varyings are linear in the pre-division coordinates);
+    active (T,).
+
+    Returns (clip_c2, var_c2, active2, src): rows [0,T) hold each input
+    triangle's primary output in place (rotated/clipped; winding
+    preserved); rows [T, T+B) hold the SECOND triangles produced by
+    2-inside/1-outside crossings, compacted into a static budget
+    B = extra_budget (default max(64, T//4)). `src` (T+B,) maps every
+    output row to its source triangle for per-triangle attributes."""
+    t = clip_c.shape[0]
+    if extra_budget is None:
+        extra_budget = max(64, t // 4)
+    w = clip_c[..., 3]
+    inside = w > eps                                   # (T,3)
+    cnt = jnp.sum(inside.astype(jnp.int32), axis=1)
+    # rotate so the SINGLETON corner (the inside one when cnt==1, the
+    # outside one when cnt==2) sits first; cyclic shift keeps winding
+    r = jnp.where(cnt == 1,
+                  jnp.argmax(inside.astype(jnp.int32), axis=1),
+                  jnp.argmax((~inside).astype(jnp.int32), axis=1))
+    idx = (r[:, None] + jnp.arange(3, dtype=r.dtype)[None]) % 3
+    cc = jnp.take_along_axis(clip_c, idx[:, :, None], axis=1)
+    vv = jnp.take_along_axis(var_c, idx[:, :, None], axis=1)
+
+    def lerp_at(a_c, a_v, b_c, b_v):
+        wa, wb = a_c[:, 3], b_c[:, 3]
+        tt = (wa - eps) / jnp.where(jnp.abs(wa - wb) > 1e-20, wa - wb, 1.0)
+        tt = jnp.clip(tt, 0.0, 1.0)[:, None]
+        return a_c + tt * (b_c - a_c), a_v + tt * (b_v - a_v)
+
+    i01_c, i01_v = lerp_at(cc[:, 0], vv[:, 0], cc[:, 1], vv[:, 1])
+    i02_c, i02_v = lerp_at(cc[:, 0], vv[:, 0], cc[:, 2], vv[:, 2])
+
+    # primary triangle per case (cnt==3: untouched; cnt==1: tip kept,
+    # both far corners pulled to the plane; cnt==2: near corner pushed
+    # to the plane along edge 0→1, plus a second tri for the quad rest)
+    one = jnp.stack([cc[:, 0], i01_c, i02_c], axis=1)
+    one_v = jnp.stack([vv[:, 0], i01_v, i02_v], axis=1)
+    two = jnp.stack([i01_c, cc[:, 1], cc[:, 2]], axis=1)
+    two_v = jnp.stack([i01_v, vv[:, 1], vv[:, 2]], axis=1)
+    c1 = (cnt == 1)[:, None, None]
+    c2 = (cnt == 2)[:, None, None]
+    prim_c = jnp.where(c1, one, jnp.where(c2, two, cc))
+    prim_v = jnp.where(c1, one_v, jnp.where(c2, two_v, vv))
+    prim_ok = active & (cnt >= 1)
+
+    # second triangles (i01, v2, i02) from cnt==2 rows → static budget
+    sec_need = active & (cnt == 2)
+    pos = jnp.cumsum(sec_need.astype(jnp.int32)) - 1
+    tgt = jnp.where(sec_need & (pos < extra_budget), pos, extra_budget)
+    rows = jnp.zeros(extra_budget + 1, jnp.int32).at[tgt].set(
+        jnp.arange(t, dtype=jnp.int32), mode="drop")[:extra_budget]
+    nsec = jnp.sum(sec_need.astype(jnp.int32))
+    sec_ok = jnp.arange(extra_budget, dtype=jnp.int32) < \
+        jnp.minimum(nsec, extra_budget)
+    sec_c = jnp.stack([i01_c[rows], cc[rows, 2], i02_c[rows]], axis=1)
+    sec_v = jnp.stack([i01_v[rows], vv[rows, 2], i02_v[rows]], axis=1)
+
+    clip_c2 = jnp.concatenate([prim_c, sec_c], axis=0)
+    var_c2 = jnp.concatenate([prim_v, sec_v], axis=0)
+    active2 = jnp.concatenate([prim_ok, sec_ok], axis=0)
+    src = jnp.concatenate([jnp.arange(t, dtype=jnp.int32), rows], axis=0)
+    return clip_c2, var_c2, active2, src
 
 
 def raster_triangles(fb_color, fb_depth, setup, varyings, shade_fn=None,

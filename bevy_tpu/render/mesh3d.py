@@ -24,7 +24,6 @@ from bevy_tpu.ecs.query import Query, Read, Res, ResMut
 from bevy_tpu.ecs.system import system
 from bevy_tpu.math.affine import TRS, trs_to_mat4
 from bevy_tpu.math.quat import quat_rotate_vec3
-from bevy_tpu.ops.raster3d import triangle_setup
 from bevy_tpu.render.camera import (
     Camera3d, perspective_infinite_reverse, pick_camera, view_matrix,
 )
@@ -1356,9 +1355,17 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                 colors = q.mesh_material.base_color[exp.tri_inst]
                 emissive = q.mesh_material.emissive[exp.tri_inst]
 
-            setup = triangle_setup(clip, tri_verts, tri_active, width,
-                                   height, viewport=viewport)
-            corner_n = nrm[tri_verts]                     # (T, 3, 3)
+            # near-plane clip before setup (the reference clipper's role;
+            # ref: bevy's raster is hardware-clipped — the Pallas
+            # visbuf/splat paths are clipless homogeneous and skip this)
+            from bevy_tpu.ops.raster3d import (
+                clip_near_corners, triangle_setup_corners)
+            clip_c, corner_n, tri_active, src = clip_near_corners(
+                clip[tri_verts], nrm[tri_verts], tri_active)
+            colors = colors[src]
+            emissive = emissive[src]
+            setup = triangle_setup_corners(clip_c, tri_active, width,
+                                           height, viewport=viewport)
 
             li, has_light = pick_camera(light.mask)
             ldir = quat_rotate_vec3(light.global_transform.rotation[li],

@@ -23,13 +23,13 @@ from bevy_tpu.time import TimePlugin
 from bevy_tpu.transform import TransformPlugin, transform_bundle
 
 
-def _render(cam_z, with_quad):
+def _render(cam_z, with_quad, backend="pallas_interpret"):
     """A 6x6 quad at the origin TILTED 45 deg about X (so it spans view
     depths rather than sitting in one plane); the camera slides along +z
     THROUGH the quad. At small cam_z the quad genuinely straddles the
     near plane: vertices both behind the eye and well in front."""
     app = App(capacity=16)
-    plugin = Mesh3dPlugin(backend="pallas_interpret")
+    plugin = Mesh3dPlugin(backend=backend)
     quad = plugin.add_mesh(plane(6.0, 6.0))
     app.add_plugins(TimePlugin(), TransformPlugin(),
                     RenderPlugin(width=160, height=120), plugin)
@@ -51,8 +51,8 @@ def _render(cam_z, with_quad):
     return frame_image(app).astype(int)
 
 
-def _coverage(cam_z, empty):
-    img = _render(cam_z, True)
+def _coverage(cam_z, empty, backend="pallas_interpret"):
+    img = _render(cam_z, True, backend=backend)
     return (np.abs(img - empty).max(-1) > 20).mean()
 
 
@@ -81,3 +81,33 @@ def test_behind_camera_not_drawn():
     # camera past the quad's whole depth span, facing away
     cov = _coverage(-3.0, empty)
     assert cov < 0.01, cov
+
+
+def test_xla_fallback_clips_near_plane():
+    """The XLA fallback raster used to DROP triangles with any vertex
+    behind the eye (popping as the camera passes through geometry);
+    ops/raster3d.clip_near_corners now clips them at w = eps like the
+    reference's hardware clipper. Same straddle sweep as the Pallas
+    test, on backend='xla'."""
+    empty = _render(4.0, False, backend="xla")
+    far_cov = _coverage(4.0, empty, backend="xla")
+    straddle_cov = _coverage(0.5, empty, backend="xla")
+    deep_cov = _coverage(0.05, empty, backend="xla")
+    assert far_cov > 0.2, far_cov
+    assert straddle_cov > 0.25, straddle_cov
+    assert deep_cov > 0.2, deep_cov
+
+
+def test_xla_matches_pallas_through_camera():
+    """The clipped XLA fallback and the clipless Pallas raster agree on
+    the visible fragment set for a quad through the near plane (same
+    camera, per-pixel coverage IoU)."""
+    empty = _render(0.5, False)
+    a = (_render(0.5, True, backend="xla") - empty)
+    b = (_render(0.5, True, backend="pallas_interpret") - empty)
+    ca = np.abs(a).max(-1) > 20
+    cb = np.abs(b).max(-1) > 20
+    inter = (ca & cb).sum()
+    union = (ca | cb).sum()
+    assert union > 0
+    assert inter / union > 0.97, inter / union
