@@ -63,3 +63,69 @@ def shard_world(world, mesh: Mesh):
     sh = world_shardings(world.state, mesh)
     world.state = jax.device_put(world.state, sh)
     return sh
+
+
+# ---- collective accounting (shared by the sharded-HLO + multi-host
+# tests and the BASELINE.md comm-volume annexes) ----
+
+_DTYPE_BYTES = {"f32": 4, "s32": 4, "u32": 4, "bf16": 2, "f16": 2,
+                "pred": 1, "s8": 1, "u8": 1, "f64": 8, "s64": 8}
+_COLLECTIVES = ("all-to-all", "all-gather", "all-reduce",
+                "collective-permute", "reduce-scatter")
+
+
+def collective_inventory(hlo_text: str):
+    """Parse compiled HLO → {op: [(result_bytes, replica_groups), ...]}.
+    replica_groups is a list of device-id groups (empty when the op
+    carries none). The reference has no distributed axis at all
+    (SURVEY.md §2.8) — this accounting layer is the TPU build's
+    'communication backend' observability."""
+    import re
+
+    out = {}
+    pat = re.compile(
+        r"=\s*(?:\(([^)]*)\)|(\w+)\[([\d,]*)\][^ ]*)\s*(%?)("
+        + "|".join(_COLLECTIVES) + r")(?:-start)?\(")
+    grp_pat = re.compile(r"replica_groups=\{(\{[^=]*?\})\}")
+    for line in hlo_text.splitlines():
+        m = pat.search(line)
+        if not m or m.group(4):              # %-prefixed = operand ref
+            continue
+        op = m.group(5)
+        if m.group(1) is not None:           # tuple result
+            size = 0
+            for part in re.finditer(r"(\w+)\[([\d,]*)\]", m.group(1)):
+                n = 1
+                for x in part.group(2).split(","):
+                    if x:
+                        n *= int(x)
+                size += n * _DTYPE_BYTES.get(part.group(1), 4)
+        else:
+            n = 1
+            for x in m.group(3).split(","):
+                if x:
+                    n *= int(x)
+            size = n * _DTYPE_BYTES.get(m.group(2), 4)
+        gm = grp_pat.search(line)
+        groups = []
+        if gm:
+            for g in re.finditer(r"\{([\d,\s]*)\}", gm.group(1)):
+                ids = [int(x) for x in g.group(1).replace(" ", "").split(",")
+                       if x]
+                if ids:
+                    groups.append(ids)
+        out.setdefault(op, []).append((size, groups))
+    return out
+
+
+def cross_host_ops(inventory, devices_per_host: int):
+    """Count collective op instances whose replica groups span more than
+    one host (device ids are host-major), i.e. the ops that ride DCN in
+    a multi-host deployment."""
+    n = 0
+    for insts in inventory.values():
+        for _, groups in insts:
+            if any(len({d // devices_per_host for d in g}) > 1
+                   for g in groups):
+                n += 1
+    return n

@@ -33,6 +33,17 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _mesh_axis(mesh: Mesh):
+    """The shard axis of `mesh`: its single axis name, or — for a
+    multi-axis mesh like the multi-host ('host', 'chip') layout — the
+    TUPLE of all axis names, which jax collectives and PartitionSpec
+    treat as one flattened axis (host-major device order, so the ICI
+    'chip' axis is minor and ring collectives cross DCN only at host
+    boundaries)."""
+    names = tuple(mesh.axis_names)
+    return names[0] if len(names) == 1 else names
+
+
 def sharded_flat_raster(mesh: Mesh, cc, cn, tri_ok, mat_tri, light_vec,
                         *, width, height, cluster_size=12, win_h=32,
                         visible_budget=4096, window_budget=8192,
@@ -51,7 +62,7 @@ def sharded_flat_raster(mesh: Mesh, cc, cn, tri_ok, mat_tri, light_vec,
         cluster_screen_aabbs, pack_flat_shade, pack_planes_h,
         resolve_flat)
 
-    axis = mesh.axis_names[0]
+    axis = _mesh_axis(mesh)
     n = mesh.devices.size
     cs = cluster_size
     t = cc.shape[0]
@@ -153,7 +164,7 @@ def sharded_instance_raster(mesh: Mesh, clip, nrm, triangles, inst_ok,
         cluster_screen_aabbs, pack_flat_shade, pack_planes_h,
         resolve_flat)
 
-    axis = mesh.axis_names[0]
+    axis = _mesh_axis(mesh)
     n = mesh.devices.size
     cs = cluster_size
     ni, vc = clip.shape[0], clip.shape[1]
@@ -258,7 +269,7 @@ def sharded_deferred_shade(mesh: Mesh, gbuffer, depth, light_table,
     result stays row-sharded for a following post/present pass."""
     from bevy_tpu.ops.shade_pallas import deferred_shade
 
-    axis = mesh.axis_names[0]
+    axis = _mesh_axis(mesh)
     n = mesh.devices.size
     c, h, w = gbuffer.shape
     band = (h + n * tile_h - 1) // (n * tile_h) * tile_h   # rows per device

@@ -36,6 +36,7 @@ _FULL_TIER_FILES = {
     "test_meshlet_lod.py",       # >9 min of compile on CPU
     "test_sharded_cubes.py",     # 8-device mesh at scale
     "test_sharded_hlo.py",       # benchmark-scale SPMD compile
+    "test_multihost.py",         # 2× jax.distributed subprocesses (~90s)
     "test_sharded_shade.py",
     "test_sharded_raster.py",
     "test_solari.py",            # ReSTIR DI+GI compiles
