@@ -20,9 +20,11 @@ import numpy as np
 
 
 def main():
+    print("build...", flush=True)
     from examples.bevymark import build_app
 
     app = build_app()
+    print("app built", flush=True)
     step = jax.jit(app.frame_fn(), donate_argnums=0)
     state = app.world.state
     for _ in range(3):
@@ -31,6 +33,7 @@ def main():
     for _ in range(150):
         state = step(state)
     jax.device_get(state["frame"][0, 0, 0])
+    print("steady", flush=True)
 
     # timed steady state
     t0 = pytime.perf_counter()
@@ -48,6 +51,7 @@ def main():
         state = step(state)
     jax.device_get(state["frame"][0, 0, 0])
     jax.profiler.stop_trace()
+    print("traced", flush=True)
 
     import glob
     from bevy_tpu.profiling import summarize_trace

@@ -65,6 +65,10 @@ class ComponentSpec:
                  requires=()):
         self.cls = cls
         self.name = name
+        # short attribute alias for query views (q.<attr>): the plain
+        # snake name even when `name` was module-qualified to dodge a
+        # cross-module class-name collision (see _claim_name)
+        self.attr = _snake(cls.__name__)
         self.fields = fields
         # Reserved: per-component pool capacity for rare components.
         self.sparse_capacity = sparse_capacity
@@ -79,6 +83,25 @@ class ComponentSpec:
 # Global spec registry: class -> ComponentSpec. Worlds allocate storage
 # lazily on first use (ref: World::register_component).
 _REGISTRY: Dict[type, ComponentSpec] = {}
+
+# Storage-name ownership: snake name -> owning class. Two DIFFERENT
+# classes may share a class name across modules (e.g. two test modules
+# each defining `Health`); the second one is qualified by its module —
+# the reference's full-type-path disambiguation (bevy_reflect type
+# paths). Without this, World.register_component would silently alias
+# the two components onto one storage pool.
+_NAMES: Dict[str, type] = {}
+
+
+def _claim_name(cls, base: str) -> str:
+    owner = _NAMES.get(base)
+    if owner is None or (owner.__module__ == cls.__module__
+                         and owner.__qualname__ == cls.__qualname__):
+        _NAMES[base] = cls          # fresh name, or same type re-imported
+        return base
+    qual = f"{cls.__module__}.{base}"
+    _NAMES[qual] = cls
+    return qual
 
 
 def get_spec(comp) -> ComponentSpec:
@@ -123,8 +146,8 @@ def component(cls=None, *, name: Optional[str] = None, requires=()):
         for key, val in list(vars(cls).items()):
             if isinstance(val, Field):
                 fields[key] = val
-        spec = ComponentSpec(cls, name or _snake(cls.__name__), fields,
-                             requires=requires)
+        spec = ComponentSpec(cls, name or _claim_name(cls, _snake(cls.__name__)),
+                             fields, requires=requires)
         _REGISTRY[cls] = spec
 
         def __new__(klass, **kwargs):

@@ -217,6 +217,11 @@ class QueryView:
                 writable=spec.name not in query.read_only)
             self._views[spec.name] = view
             setattr(self, spec.name, view)
+            # short alias (q.paddle) when the storage name was
+            # module-qualified by a cross-module class-name collision;
+            # first query component wins on an in-query alias clash
+            if spec.attr != spec.name and not hasattr(self, spec.attr):
+                setattr(self, spec.attr, view)
 
     def count(self):
         return jnp.sum(self.mask.astype(jnp.int32))

@@ -88,6 +88,12 @@ class World:
     def register_component(self, comp) -> ComponentSpec:
         spec = get_spec(comp)
         if spec.name in self.specs:
+            if self.specs[spec.name] is not spec:
+                # defense in depth: @component's name claiming should
+                # make this unreachable (see ecs/component._claim_name)
+                raise ValueError(
+                    f"component name {spec.name!r} already registered "
+                    f"by a different type")
             return spec
         self.specs[spec.name] = spec
         n = self.capacity

@@ -55,20 +55,39 @@ from jax.experimental.pallas import tpu as pltpu
 from bevy_tpu.ops.binning import expand_runs
 
 WIN_W = 128
-CHUNK = 16           # windows per record DMA (32 measured neutral-to-worse)
+CHUNK = 32           # windows per record DMA: 32*32 fields = an aligned
+                     # (8, 128) HBM slice per chunk (Mosaic requires the
+                     # sliced sublane dim %8; 16 gave a (4,128) slice that
+                     # the hardware compiler rejects)
 
 
 def _splat_kernel(range_ref, meta_hbm, rec_hbm, atlas_ref,
                   r_out, g_out, b_out, a_out,
                   buf, mbuf, sem_a, sem_b, sem_ma, sem_mb,
-                  *, win_h, ah, aw, bilinear, c_lo, n_cols, sample_dtype):
+                  *, win_h, ah, aw, bilinear, c_lo, n_cols, sample_dtype,
+                  rotated, alpha_only):
     """One column-group pass: windows are pre-partitioned by column so
     every streamed record is composited (no skip-streaming). range_ref
     (3,): [w_lo, w_hi, chunk_base] — the pass's window range in the
     column-sorted list; one boundary chunk may be shared with the
     neighbouring pass. Outputs are (n_cols, H, 128) accumulation planes
     (premultiplied rgb + alpha), zeroed at kernel start. atlas_ref is
-    channel-stacked (4*ah, aw) so stage-1 sampling is ONE matmul."""
+    channel-stacked (4*ah, aw) so stage-1 sampling is ONE matmul —
+    or just the (ah, aw) alpha plane when alpha_only.
+
+    Records stream HBM→SMEM (not VMEM): every per-window field read is
+    a scalar, and ~15 scalar loads per window out of a VMEM tile were a
+    dominant share of the per-window fixed cost (round-4 profile:
+    17.1 ms of the 24.5 ms bevymark frame in these kernels).
+
+    Static specializations (round 4, the per-window algebra cut):
+    - rotated=False: coverage and the uv chain are separable — the
+      row piece (1, 128) and column piece (win_h, 1) AND together in
+      the blend, replacing ~5 full-block ops with rank-1 broadcasts.
+    - alpha_only=True: the atlas' RGB planes are known ≡ 1 (tinted
+      alpha-mask sprites, the bevymark bird class) — sampling drops to
+      two small matmuls on the alpha plane and the blend multiplies
+      the per-sprite color directly."""
     w_lo = range_ref[0]
     w_hi = range_ref[1]
     cbase = range_ref[2]
@@ -130,17 +149,29 @@ def _splat_kernel(range_ref, meta_hbm, rec_hbm, atlas_ref,
                     a_cur = a_out[colk, pl.ds(y0l, win_h), :]
                     cx, cy = d(0), d(1)
                     hx, hy = d(2), d(3)
-                    cos, sin = d(4), d(5)
                     px = (iox + (colk + c_lo) * WIN_W
                           ).astype(jnp.float32) + 0.5
                     py = (ioy + y0l).astype(jnp.float32) + 0.5
-                    # rotated coverage as row+col affine pieces: the
-                    # full-block work is one broadcast-add per edge
-                    lxr = cos * px - (cos * cx + sin * cy)      # (1, 128)
-                    lyr = -sin * px + (sin * cx - cos * cy)
-                    lx = lxr + sin * py                         # (win_h, 128)
-                    ly = lyr + cos * py
-                    inside = (jnp.abs(lx) <= hx) & (jnp.abs(ly) <= hy)
+                    if rotated:
+                        cos, sin = d(4), d(5)
+                        # rotated coverage as row+col affine pieces: the
+                        # full-block work is one broadcast-add per edge
+                        lxr = cos * px - (cos * cx + sin * cy)  # (1, 128)
+                        lyr = -sin * px + (sin * cx - cos * cy)
+                        lx = lxr + sin * py                 # (win_h, 128)
+                        ly = lyr + cos * py
+                        inside = (jnp.abs(lx) <= hx) & (jnp.abs(ly) <= hy)
+                        masked = jnp.where(inside, a_cur, 1.0)
+                        lx_row = lx[0:1, :]
+                        ly_col = ly[:, 0:1]
+                    else:
+                        # axis-aligned: coverage is separable — row and
+                        # column masks AND in the blend as rank-1 pieces
+                        lx_row = px - cx                    # (1, 128)
+                        ly_col = py - cy                    # (win_h, 1)
+                        rowm = jnp.abs(lx_row) <= hx
+                        colm = jnp.abs(ly_col) <= hy
+                        masked = jnp.where(rowm & colm, a_cur, 1.0)
 
                     # exact-saturation skip, tested over the SPRITE'S
                     # covered pixels only (layers behind an opaque region
@@ -150,7 +181,7 @@ def _splat_kernel(range_ref, meta_hbm, rec_hbm, atlas_ref,
                     # hoisting the cheap coverage test above the gate
                     # trades ~8 block-ops for skipping the sampling
                     # matmuls + blend of every buried sprite
-                    @pl.when(jnp.min(jnp.where(inside, a_cur, 1.0)) < 1.0)
+                    @pl.when(jnp.min(masked) < 1.0)
                     def _():
 
                         # bilinear tents with the uv chain folded into the
@@ -159,10 +190,10 @@ def _splat_kernel(range_ref, meta_hbm, rec_hbm, atlas_ref,
                         u0, v0, u1, v1 = d(10), d(11), d(12), d(13)
                         sx = (u1 - u0) / jnp.maximum(2.0 * hx, 1e-6)
                         sy = (v1 - v0) / jnp.maximum(2.0 * hy, 1e-6)
-                        fx = (u0 + (u1 - u0) * 0.5 + sx * lx[0:1, :])
+                        fx = (u0 + (u1 - u0) * 0.5 + sx * lx_row)
                         fx = jnp.clip(fx, jnp.minimum(u0, u1),
                                       jnp.maximum(u0, u1)) * aw - 0.5
-                        fy = (v0 + (v1 - v0) * 0.5 + sy * ly[:, 0:1])
+                        fy = (v0 + (v1 - v0) * 0.5 + sy * ly_col)
                         fy = jnp.clip(fy, jnp.minimum(v0, v1),
                                       jnp.maximum(v0, v1)) * ah - 0.5
                         if bilinear:
@@ -175,37 +206,63 @@ def _splat_kernel(range_ref, meta_hbm, rec_hbm, atlas_ref,
                             jnp.sum(wy, axis=1, keepdims=True), 1e-6)
                         wx = wx / jnp.maximum(
                             jnp.sum(wx, axis=0, keepdims=True), 1e-6)
-                        # stage 1 — one channel-stacked matmul:
-                        # (4*ah, aw) @ (aw, 128); stage 2 — four
-                        # independent (win_h, ah) @ (ah, 128) slices.
-                        # (A single block-diagonal stage-2 matmul was
-                        # tried and measured SLOWER: 27.7 → 30.1 ms —
-                        # the blockdiag build + the 4x-M matmul cost
-                        # more than the small-matmul latency they hide)
-                        mid = jnp.dot(
-                            atlas_ref[...].astype(sample_dtype),
-                            wx.astype(sample_dtype),
-                            preferred_element_type=jnp.float32)
-                        mid_s = mid.astype(sample_dtype)
-                        wy_s = wy.astype(sample_dtype)
-                        texs = [jnp.dot(
-                            wy_s, mid_s[ch * ah:(ch + 1) * ah],
-                            preferred_element_type=jnp.float32)
-                            for ch in range(4)]
                         textured = d(14) >= 0.0
-                        one = jnp.ones((win_h, WIN_W), jnp.float32)
-                        tr = jnp.where(textured, texs[0], one)
-                        tg = jnp.where(textured, texs[1], one)
-                        tb = jnp.where(textured, texs[2], one)
-                        ta = jnp.where(textured, texs[3], one)
+                        if alpha_only:
+                            # atlas RGB ≡ 1: sample the alpha plane only
+                            mid = jnp.dot(
+                                atlas_ref[...].astype(sample_dtype),
+                                wx.astype(sample_dtype),
+                                preferred_element_type=jnp.float32)
+                            ta = jnp.dot(
+                                wy.astype(sample_dtype),
+                                mid.astype(sample_dtype),
+                                preferred_element_type=jnp.float32)
+                            ta = jnp.where(textured, ta, 1.0)
+                            tr = tg = tb = None
+                        else:
+                            # stage 1 — one channel-stacked matmul:
+                            # (4*ah, aw) @ (aw, 128); stage 2 — four
+                            # independent (win_h, ah) @ (ah, 128) slices.
+                            # (A single block-diagonal stage-2 matmul was
+                            # tried and measured SLOWER: 27.7 → 30.1 ms —
+                            # the blockdiag build + the 4x-M matmul cost
+                            # more than the small-matmul latency they hide)
+                            mid = jnp.dot(
+                                atlas_ref[...].astype(sample_dtype),
+                                wx.astype(sample_dtype),
+                                preferred_element_type=jnp.float32)
+                            mid_s = mid.astype(sample_dtype)
+                            wy_s = wy.astype(sample_dtype)
+                            texs = [jnp.dot(
+                                wy_s, mid_s[ch * ah:(ch + 1) * ah],
+                                preferred_element_type=jnp.float32)
+                                for ch in range(4)]
+                            one = jnp.ones((win_h, WIN_W), jnp.float32)
+                            tr = jnp.where(textured, texs[0], one)
+                            tg = jnp.where(textured, texs[1], one)
+                            tb = jnp.where(textured, texs[2], one)
+                            ta = jnp.where(textured, texs[3], one)
 
-                        av = jnp.where(inside, ta * d(9), 0.0)
+                        if rotated:
+                            av = jnp.where(inside, ta * d(9), 0.0)
+                        else:
+                            # rank-1 coverage: alpha on the row, mask on
+                            # the column; their product is the only
+                            # full-block op
+                            avr = jnp.where(rowm, d(9), 0.0)    # (1, 128)
+                            avc = jnp.where(colm, 1.0, 0.0)     # (win_h, 1)
+                            av = ta * (avc * avr)
                         t_ = 1.0 - a_cur
                         tav = t_ * av
                         sl = (colk, pl.ds(y0l, win_h), slice(None))
-                        r_out[sl] = r_out[sl] + tr * d(6) * tav
-                        g_out[sl] = g_out[sl] + tg * d(7) * tav
-                        b_out[sl] = b_out[sl] + tb * d(8) * tav
+                        if alpha_only:
+                            r_out[sl] = r_out[sl] + d(6) * tav
+                            g_out[sl] = g_out[sl] + d(7) * tav
+                            b_out[sl] = b_out[sl] + d(8) * tav
+                        else:
+                            r_out[sl] = r_out[sl] + tr * d(6) * tav
+                            g_out[sl] = g_out[sl] + tg * d(7) * tav
+                            b_out[sl] = b_out[sl] + tb * d(8) * tav
                         a_out[sl] = a_cur + tav
 
         @pl.when(even)
@@ -224,14 +281,20 @@ def _splat_kernel(range_ref, meta_hbm, rec_hbm, atlas_ref,
 
 @partial(jax.jit, static_argnames=(
     "win_h", "windows_per_sprite", "max_visible", "bilinear", "interpret",
-    "sample_dtype", "passes"))
+    "sample_dtype", "passes", "rotated", "alpha_only"))
 def raster_sprites_splat(fb_planar, packed, atlas_planar, *, win_h=40,
                          windows_per_sprite=3, max_visible=None,
                          bilinear=True, interpret=False, sample_dtype="f32",
-                         passes=2):
+                         passes=2, rotated=True, alpha_only=False):
     """fb_planar (4, H, W) linear RGBA planes; atlas_planar (4, AH, AW);
     packed (N, 17) from ops.raster2d.pack_sprite_instances.
-    Returns (fb_planar, stats)."""
+    Returns (fb_planar, stats).
+
+    rotated=False (static): the caller guarantees no sprite carries a
+    rotation — the kernel drops to separable row/col coverage.
+    alpha_only=True (static): the caller guarantees the atlas RGB planes
+    are all ones (tinted alpha-mask sprites) — sampling uses only the
+    alpha plane. Both are SpritePlugin knobs."""
     _, H, W0 = fb_planar.shape
     n = packed.shape[0]
     v = min(max_visible or n, n)
@@ -331,6 +394,8 @@ def raster_sprites_splat(fb_planar, packed, atlas_planar, *, win_h=40,
         (group, meta, owner.astype(jnp.int32)), dimension=0,
         is_stable=True, num_keys=1)
     recw = jnp.pad(pk, ((0, 0), (0, 15)))[owner_s]      # (wcap, 32)
+    # per-chunk record blocks (8, 128): the kernel DMAs them into SMEM,
+    # where the ~15 per-window field reads are cheap scalar loads
     rec_chunks = recw.reshape(wcap // CHUNK, CHUNK * 32 // WIN_W, WIN_W)
     mo = meta_s.reshape(wcap // CHUNK, CHUNK)
     meta_chunks = jnp.pad(mo, ((0, 0), (0, WIN_W - CHUNK)))
@@ -339,7 +404,8 @@ def raster_sprites_splat(fb_planar, packed, atlas_planar, *, win_h=40,
 
     # ---- 4. column-group passes ----
     sdt = jnp.bfloat16 if sample_dtype == "bf16" else jnp.float32
-    atlas_stacked = atlas_planar.reshape(4 * ah, aw)
+    atlas_stacked = atlas_planar[3] if alpha_only \
+        else atlas_planar.reshape(4 * ah, aw)
     accs = []
     for p in range(n_passes):
         c_lo = p * cols_pp
@@ -354,14 +420,17 @@ def raster_sprites_splat(fb_planar, packed, atlas_planar, *, win_h=40,
             grid=(1,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),       # meta chunks
-                pl.BlockSpec(memory_space=pl.ANY),       # record chunks
+                # records pinned to HBM: under ANY the 12.6 MB table
+                # fits VMEM and Mosaic then rejects the (1, 512) row
+                # slice for the SMEM-bound DMA (sublane tiling)
+                pl.BlockSpec(memory_space=pltpu.HBM),    # record chunks
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # atlas (stacked)
             ],
             out_specs=[
                 pl.BlockSpec((n_cols, hp, WIN_W), lambda *_: (0, 0, 0),
                              memory_space=pltpu.VMEM)] * 4,
             scratch_shapes=[
-                pltpu.VMEM((2, CHUNK * 32 // WIN_W, WIN_W), jnp.float32),
+                pltpu.SMEM((2, CHUNK * 32 // WIN_W, WIN_W), jnp.float32),
                 pltpu.SMEM((2, WIN_W), jnp.int32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
@@ -372,7 +441,8 @@ def raster_sprites_splat(fb_planar, packed, atlas_planar, *, win_h=40,
         out = pl.pallas_call(
             partial(_splat_kernel, win_h=win_h, ah=ah, aw=aw,
                     bilinear=bilinear, c_lo=c_lo, n_cols=n_cols,
-                    sample_dtype=sdt),
+                    sample_dtype=sdt, rotated=rotated,
+                    alpha_only=alpha_only),
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((n_cols, hp, WIN_W), jnp.float32)
                        ] * 4,

@@ -144,7 +144,7 @@ def make_sprite_pass(width, height, tile_h=32, tile_w=128,
                      pairs_per_sprite=4, max_per_tile=256, bilinear=True,
                      backend="auto", max_visible=None, max_cameras=1,
                      sprite_batch=8, sample_dtype="f32", mode="tiles",
-                     win_h=40):
+                     win_h=40, rotated=True, alpha_only=False):
     """The 2D transparent pass (ref: queue_sprites → Transparent2d sorted
     phase → instanced draw, render/mod.rs:499). Static raster config is
     closed over — it shapes the XLA program.
@@ -218,7 +218,8 @@ def make_sprite_pass(width, height, tile_h=32, tile_w=128,
                     fb, packed, atlas.data.transpose(2, 0, 1),
                     win_h=win_h, windows_per_sprite=pairs_per_sprite,
                     max_visible=max_visible, bilinear=bilinear,
-                    sample_dtype=sample_dtype)
+                    sample_dtype=sample_dtype, rotated=rotated,
+                    alpha_only=alpha_only)
             elif backend == "pallas":
                 from bevy_tpu.ops.raster2d_pallas import raster_sprites_pallas
                 out, st = raster_sprites_pallas(
@@ -296,16 +297,22 @@ class SpritePlugin(Plugin):
     def __init__(self, tile_h=32, tile_w=128, pairs_per_sprite=4,
                  max_per_tile=256, bilinear=True, backend="auto",
                  max_visible=None, max_cameras=1, sprite_batch=8,
-                 sample_dtype="f32", mode="tiles", win_h=40):
+                 sample_dtype="f32", mode="tiles", win_h=40,
+                 rotated=True, alpha_only=False):
         # sample_dtype="bf16" runs the kernel's texture-sampling matmuls
         # in bfloat16 (GPU texture-filter precision class) — opt-in for
-        # stress scenes; f32 keeps bit-parity with the XLA reference path
+        # stress scenes; f32 keeps bit-parity with the XLA reference path.
+        # rotated=False / alpha_only=True are splat-mode static
+        # specializations (no sprite rotates / atlas RGB planes are all
+        # ones) — the pipeline-specialization-key analogue; see
+        # ops/raster2d_splat.py
         self.cfg = dict(tile_h=tile_h, tile_w=tile_w,
                         pairs_per_sprite=pairs_per_sprite,
                         max_per_tile=max_per_tile, bilinear=bilinear,
                         backend=backend, max_visible=max_visible,
                         max_cameras=max_cameras, sprite_batch=sprite_batch,
-                        sample_dtype=sample_dtype, mode=mode, win_h=win_h)
+                        sample_dtype=sample_dtype, mode=mode, win_h=win_h,
+                        rotated=rotated, alpha_only=alpha_only)
 
     def build(self, app):
         from bevy_tpu.render.plugin import RenderPlugin

@@ -117,8 +117,13 @@ def build_app(width=1280, height=720, capacity=131072, spawn_budget=256,
                                  pairs_per_sprite=2,  # birds span <= 2 windows
                                  sprite_batch=sprite_batch,
                                  # sort-free window-splat raster + GPU-
-                                 # texture-filter-class bf16 sampling
-                                 mode=mode, sample_dtype=sample_dtype))
+                                 # texture-filter-class bf16 sampling;
+                                 # birds never rotate and the bird texture
+                                 # is a tinted alpha mask (RGB == 1), so
+                                 # the kernel's static specializations
+                                 # apply (see ops/raster2d_splat.py)
+                                 mode=mode, sample_dtype=sample_dtype,
+                                 rotated=False, alpha_only=True))
     app.insert_resource(ClearColor(color=tuple(np.asarray(srgba(0.1, 0.1, 0.12)))))
 
     # atlas sized to content: its width/height are the K dims of the

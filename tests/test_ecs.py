@@ -397,3 +397,34 @@ def test_required_components_device_spawn():
     rows = w.query_rows(Engine)
     pw = np.asarray(jax.device_get(w.column(Engine, "power")))[rows]
     assert (pw == 3.0).all()
+
+
+def test_same_class_name_across_modules_gets_distinct_storage():
+    """Two DIFFERENT classes sharing a snake name must not alias onto one
+    storage pool (ref: full type paths disambiguate in bevy_reflect)."""
+    import types
+
+    from bevy_tpu.ecs.component import component as comp_dec, field as f
+    from bevy_tpu.ecs.world import World
+
+    m1 = types.ModuleType("fake_mod_a")
+    m2 = types.ModuleType("fake_mod_b")
+
+    class Health:
+        value = f((), jnp.float32, default=1.0)
+    Health.__module__ = m1.__name__
+    H1 = comp_dec(Health)
+
+    class Health:  # noqa: F811 — deliberate same-name redefinition
+        hp = f((), jnp.float32, default=2.0)
+    Health.__module__ = m2.__name__
+    H2 = comp_dec(Health)
+
+    from bevy_tpu.ecs.component import get_spec
+    assert get_spec(H1).name != get_spec(H2).name
+
+    w = World(capacity=4)
+    e1 = w.spawn(H1(value=42.0))
+    e2 = w.spawn(H2(hp=7.0))
+    assert float(w.get(e1, H1).value) == 42.0
+    assert float(w.get(e2, H2).hp) == 7.0

@@ -3,12 +3,9 @@ CPU; ref: ops/raster2d_splat.py — the sort-free bevymark-class path)."""
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from bevy_tpu.ops.raster2d import pack_sprite_instances, raster_sprites
 from bevy_tpu.ops.raster2d_splat import raster_sprites_splat
-
-pytestmark = pytest.mark.smoke
 
 
 def _rand_insts(rng, n, w, h, rot=False, big=False):
@@ -24,16 +21,19 @@ def _rand_insts(rng, n, w, h, rot=False, big=False):
         active=jnp.asarray(rng.rand(n) < 0.8))
 
 
-def _run_both(insts, w=256, h=96, atlas_hw=8, max_visible=None, passes=2):
+def _run_both(insts, w=256, h=96, atlas_hw=8, max_visible=None, passes=2,
+              rotated=True, alpha_only=False):
     rng = np.random.RandomState(7)
     packed = pack_sprite_instances(**insts)
     fb = jnp.zeros((h, w, 4), jnp.float32).at[:, :, 1].set(0.25)
     atlas = jnp.asarray(rng.uniform(0, 1, (atlas_hw, atlas_hw, 4)), jnp.float32)
+    if alpha_only:
+        atlas = atlas.at[:, :, :3].set(1.0)
     ref, _ = raster_sprites(fb, packed, atlas, bilinear=True)
     out, stats = raster_sprites_splat(
         fb.transpose(2, 0, 1), packed, atlas.transpose(2, 0, 1),
         bilinear=True, interpret=True, max_visible=max_visible,
-        passes=passes)
+        passes=passes, rotated=rotated, alpha_only=alpha_only)
     return np.asarray(ref), np.asarray(out).transpose(1, 2, 0), stats
 
 
@@ -48,6 +48,23 @@ def test_splat_matches_reference_rotated_solid():
     insts = _rand_insts(rng, 24, 256, 96, rot=True)
     insts["tex"] = jnp.full(24, -1, jnp.int32)
     ref, out, _ = _run_both(insts)
+    assert np.abs(ref - out).max() < 1e-5
+
+
+def test_splat_axis_aligned_specialization_matches():
+    # rotated=False static path (separable row/col coverage) must be
+    # identical to the reference for unrotated sprites
+    rng = np.random.RandomState(11)
+    ref, out, _ = _run_both(_rand_insts(rng, 40, 256, 96), rotated=False)
+    assert np.abs(ref - out).max() < 1e-5
+
+
+def test_splat_alpha_only_specialization_matches():
+    # alpha_only=True static path (atlas RGB == 1) vs reference with an
+    # all-ones-RGB atlas; mixed textured + solid sprites
+    rng = np.random.RandomState(12)
+    insts = _rand_insts(rng, 40, 256, 96)
+    ref, out, _ = _run_both(insts, rotated=False, alpha_only=True)
     assert np.abs(ref - out).max() < 1e-5
 
 

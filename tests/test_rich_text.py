@@ -10,7 +10,6 @@ from bevy_tpu.render.rich_text import (
     visual_order,
 )
 
-pytestmark = pytest.mark.smoke
 
 HEB = "שלום"          # shalom
 ARA = "بسم"                 # beh-seen-meem

@@ -62,4 +62,5 @@ def test_partial_component_filter():
     w.spawn(Transform(), Health())
     snap = save_world(w, components=[Health])
     assert "transform" not in snap["entities"][0]["components"]
-    assert "health" in snap["entities"][0]["components"]
+    from bevy_tpu.ecs.component import get_spec
+    assert get_spec(Health).name in snap["entities"][0]["components"]
