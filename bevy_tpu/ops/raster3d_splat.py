@@ -841,7 +841,11 @@ def fused_eval_composite(depth, winner, zrec, owner, meta, wvalid, *,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK_WIN, rrows, WIN_W), jnp.float32),
+            # records land in SMEM: every field read is a scalar, and
+            # the ~64 scalar loads per window out of a VMEM tile were
+            # the dominant per-window fixed cost (same lever as
+            # raster2d_splat, round 4)
+            pltpu.SMEM((2, CHUNK_WIN, rrows, WIN_W), jnp.float32),
             pltpu.SMEM((2, 128), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,

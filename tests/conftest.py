@@ -40,7 +40,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 # fast `ci` job vs the heavier split jobs).
 _SMOKE_TIER_FILES = {
     # ECS + app + schedule core
-    "test_ecs.py", "test_app.py", "test_observer.py",
+    "test_ecs.py", "test_examples_ecs.py", "test_app.py", "test_observer.py",
     "test_relationship.py", "test_removed.py", "test_stepping.py",
     "test_disabling_oneshot.py", "test_state.py", "test_transform.py",
     # foundations

@@ -12,6 +12,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
 
 @pytest.mark.parametrize("name", [
     "3d_scene", "transparency_3d", "ui_showcase", "post_processing",
+    "color_animation",
 ])
 def test_example_renders(name):
     import importlib
