@@ -30,13 +30,13 @@ def main():
     state = app.world.state
     for _ in range(3):
         state = step(state)
-    jax.device_get(state["frame"][0, 0, 0])
+    jax.device_get(state["frame"])
     print("compiled", flush=True)
     t0 = pytime.perf_counter()
     n = 20
     for _ in range(n):
         state = step(state)
-    jax.device_get(state["frame"][0, 0, 0])
+    jax.device_get(state["frame"])
     ms = (pytime.perf_counter() - t0) / n * 1000.0
     print(f"many_cubes: {ms:.3f} ms/frame", flush=True)
 
@@ -44,7 +44,7 @@ def main():
         jax.profiler.start_trace("/tmp/many_cubes_trace")
         for _ in range(3):
             state = step(state)
-        jax.device_get(state["frame"][0, 0, 0])
+        jax.device_get(state["frame"])
         jax.profiler.stop_trace()
         print("traced", flush=True)
         import glob

@@ -199,6 +199,98 @@ class WavOutput:
         return self.path
 
 
+class PipeOutput:
+    """Real-device output via an `aplay`-compatible subprocess (ref:
+    audio_output.rs — the rodio OutputStream role, as a pipe to the
+    system player). Mixed f32 chunks are converted to 16-bit PCM and
+    streamed to the child's stdin:
+
+        AudioPlugin(output=PipeOutput())          # /usr/bin/aplay
+        AudioPlugin(output=PipeOutput(["pacat", "--format=s16le"]))
+
+    Raises FileNotFoundError at construction when the player binary is
+    absent, so headless images fail fast and fall back to WavOutput."""
+
+    def __init__(self, command=None, sample_rate=44100):
+        import subprocess
+
+        self.sample_rate = sample_rate
+        cmd = command or ["aplay", "-q", "-f", "S16_LE",
+                          "-r", str(sample_rate), "-c", "1", "-t", "raw"]
+        self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
+        self.frames_written = 0
+
+    def push(self, samples: np.ndarray):
+        pcm = (np.clip(np.asarray(samples, np.float32), -1, 1)
+               * 32767).astype(np.int16)
+        self.proc.stdin.write(pcm.tobytes())
+        self.proc.stdin.flush()
+        self.frames_written += len(pcm)
+
+    def close(self):
+        if self.proc.stdin:
+            self.proc.stdin.close()
+        self.proc.wait(timeout=5)
+
+
+class AlsaOutput:
+    """Direct ALSA PCM output via ctypes on libasound (ref:
+    audio_output.rs:9 — the cpal/rodio device; feature-flagged: construct
+    only where /dev/snd exists). Uses the blocking writei API on the
+    `default` device, S16_LE mono."""
+
+    def __init__(self, device=b"default", sample_rate=44100):
+        import ctypes
+
+        self._lib = ctypes.CDLL("libasound.so.2")   # raises when absent
+        self.sample_rate = sample_rate
+        self._pcm = ctypes.c_void_p()
+        # SND_PCM_STREAM_PLAYBACK = 0, blocking mode = 0
+        rc = self._lib.snd_pcm_open(ctypes.byref(self._pcm), device, 0, 0)
+        if rc < 0:
+            raise OSError(f"snd_pcm_open failed: {rc}")
+        # format SND_PCM_FORMAT_S16_LE=2, access RW_INTERLEAVED=3,
+        # 1 channel, latency 100ms
+        rc = self._lib.snd_pcm_set_params(
+            self._pcm, 2, 3, 1, sample_rate, 1, 100000)
+        if rc < 0:
+            raise OSError(f"snd_pcm_set_params failed: {rc}")
+        self.frames_written = 0
+
+    def push(self, samples: np.ndarray):
+        import ctypes
+
+        pcm = (np.clip(np.asarray(samples, np.float32), -1, 1)
+               * 32767).astype(np.int16)
+        buf = pcm.tobytes()
+        n = self._lib.snd_pcm_writei(
+            self._pcm, ctypes.c_char_p(buf), len(pcm))
+        if n < 0:                        # underrun etc: try to recover
+            self._lib.snd_pcm_recover(self._pcm, n, 1)
+            n = self._lib.snd_pcm_writei(
+                self._pcm, ctypes.c_char_p(buf), len(pcm))
+        self.frames_written += max(int(n), 0)
+
+    def close(self):
+        self._lib.snd_pcm_drain(self._pcm)
+        self._lib.snd_pcm_close(self._pcm)
+
+
+def open_audio_output(path_fallback="/tmp/bevy_tpu_audio.wav",
+                      sample_rate=44100):
+    """Best real output available: ALSA device → aplay pipe → WAV drain
+    (the reference's device enumeration fallback, flattened)."""
+    try:
+        return AlsaOutput(sample_rate=sample_rate)
+    except Exception:
+        pass
+    try:
+        return PipeOutput(sample_rate=sample_rate)
+    except Exception:
+        pass
+    return WavOutput(path_fallback, sample_rate=sample_rate)
+
+
 class AudioPlugin(Plugin):
     """ref: AudioPlugin — exposes `app.audio` (mixer), registers the
     .wav loader with the asset server if present, and (when `output` is

@@ -37,3 +37,45 @@ def test_stereo_spatial_pan():
     out = m.render_stereo(800)
     assert out.shape == (800, 2)
     assert np.abs(out[:, 1]).max() > np.abs(out[:, 0]).max() * 2
+
+
+def test_pipe_output_streams_pcm(tmp_path):
+    """PipeOutput drives an aplay-compatible player; a stand-in binary
+    captures the PCM stream so the device path is exercised headless."""
+    import numpy as np
+
+    from bevy_tpu.audio import PipeOutput
+
+    sink = tmp_path / "captured.pcm"
+    fake = tmp_path / "fake_aplay"
+    fake.write_text("#!/bin/sh\ncat > " + str(sink) + "\n")
+    fake.chmod(0o755)
+
+    out = PipeOutput(command=[str(fake)])
+    tone = np.sin(np.linspace(0, 2 * np.pi * 10, 4410)).astype(np.float32)
+    out.push(tone)
+    out.close()
+    data = np.frombuffer(sink.read_bytes(), np.int16)
+    assert len(data) == 4410
+    assert abs(int(data.max()) - 32767) < 64          # full-scale sine
+    assert out.frames_written == 4410
+
+
+def test_alsa_output_unavailable_raises_cleanly():
+    """Without libasound (headless image) AlsaOutput must raise at
+    construction — the open_audio_output chain then falls back."""
+    import pytest
+
+    from bevy_tpu.audio import AlsaOutput, WavOutput, open_audio_output
+
+    try:
+        import ctypes
+        ctypes.CDLL("libasound.so.2")
+        has_alsa = True
+    except OSError:
+        has_alsa = False
+    if not has_alsa:
+        with pytest.raises(Exception):
+            AlsaOutput()
+        out = open_audio_output()
+        assert isinstance(out, WavOutput)  # no aplay in the image either
