@@ -14,10 +14,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
 APP_EXAMPLES = [
     "change_detection", "iter_combinations", "generic_system",
     "system_piping", "states", "sub_states", "timers",
-    "keyboard_modifiers", "eased_motion",
+    "keyboard_modifiers", "eased_motion", "headless", "hello_world",
+    "plugin_group", "dynamic_components", "system_stepping",
+    "custom_diagnostic", "parenting", "logs", "async_compute",
+    "loading_screen",
 ]
 
-HOST_EXAMPLES = ["serialization", "function_reflection"]
+HOST_EXAMPLES = ["serialization", "function_reflection", "soundtrack",
+                 "pitch", "custom_asset", "bounding_2d",
+                 "viewport_to_world", "reflection"]
 
 
 @pytest.mark.parametrize("name", APP_EXAMPLES)

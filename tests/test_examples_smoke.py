@@ -12,7 +12,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
 
 @pytest.mark.parametrize("name", [
     "3d_scene", "transparency_3d", "ui_showcase", "post_processing",
-    "color_animation",
+    "color_animation", "move_sprite", "sprite_flipping", "contributors",
+    "game_menu", "tilemap", "repeated_texture", "desk_toy",
 ])
 def test_example_renders(name):
     import importlib
