@@ -775,7 +775,10 @@ def resolve_gbuf_flat(winner, frec_a, frec_b, gbuf):
 
 def resolve_flat(winner, flat_rec, color_planar):
     """Compose per-pixel colors from flat-shade records (one 8-wide row
-    gather; winner == -1 keeps the input)."""
+    gather; winner == -1 keeps the input). (Round 4 A/B: narrowing the
+    table to its 4 live lanes before the gather measured NEUTRAL-to-
+    worse, 33.3 → 33.8 ms — the gather is row-count-bound, not
+    byte-bound, and 8-wide rows stay the fast-gather regime.)"""
     ok = winner >= 0
     rec = flat_rec[jnp.maximum(winner, 0)]       # (H, W, 8)
     out_p = jnp.moveaxis(rec[..., 0:4], -1, 0)

@@ -53,9 +53,10 @@ def build_app(n_cubes=160_000, width=1280, height=720, capacity=None,
               max_per_tile=3072, pairs_per_tri=2, backend="auto",
               tile_h=16, tile_w=128, window_budget=131072,
               eval_tris=8, cull_budget=65536, shards=None) -> App:
-    cap = capacity or 1
-    while cap < n_cubes + 8:
-        cap *= 2
+    # size the world to the scene (+ a little headroom): every pool-wide
+    # op (propagation, culls, masks) scales with capacity, and the next
+    # power of two above 160k would be 1.6x the content
+    cap = capacity or ((n_cubes + 4103) // 8 * 8)
     app = App(capacity=cap)
     # eval_tris=8: a convex cube shows at most ~7 front-facing triangles,
     # so the compacted-cluster eval loop caps safely (see raster3d_splat).
