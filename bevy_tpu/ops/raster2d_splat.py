@@ -419,7 +419,7 @@ def raster_sprites_splat(fb_planar, packed, atlas_planar, *, win_h=40,
             num_scalar_prefetch=1,
             grid=(1,),
             in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),       # meta chunks
+                pl.BlockSpec(memory_space=pltpu.HBM),    # meta chunks
                 # records pinned to HBM: under ANY the 12.6 MB table
                 # fits VMEM and Mosaic then rejects the (1, 512) row
                 # slice for the SMEM-bound DMA (sublane tiling)

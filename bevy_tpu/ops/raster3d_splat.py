@@ -828,8 +828,12 @@ def fused_eval_composite(depth, winner, zrec, owner, meta, wvalid, *,
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),            # meta chunks
-            pl.BlockSpec(memory_space=pl.ANY),            # record rows
+            # meta + records pinned to HBM: under ANY the compiler
+            # stages the 4 MB meta table into VMEM through serialized
+            # async copies (4 x 4.5 ms spans in the round-4 profile) —
+            # the kernel already streams rows to SMEM itself
+            pl.BlockSpec(memory_space=pltpu.HBM),         # meta chunks
+            pl.BlockSpec(memory_space=pltpu.HBM),         # record rows
             pl.BlockSpec(memory_space=pltpu.SMEM),        # scissor
             pl.BlockSpec(memory_space=pl.ANY),            # depth (HBM)
             pl.BlockSpec(memory_space=pl.ANY),            # winner (HBM)
@@ -908,8 +912,8 @@ def composite_windows(depth, winner, windows, owner, meta, wvalid, *,
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),            # meta chunks
-            pl.BlockSpec(memory_space=pl.ANY),            # window chunks
+            pl.BlockSpec(memory_space=pltpu.HBM),         # meta chunks
+            pl.BlockSpec(memory_space=pltpu.HBM),         # window chunks
             pl.BlockSpec(memory_space=pl.ANY),            # depth (HBM)
             pl.BlockSpec(memory_space=pl.ANY),            # winner (HBM)
         ],

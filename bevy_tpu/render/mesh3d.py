@@ -305,7 +305,7 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                    pds_i=None, dmr_i=None, ray=None, parallax_layers=0,
                    material_fn=None, bias_i=None, uvt_i=None,
                    emr_i=None, mrr_i=None, ocr_i=None, refl_i=None,
-                   cl_extra=None, mesh_positions=None):
+                   cl_extra=None, mesh_positions=None, tri_mask=None):
     """Visibility-buffer raster of one uniform batch (ref: bevy meshlet sw
     raster, bevy_pbr/src/meshlet/ — cluster cull → visbuffer → material
     resolve). clip (Ni, VC, 4) clip-space positions, nrm (Ni, VC, 3) world
@@ -354,8 +354,13 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
     # padding tris (tc0..tcp) masked STATICALLY: they are degenerate
     # points whose det is only zero up to fp contraction — under jit,
     # FMA noise can make them pass the backface test with garbage
-    # planes that cover whole splat windows (the "band" bug)
+    # planes that cover whole splat windows (the "band" bug).
+    # tri_mask additionally kills INTERIOR degenerate padding (the
+    # cluster-DAG mesh pads every cluster to cs tris — see
+    # meshlet.build_cluster_dag)
     pad_ok = _np.arange(tcp) < tc0
+    if tri_mask is not None:
+        pad_ok = pad_ok & _np.asarray(tri_mask, bool)
     tri_ok = (inst_ok[:, None] & jnp.asarray(pad_ok)[None, :]).reshape(t)
 
     def _col(x, default):
@@ -1064,12 +1069,18 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                                 and len(rows_np) > cull_budget)
                     if use_cull:
                         gt_t_f = q.global_transform.translation[rows]
-                        gt_r_f = q.global_transform.rotation[rows]
                         gt_s_f = q.global_transform.scale[rows]
                         pos_np = np.asarray(m.positions, np.float32)
                         cen_np = (pos_np.min(0) + pos_np.max(0)) * 0.5
                         rad_np = float(np.linalg.norm(
                             pos_np - cen_np, axis=1).max())
+                        # NOTE round-4 A/B: deferring the rotation
+                        # gather past the compaction measured WORSE
+                        # (33.2 -> 37.0 ms): [rows] here is a STATIC
+                        # index array (compiles to overlapped async
+                        # slices), while a post-cull [rows[ids]] gather
+                        # is dynamic and runs on the scalar core
+                        gt_r_f = q.global_transform.rotation[rows]
                         wc = gt_t_f + quat_rotate_vec3(
                             gt_r_f, jnp.asarray(cen_np)[None] * gt_s_f)
                         r_i = rad_np * jnp.max(jnp.abs(gt_s_f), axis=1)
@@ -1226,6 +1237,24 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                     # for cluster-heavy meshes, where interior nodes
                     # gate whole subtrees for 8 corners each
                     cl_extra = None
+                    dag = plugin._dags.get(grp["mesh"]) \
+                        if plugin is not None else None
+                    if dag is not None:
+                        # cluster-DAG LOD cut (ref: the meshlet runtime
+                        # cut of cull_bvh.wesl): per instance, pick the
+                        # one DAG level-slice whose projected group
+                        # error brackets the pixel threshold — a dense
+                        # hero mesh renders with a mixed-level cut
+                        from bevy_tpu.math.quat import quat_conjugate
+                        from bevy_tpu.render.meshlet import select_dag_cut
+                        cam_w = cam_gt.translation[ci]
+                        smax = jnp.max(gt_s, axis=-1, keepdims=True)
+                        cam_local = quat_rotate_vec3(
+                            quat_conjugate(gt_r),
+                            cam_w[None] - gt_t) / jnp.maximum(smax, 1e-8)
+                        cl_extra = jax.vmap(lambda cp: select_dag_cut(
+                            cp, dag["info"], cam.camera3d.fov[ci],
+                            height, dag["threshold_px"]))(cam_local)
                     if plugin._bvh_cull and m.num_triangles >= 12 * 64:
                         from bevy_tpu.ops.bvh import (
                             build_cluster_bvh, bvh_cull,
@@ -1237,7 +1266,9 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                                     m.positions, m.triangles, 12))
                         lv_b, order_b = plugin._bvh[key]
                         ncl_m = (m.num_triangles + 11) // 12
-                        cl_extra = bvh_cull(lv_b, order_b, mvp, ncl_m)
+                        bvh_ok = bvh_cull(lv_b, order_b, mvp, ncl_m)
+                        cl_extra = bvh_ok if cl_extra is None \
+                            else (cl_extra & bvh_ok)
                     raster_batched(
                         clip, nrm, m.triangles, inst_ok,
                         q.mesh_material.base_color[rows],
@@ -1269,6 +1300,8 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         corner_uv=cuv, uvr_i=uvr, visible_budget=visible_budget,
                         atlas=matlas.data if has_tex else None,
                         cl_extra=cl_extra,
+                        tri_mask=dag["info"]["tri_valid"]
+                        if dag is not None else None,
                         flat_ok=flat_ok, vis_state=vs,
                         phase_budget=phase_budget, tan_i=tan, nmr_i=nmr,
                         lmr_i=lmr, material_fn=material_fn,
@@ -1448,6 +1481,7 @@ class Mesh3dPlugin(Plugin):
         self._uniform = None
         self._groups = None
         self._lod_chains = {}      # mesh id -> {ids, errors, threshold}
+        self._dags = {}            # mesh id -> {info, threshold_px} (DAG LOD)
         self._bvh = {}             # mesh id -> (levels, order) bvh cache
         self._bvh_cull = bvh_cull  # opt-in hierarchical cluster cull
         # shards: None, a device count, or a jax.sharding.Mesh — flat
@@ -1544,4 +1578,21 @@ class Mesh3dPlugin(Plugin):
             self._lod_chains[mid] = {
                 "ids": ids, "errors": errors,
                 "threshold_px": lod_threshold_px}
+        return mid
+
+    def add_mesh_dag(self, mesh, threshold_px: float = 1.0,
+                     group_size: int = 4, max_levels: int = 16) -> int:
+        """Register a dense mesh with cluster-DAG LOD (ref:
+        bevy_pbr/src/meshlet/from_mesh.rs — per-cluster-group QEM
+        simplification building a DAG; the mesh pass selects a
+        mixed-level cut WITHIN the mesh each frame via the projected
+        group-error test). The registered mesh holds every DAG level's
+        clusters; typically ~2x the source triangle count, of which one
+        cut's worth draws per frame."""
+        from bevy_tpu.render.meshlet import build_cluster_dag
+        cs = 12                      # the pipeline's cluster unit
+        dag_mesh, info = build_cluster_dag(
+            mesh, cs=cs, group_size=group_size, max_levels=max_levels)
+        mid = self.pool.add(dag_mesh)
+        self._dags[mid] = {"info": info, "threshold_px": threshold_px}
         return mid
