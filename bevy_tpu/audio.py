@@ -213,24 +213,52 @@ class PipeOutput:
 
     def __init__(self, command=None, sample_rate=44100):
         import subprocess
+        import time
 
         self.sample_rate = sample_rate
         cmd = command or ["aplay", "-q", "-f", "S16_LE",
                           "-r", str(sample_rate), "-c", "1", "-t", "raw"]
         self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
         self.frames_written = 0
+        self.dead = False
+        # Prime: a player binary that exists but has no device exits
+        # right after startup; writing then raises BrokenPipeError from
+        # the mixer drain. Probe with a short silent write + poll so
+        # open_audio_output can fall through to WavOutput instead.
+        try:
+            self.proc.stdin.write(b"\x00\x00" * 64)
+            self.proc.stdin.flush()
+            time.sleep(0.05)
+            if self.proc.poll() is not None:
+                raise OSError(
+                    f"player exited rc={self.proc.returncode} (no device?)")
+        except (BrokenPipeError, OSError):
+            self.close()
+            raise
 
     def push(self, samples: np.ndarray):
+        if self.dead:
+            return
         pcm = (np.clip(np.asarray(samples, np.float32), -1, 1)
                * 32767).astype(np.int16)
-        self.proc.stdin.write(pcm.tobytes())
-        self.proc.stdin.flush()
+        try:
+            self.proc.stdin.write(pcm.tobytes())
+            self.proc.stdin.flush()
+        except (BrokenPipeError, OSError):
+            self.dead = True          # device vanished mid-run: go silent
+            return
         self.frames_written += len(pcm)
 
     def close(self):
-        if self.proc.stdin:
-            self.proc.stdin.close()
-        self.proc.wait(timeout=5)
+        try:
+            if self.proc.stdin:
+                self.proc.stdin.close()
+        except (BrokenPipeError, OSError):
+            pass
+        try:
+            self.proc.wait(timeout=5)
+        except Exception:
+            self.proc.kill()
 
 
 class AlsaOutput:

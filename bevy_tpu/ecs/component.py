@@ -94,14 +94,33 @@ _NAMES: Dict[str, type] = {}
 
 
 def _claim_name(cls, base: str) -> str:
-    owner = _NAMES.get(base)
-    if owner is None or (owner.__module__ == cls.__module__
-                         and owner.__qualname__ == cls.__qualname__):
-        _NAMES[base] = cls          # fresh name, or same type re-imported
+    # identity-based: any DISTINCT class object gets its own storage name
+    # (two same-named classes across modules, function-local duplicates,
+    # module re-execution all included) — a collision must never alias
+    # two components onto one pool. Qualified/countered names stay
+    # addressable by bare suffix (reflect_path/scene strip the module
+    # prefix and '#n' counter when matching).
+    if _NAMES.get(base) in (None, cls):
+        _NAMES[base] = cls
         return base
     qual = f"{cls.__module__}.{base}"
-    _NAMES[qual] = cls
-    return qual
+    if _NAMES.get(qual) in (None, cls):
+        _NAMES[qual] = cls
+        return qual
+    n = 2
+    while True:
+        cand = f"{qual}#{n}"
+        if _NAMES.get(cand) in (None, cls):
+            _NAMES[cand] = cls
+            return cand
+        n += 1
+
+
+def bare_name(name: str) -> str:
+    """Strip module qualification and '#n' counter from a storage name
+    ('mymod.ship#2' → 'ship') — the short-type-path view used by
+    reflect-path and snapshot name resolution."""
+    return name.rsplit(".", 1)[-1].split("#", 1)[0]
 
 
 def get_spec(comp) -> ComponentSpec:

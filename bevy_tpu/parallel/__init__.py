@@ -85,7 +85,7 @@ def collective_inventory(hlo_text: str):
     out = {}
     pat = re.compile(
         r"=\s*(?:\(([^)]*)\)|(\w+)\[([\d,]*)\][^ ]*)\s*(%?)("
-        + "|".join(_COLLECTIVES) + r")(?:-start)?\(")
+        + "|".join(_COLLECTIVES) + r")(-start)?\(")
     grp_pat = re.compile(r"replica_groups=\{(\{[^=]*?\})\}")
     for line in hlo_text.splitlines():
         m = pat.search(line)
@@ -93,8 +93,15 @@ def collective_inventory(hlo_text: str):
             continue
         op = m.group(5)
         if m.group(1) is not None:           # tuple result
+            parts = list(re.finditer(r"(\w+)\[([\d,]*)\]", m.group(1)))
+            if m.group(6):
+                # async '-start' form: the tuple aliases the operand
+                # buffer(s) ahead of the output — counting them doubles
+                # the reported comm volume. Count the LAST element only
+                # (the result shape of the eventual '-done').
+                parts = parts[-1:]
             size = 0
-            for part in re.finditer(r"(\w+)\[([\d,]*)\]", m.group(1)):
+            for part in parts:
                 n = 1
                 for x in part.group(2).split(","):
                     if x:

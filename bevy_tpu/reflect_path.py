@@ -180,10 +180,46 @@ def path_set(obj, path: Union[str, Tuple[Access, ...]], value):
 # ---- world-level path access (component-name head segment) ----
 
 def _resolve_component(world, name: str):
+    # exact / case-insensitive match first
     for spec_name, spec in world.specs.items():
         if spec_name == name or spec_name.lower() == name.lower():
             return spec
+    # unique-suffix match: a component registered under a module-qualified
+    # storage name ("mymod.ship", see ecs/component._claim_name) must stay
+    # addressable by its bare class name when that is unambiguous in THIS
+    # world (ref: bevy_reflect short type-path lookup,
+    # bevy_reflect/src/type_registry.rs get_with_short_type_path).
+    from bevy_tpu.ecs.component import bare_name
+    low = name.lower()
+    hits = [spec for spec_name, spec in world.specs.items()
+            if bare_name(spec_name).lower() == low]
+    if len(hits) == 1:
+        return hits[0]
+    if len(hits) > 1:
+        raise PathApplyError(
+            f"ambiguous component {name!r}: matches "
+            f"{sorted(s.name for s in hits)} — use the qualified name")
     raise PathApplyError(f"unknown component {name!r}")
+
+
+def _resolve_component_head(world, accs):
+    """Match the LONGEST run of leading Field segments as the component
+    name — module-qualified storage names contain dots ("mymod.ship"),
+    which the path parser splits into separate segments. Returns
+    (spec, remaining_accs)."""
+    best = None
+    joined = ""
+    for k, acc in enumerate(accs):
+        if not isinstance(acc, Field):
+            break
+        joined = f"{joined}.{acc.name}" if joined else acc.name
+        try:
+            best = (_resolve_component(world, joined), accs[k + 1:])
+        except PathApplyError:
+            continue
+    if best is None:
+        _resolve_component(world, accs[0].name)   # raise with best message
+    return best
 
 
 def reflect_entity_get(world, entity, path: str):
@@ -192,11 +228,11 @@ def reflect_entity_get(world, entity, path: str):
     accs = parse_path(path)
     if not accs or not isinstance(accs[0], Field):
         raise PathParseError("path must start with a component name")
-    spec = _resolve_component(world, accs[0].name)
+    spec, rest = _resolve_component_head(world, accs)
     ns = world.get(entity, spec.cls)
-    if len(accs) == 1:
+    if not rest:
         return ns
-    return path_get(ns, accs[1:])
+    return path_get(ns, rest)
 
 
 def reflect_entity_set(world, entity, path: str, value):
@@ -204,20 +240,22 @@ def reflect_entity_set(world, entity, path: str, value):
     nested update, writes back ONLY the touched field via set_field (other
     fields untouched, changed tick stamped)."""
     accs = parse_path(path)
-    if len(accs) < 2 or not isinstance(accs[0], Field) or \
-            not isinstance(accs[1], (Field, FieldAt)):
+    if len(accs) < 2 or not isinstance(accs[0], Field):
         raise PathParseError(
             "path must be 'component.field…' for entity writes")
-    spec = _resolve_component(world, accs[0].name)
+    spec, rest = _resolve_component_head(world, accs)
+    if not rest or not isinstance(rest[0], (Field, FieldAt)):
+        raise PathParseError(
+            "path must be 'component.field…' for entity writes")
     ns = world.get(entity, spec.cls)
-    if isinstance(accs[1], FieldAt):
-        fname = list(vars(ns).keys())[accs[1].index]
+    if isinstance(rest[0], FieldAt):
+        fname = list(vars(ns).keys())[rest[0].index]
     else:
-        fname = accs[1].name
-    if len(accs) == 2:
+        fname = rest[0].name
+    if len(rest) == 1:
         new_val = value
     else:
         cur = getattr(ns, fname)
-        new_val = path_set(cur, accs[2:], value)
+        new_val = path_set(cur, rest[1:], value)
     world.set_field(entity, spec.cls, fname, new_val)
     return new_val

@@ -54,13 +54,7 @@ def load_world(world, snapshot: dict) -> Dict[int, Entity]:
     for ent in snapshot["entities"]:
         target = mapping[int(ent["entity"])]
         for name, fields in ent["components"].items():
-            spec = world.specs.get(name)
-            if spec is None:
-                # component type registered globally but not in this world
-                for cls, s in _registry_items():
-                    if s.name == name:
-                        spec = world.register_component(s)
-                        break
+            spec = _resolve_snapshot_component(world, name)
             if spec is None:
                 raise KeyError(f"unknown component '{name}' in snapshot")
             values = {}
@@ -75,6 +69,37 @@ def load_world(world, snapshot: dict) -> Dict[int, Entity]:
             from bevy_tpu.ecs.component import ComponentInstance
             world.insert(target, ComponentInstance(spec, values))
     return mapping
+
+
+def _resolve_snapshot_component(world, name: str):
+    """Storage names are registration-order dependent (first class with a
+    bare snake name keeps it; later same-named classes get module-
+    qualified — ecs/component._claim_name). A snapshot written in one
+    process must load in another with a different import order, so
+    resolve tolerantly: exact match in the world, exact in the global
+    registry, then unique bare-suffix match in either direction (ref:
+    bevy always keys by the deterministic full type path)."""
+    spec = world.specs.get(name)
+    if spec is not None:
+        return spec
+    # the target world's own components win over the global registry:
+    # a bare key written by another process most plausibly means "the
+    # component this world knows by that short name"
+    from bevy_tpu.ecs.component import bare_name
+    bare = bare_name(name)
+    hits = [s for n, s in world.specs.items() if bare_name(n) == bare]
+    if len(hits) == 1:
+        return hits[0]
+    if len(hits) > 1:
+        return None
+    for _cls, s in _registry_items():
+        if s.name == name:
+            return world.register_component(s)
+    hits = [s for _cls, s in _registry_items()
+            if bare_name(s.name) == bare]
+    if len(hits) == 1:
+        return world.register_component(hits[0])
+    return None
 
 
 def _remap(val, mapping):

@@ -56,8 +56,11 @@ def test_pipe_output_streams_pcm(tmp_path):
     out.push(tone)
     out.close()
     data = np.frombuffer(sink.read_bytes(), np.int16)
-    assert len(data) == 4410
-    assert abs(int(data.max()) - 32767) < 64          # full-scale sine
+    # construction primes the pipe with 64 silent samples (no-device
+    # probe) before the pushed tone
+    assert len(data) == 64 + 4410
+    assert not data[:64].any()
+    assert abs(int(data[64:].max()) - 32767) < 64     # full-scale sine
     assert out.frames_written == 4410
 
 
@@ -79,3 +82,38 @@ def test_alsa_output_unavailable_raises_cleanly():
             AlsaOutput()
         out = open_audio_output()
         assert isinstance(out, WavOutput)  # no aplay in the image either
+
+
+def test_pipe_output_dead_player_falls_back(tmp_path):
+    """A player binary that exists but exits immediately (no audio
+    device) must fail at construction so open_audio_output degrades to
+    WavOutput instead of BrokenPipeError-ing the mixer drain later."""
+    import pytest
+
+    from bevy_tpu.audio import PipeOutput
+
+    fake = tmp_path / "fake_aplay_nodev"
+    fake.write_text("#!/bin/sh\nexit 1\n")
+    fake.chmod(0o755)
+    with pytest.raises((OSError, BrokenPipeError)):
+        PipeOutput(command=[str(fake)])
+
+
+def test_pipe_output_mid_run_death_goes_silent(tmp_path):
+    """If the player dies mid-run, push() marks the output dead and
+    returns instead of raising from the mixer drain."""
+    import numpy as np
+
+    from bevy_tpu.audio import PipeOutput
+
+    sink = tmp_path / "c.pcm"
+    fake = tmp_path / "fake_aplay_dies"
+    # consume the prime + first chunk, then exit
+    fake.write_text("#!/bin/sh\nhead -c 9000 > " + str(sink) + "\nexit 0\n")
+    fake.chmod(0o755)
+    out = PipeOutput(command=[str(fake)])
+    tone = np.zeros(44100, np.float32)
+    for _ in range(8):
+        out.push(tone)                 # must not raise
+    assert out.dead
+    out.close()
