@@ -29,10 +29,10 @@ def main():
     state = app.world.state
     for _ in range(3):
         state = step(state)
-    jax.device_get(state["frame"][0, 0, 0])
+    jax.device_get(state["frame"])
     for _ in range(150):
         state = step(state)
-    jax.device_get(state["frame"][0, 0, 0])
+    jax.device_get(state["frame"])
     print("steady", flush=True)
 
     # timed steady state
@@ -40,7 +40,7 @@ def main():
     n = 30
     for _ in range(n):
         state = step(state)
-    jax.device_get(state["frame"][0, 0, 0])
+    jax.device_get(state["frame"])
     ms = (pytime.perf_counter() - t0) / n * 1000.0
     alive = int(np.asarray(jax.device_get(state["ent"]["alive"])).sum())
     print(f"bevymark {alive} birds: {ms:.3f} ms/frame")
@@ -49,7 +49,7 @@ def main():
     jax.profiler.start_trace("/tmp/bevymark_trace")
     for _ in range(3):
         state = step(state)
-    jax.device_get(state["frame"][0, 0, 0])
+    jax.device_get(state["frame"])
     jax.profiler.stop_trace()
     print("traced", flush=True)
 

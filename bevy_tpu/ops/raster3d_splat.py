@@ -69,9 +69,8 @@ def build_rec_rows(zrec, cs: int, ntri: int):
 
     Returns (ncl, rrows, 128) float32 rows, field stride REC_FIELDS
     (ntri=8 packs to a single 128-lane row per cluster — half the
-    ZREC-stride DMA bytes)."""
-    t = zrec.shape[0]
-    ncl = t // cs
+    ZREC-stride DMA bytes). zrec: (ncl*cs, ZREC) or (ncl, cs, ZREC)."""
+    ncl = zrec.shape[0] if zrec.ndim == 3 else zrec.shape[0] // cs
     r = zrec.reshape(ncl, cs, -1)[:, :, :REC_FIELDS]
     valid = r[:, :, 12] >= 0.0                     # tri_id < 0 = culled
     rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
@@ -172,8 +171,7 @@ def build_quad_rec_rows(zrec, cs: int, entries, nquad: int):
     ("tri", i) entries duplicate an edge plane as the 4th.
 
     Returns (ncl, rrows, 128) rows, valid-first like build_rec_rows."""
-    t = zrec.shape[0]
-    ncl = t // cs
+    ncl = zrec.shape[0] if zrec.ndim == 3 else zrec.shape[0] // cs
     r = zrec.reshape(ncl, cs, -1)
     qs, oks = [], []
     for e in entries:
@@ -786,8 +784,7 @@ def fused_eval_composite(depth, winner, zrec, owner, meta, wvalid, *,
                              constant_values=-1.0)
         dcol = depth.reshape(H, ncols, WIN_W).transpose(1, 0, 2)
         wcol = winner.reshape(H, ncols, WIN_W).transpose(1, 0, 2)
-    t = zrec.shape[0]
-    ncl = t // cs
+    ncl = zrec.shape[0] if zrec.ndim == 3 else zrec.shape[0] // cs
     ntri = cs if eval_tris is None else min(eval_tris, cs)
     b = owner.shape[0]
     bpad = (b + CHUNK_WIN - 1) // CHUNK_WIN * CHUNK_WIN

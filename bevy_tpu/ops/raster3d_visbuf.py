@@ -66,13 +66,19 @@ def pack_planes_h(cc, cn, valid, width, height, viewport=None,
                   dm_rect=None, em_rect=None, mr_rect=None, oc_rect=None):
     """Homogeneous (clipless) triangle setup.
 
-    cc: (T, 3, 4) clip-space corner positions; cn: (T, 3, 3) per-corner
-    world normals; valid: (T,) bool; materials: (T, 9) per-tri
-    [rgba, emissive rgb, metallic, roughness] or None; cuv: (T, 3, 2)
-    per-corner texture UVs or None; tex_rect: (T, 4) atlas uv rect
+    cc: (..., 3, 4) clip-space corner positions; cn: (..., 3, 3) per-corner
+    world normals; valid: (...,) bool; materials: (..., 9) per-tri
+    [rgba, emissive rgb, metallic, roughness] or None; cuv: (..., 3, 2)
+    per-corner texture UVs or None; tex_rect: (..., 4) atlas uv rect
     [u0, v0, u1, v1] or None (u1 <= u0 marks untextured — ref: the
     optional base_color_texture of StandardMaterial). Returns
-    (zrec (T, ZREC), srec (T, SREC), valid_out (T,)). Plane coefficients
+    (zrec (..., ZREC), srec (..., SREC), valid_out (...,)).
+
+    Leading dims are arbitrary batch dims — callers keep the natural
+    (ncl, cs) cluster layout so NO flat (ncl*cs, ...) relayout copies
+    materialize (the r4 many_cubes profile showed ~3.2 ms of layout
+    copies/reshapes feeding the flat API). Triangle ids are global row-
+    major over the leading dims, offset by id_base. Plane coefficients
     are in absolute framebuffer pixel coordinates (the viewport mapping is
     baked in, ref: Camera::viewport).
 
@@ -82,8 +88,11 @@ def pack_planes_h(cc, cn, valid, width, height, viewport=None,
     backface test, valid for any w signs. Edge planes are negated so the
     kernel's `<= 0` inside test matches the legacy kernels. Every
     projectively linear quantity q/w is the plane sum_i(q_i * e_i)."""
-    t = cc.shape[0]
-    x, y, w = cc[..., 0], cc[..., 1], cc[..., 3]   # (T, 3)
+    lead = cc.shape[:-2]
+    t = 1
+    for d in lead:
+        t *= int(d)
+    x, y, w = cc[..., 0], cc[..., 1], cc[..., 3]   # (..., 3)
     z = cc[..., 2]
     if viewport is None:
         vx0, vy0, vx1, vy1 = 0.0, 0.0, float(width), float(height)
@@ -94,9 +103,9 @@ def pack_planes_h(cc, cn, valid, width, height, viewport=None,
     X = 0.5 * vw * x + (0.5 * vw + vx0) * w
     Y = -0.5 * vh * y + (0.5 * vh + vy0) * w
     W = w
-    X0, X1, X2 = X[:, 0], X[:, 1], X[:, 2]
-    Y0, Y1, Y2 = Y[:, 0], Y[:, 1], Y[:, 2]
-    W0, W1, W2 = W[:, 0], W[:, 1], W[:, 2]
+    X0, X1, X2 = X[..., 0], X[..., 1], X[..., 2]
+    Y0, Y1, Y2 = Y[..., 0], Y[..., 1], Y[..., 2]
+    W0, W1, W2 = W[..., 0], W[..., 1], W[..., 2]
     # adjugate rows (adj @ M = det * I)
     a00 = Y1 * W2 - Y2 * W1
     a01 = X2 * W1 - X1 * W2
@@ -114,33 +123,33 @@ def pack_planes_h(cc, cn, valid, width, height, viewport=None,
     # det of exactly-degenerate tris a tiny NONZERO value, so `det < 0`
     # alone can admit garbage planes that cover whole splat windows):
     # 1. exact corner-coincidence (padding tris, collapsed mesh tris)
-    same01 = jnp.all(cc[:, 0] == cc[:, 1], -1)
-    same12 = jnp.all(cc[:, 1] == cc[:, 2], -1)
-    same02 = jnp.all(cc[:, 0] == cc[:, 2], -1)
+    same01 = jnp.all(cc[..., 0, :] == cc[..., 1, :], -1)
+    same12 = jnp.all(cc[..., 1, :] == cc[..., 2, :], -1)
+    same02 = jnp.all(cc[..., 0, :] == cc[..., 2, :], -1)
     valid = valid & ~(same01 | same12 | same02)
     # 2. relative sliver guard: |det|/max|adj| ~ the projected
     # triangle's smallest altitude in px; below ~1e-3 px the
     # inv_det-scaled coefficients make the f32 edge-test sign noise
     amax = jnp.max(jnp.abs(jnp.stack(
-        [a00, a01, a02, a10, a11, a12, a20, a21, a22], 1)), 1)
+        [a00, a01, a02, a10, a11, a12, a20, a21, a22], -1)), -1)
     valid = valid & (jnp.abs(det) > 1e-3 * amax)
     inv_det = jnp.where(det != 0.0, 1.0 / jnp.where(det != 0.0, det, 1.0), 0.0)
     gate = jnp.where(valid, inv_det, 0.0)   # zero records for culled tris
     # e_i = lambda_i/w planes; store NEGATED (kernel inside test is <= 0)
-    e = jnp.stack([a00, a01, a02, a10, a11, a12, a20, a21, a22], 1) * \
-        gate[:, None]                        # (T, 9) positive-inside planes
+    e = jnp.stack([a00, a01, a02, a10, a11, a12, a20, a21, a22], -1) * \
+        gate[..., None]                      # (..., 9) positive-inside planes
     neg_e = -e
 
-    def combo(q):  # q: (T, 3) corner values -> plane sum_i q_i * e_i
-        return (q[:, 0:1] * e[:, 0:3] + q[:, 1:2] * e[:, 3:6] +
-                q[:, 2:3] * e[:, 6:9])
+    def combo(q):  # q: (..., 3) corner values -> plane sum_i q_i * e_i
+        return (q[..., 0:1] * e[..., 0:3] + q[..., 1:2] * e[..., 3:6] +
+                q[..., 2:3] * e[..., 6:9])
 
     z_plane = combo(z)
     iw_plane = combo(jnp.ones_like(z))
     # id_base offsets ids when multiple packs share one winner/record
     # space (the two occlusion phases)
     tri_id = jnp.where(valid,
-                       jnp.arange(t, dtype=jnp.float32) +
+                       jnp.arange(t, dtype=jnp.float32).reshape(lead) +
                        jnp.asarray(id_base, jnp.float32),   # traced OK
                        -1.0)
 
@@ -151,66 +160,66 @@ def pack_planes_h(cc, cn, valid, width, height, viewport=None,
     sx = vx0 + (x * iw * 0.5 + 0.5) * vw
     sy = vy0 + (0.5 - y * iw * 0.5) * vh
     big = 3.4e38
-    bx0 = jnp.min(jnp.where(w_ok, sx, big), 1)
-    bx1 = jnp.max(jnp.where(w_ok, sx, -big), 1)
-    by0 = jnp.min(jnp.where(w_ok, sy, big), 1)
-    by1 = jnp.max(jnp.where(w_ok, sy, -big), 1)
-    any_behind = jnp.any(~w_ok, 1)
+    bx0 = jnp.min(jnp.where(w_ok, sx, big), -1)
+    bx1 = jnp.max(jnp.where(w_ok, sx, -big), -1)
+    by0 = jnp.min(jnp.where(w_ok, sy, big), -1)
+    by1 = jnp.max(jnp.where(w_ok, sy, -big), -1)
+    any_behind = jnp.any(~w_ok, -1)
     bx0 = jnp.where(any_behind, vx0, bx0)
     by0 = jnp.where(any_behind, vy0, by0)
     bx1 = jnp.where(any_behind, vx1, bx1)
     by1 = jnp.where(any_behind, vy1, by1)
-    aabb = jnp.stack([bx0, by0, bx1, by1], 1)
-    aabb = jnp.where(valid[:, None], aabb, 0.0)   # zero-area => never tested
+    aabb = jnp.stack([bx0, by0, bx1, by1], -1)
+    aabb = jnp.where(valid[..., None], aabb, 0.0)  # zero-area => never tested
 
     zrec = jnp.concatenate([
-        neg_e, z_plane, tri_id[:, None], aabb,
-        jnp.zeros((t, ZREC - 17), jnp.float32)], 1)
+        neg_e, z_plane, tri_id[..., None], aabb,
+        jnp.zeros(lead + (ZREC - 17,), jnp.float32)], -1)
     if build_srec:
         if materials is None:
-            materials = jnp.zeros((t, 14), jnp.float32)
-        if materials.shape[1] < 15:       # pad clearcoat/aniso/pom/refl
-            pad = jnp.zeros((t, 15 - materials.shape[1]), jnp.float32)
-            materials = jnp.concatenate([materials, pad], 1)
+            materials = jnp.zeros(lead + (14,), jnp.float32)
+        if materials.shape[-1] < 15:      # pad clearcoat/aniso/pom/refl
+            pad = jnp.zeros(lead + (15 - materials.shape[-1],), jnp.float32)
+            materials = jnp.concatenate([materials, pad], -1)
             # absent reflectance column means the 4% default (0.5)
-            materials = materials.at[:, 14].set(0.5)
-        mat9, cc_part = materials[:, :9], materials[:, 9:11]
-        aniso_part = materials[:, 11:13]  # strength, rotation (ref:
+            materials = materials.at[..., 14].set(0.5)
+        mat9, cc_part = materials[..., :9], materials[..., 9:11]
+        aniso_part = materials[..., 11:13]  # strength, rotation (ref:
         #                       StandardMaterial anisotropy_* fields)
         # parallax: depth-map atlas rect (4) + parallax_depth_scale (ref:
         # StandardMaterial depth_map + parallax_depth_scale)
         pom_part = jnp.concatenate(
             [dm_rect if dm_rect is not None
-             else jnp.zeros((t, 4), jnp.float32),
-             materials[:, 13:14]], 1)
+             else jnp.zeros(lead + (4,), jnp.float32),
+             materials[..., 13:14]], -1)
         if cuv is not None and tex_rect is not None:
             uv_part = jnp.concatenate([
-                combo(cuv[:, :, 0]), combo(cuv[:, :, 1]), tex_rect], 1)
+                combo(cuv[..., 0]), combo(cuv[..., 1]), tex_rect], -1)
         else:
-            uv_part = jnp.zeros((t, 10), jnp.float32)
+            uv_part = jnp.zeros(lead + (10,), jnp.float32)
         if tangents is not None and nm_rect is not None:
             # per-tri world tangent + normal-map atlas rect (ref:
             # StandardMaterial normal_map_texture + mesh tangents)
-            nm_part = jnp.concatenate([tangents, nm_rect], 1)   # (T, 7)
+            nm_part = jnp.concatenate([tangents, nm_rect], -1)  # (..., 7)
         else:
-            nm_part = jnp.zeros((t, 7), jnp.float32)
+            nm_part = jnp.zeros(lead + (7,), jnp.float32)
         # lightmap atlas rect (ref: bevy_pbr/src/lightmap — per-instance
         # uv rect; sampled by the mesh UVs at resolve)
         lm_part = lm_rect if lm_rect is not None else \
-            jnp.zeros((t, 4), jnp.float32)
+            jnp.zeros(lead + (4,), jnp.float32)
         # channel-texture atlas rects (ref: StandardMaterial
         # emissive_texture / metallic_roughness_texture /
         # occlusion_texture — sampled by the mesh UVs at resolve)
-        zero4 = jnp.zeros((t, 4), jnp.float32)
+        zero4 = jnp.zeros(lead + (4,), jnp.float32)
         em_part = em_rect if em_rect is not None else zero4
         mr_part = mr_rect if mr_rect is not None else zero4
         oc_part = oc_rect if oc_rect is not None else zero4
         srec = jnp.concatenate([
-            iw_plane, combo(cn[:, :, 0]), combo(cn[:, :, 1]),
-            combo(cn[:, :, 2]), mat9, uv_part, nm_part, lm_part,
+            iw_plane, combo(cn[..., 0]), combo(cn[..., 1]),
+            combo(cn[..., 2]), mat9, uv_part, nm_part, lm_part,
             cc_part, aniso_part, pom_part,
             em_part, mr_part, oc_part,
-            materials[:, 14:15]], 1)      # reflectance (slot 63)
+            materials[..., 14:15]], -1)   # reflectance (slot 63)
     else:
         srec = None      # flat-shading path builds 8-wide records instead
     return zrec, srec, valid
@@ -227,7 +236,12 @@ def cluster_screen_aabbs(cc, inst_ok, tri_valid, cs: int,
     exactly. Returns (aabb (NCL,4), cl_valid (NCL,), zmax (NCL,)) where
     zmax is the cluster's nearest reverse-z depth bound (the front-to-back
     sort key; ref: the two-phase occlusion culling of
-    bevy_render/src/occlusion_culling/)."""
+    bevy_render/src/occlusion_culling/). cc may also come pre-clustered
+    as (NCL, cs, 3, 4) (see pack_planes_h batch dims)."""
+    if cc.ndim == 4:
+        ncl = cc.shape[0]
+        cc = cc.reshape(ncl * cs, 3, 4)
+        tri_valid = tri_valid.reshape(ncl * cs)
     t = cc.shape[0]
     ncl = t // cs
     if viewport is None:
@@ -713,45 +727,47 @@ def resolve_shade(winner, srec, atlas=None, ray=None, parallax_layers=0):
 
 
 def pack_flat_shade(cn, materials, light_vec, valid):
-    """Per-triangle FLAT shade records (T, 8): when a mesh's three corner
-    normals are identical per triangle (cubes, any faceted mesh),
+    """Per-triangle FLAT shade records (..., 8): when a mesh's three
+    corner normals are identical per triangle (cubes, any faceted mesh),
     Gouraud interpolation degenerates to a constant — shade ONCE per
     triangle at pack time and let the resolve gather 8-wide rows (the
     fast-gather regime) instead of 64-wide varying planes.
-    materials (T, 9): rgba, emissive, metallic, roughness."""
-    t = cn.shape[0]
-    n = cn[:, 0]                                 # flat: corner 0 == 1 == 2
+    materials (..., 9): rgba, emissive, metallic, roughness. Leading
+    dims are batch dims (see pack_planes_h)."""
+    lead = cn.shape[:-2]
+    n = cn[..., 0, :]                            # flat: corner 0 == 1 == 2
     n = n * jax.lax.rsqrt(jnp.maximum(jnp.sum(n * n, -1, keepdims=True),
                                       1e-12))
-    lam = jnp.maximum(0.0, -(n[:, 0] * light_vec[0] +
-                             n[:, 1] * light_vec[1] +
-                             n[:, 2] * light_vec[2]))
-    rgb = materials[:, 0:3] * (light_vec[6:9] +
-                               light_vec[3:6] * lam[:, None]) + \
-        materials[:, 4:7]
-    out = jnp.concatenate([rgb, materials[:, 3:4],
-                           jnp.zeros((t, 4), jnp.float32)], 1)
-    return jnp.where(valid[:, None], out, 0.0)
+    lam = jnp.maximum(0.0, -(n[..., 0] * light_vec[0] +
+                             n[..., 1] * light_vec[1] +
+                             n[..., 2] * light_vec[2]))
+    rgb = materials[..., 0:3] * (light_vec[6:9] +
+                                 light_vec[3:6] * lam[..., None]) + \
+        materials[..., 4:7]
+    out = jnp.concatenate([rgb, materials[..., 3:4],
+                           jnp.zeros(lead + (4,), jnp.float32)], -1)
+    return jnp.where(valid[..., None], out, 0.0)
 
 
 def pack_flat_gbuf(cn, materials, valid):
     """Flat-mesh G-buffer records as TWO 8-wide tables (8-wide row
     gathers are the fast TPU regime; one 16-wide table is not):
     a = [albedo rgba, normal xyz, pad], b = [emissive rgb, metallic,
-    roughness, clearcoat, clearcoat roughness, pad]."""
-    t = cn.shape[0]
-    n = cn[:, 0]
+    roughness, clearcoat, clearcoat roughness, pad]. Leading dims are
+    batch dims (see pack_planes_h)."""
+    lead = cn.shape[:-2]
+    n = cn[..., 0, :]
     n = n * jax.lax.rsqrt(jnp.maximum(jnp.sum(n * n, -1, keepdims=True),
                                       1e-12))
-    if materials.shape[1] < 15:
-        pad = jnp.zeros((t, 15 - materials.shape[1]), jnp.float32)
-        materials = jnp.concatenate([materials, pad], 1)
-        materials = materials.at[:, 14].set(0.5)   # default reflectance
-    a = jnp.concatenate([materials[:, 0:4], n,
-                         jnp.zeros((t, 1), jnp.float32)], 1)
-    b = jnp.concatenate([materials[:, 4:11],
-                         materials[:, 14:15]], 1)  # slot 7 = reflectance
-    gate = valid[:, None]
+    if materials.shape[-1] < 15:
+        pad = jnp.zeros(lead + (15 - materials.shape[-1],), jnp.float32)
+        materials = jnp.concatenate([materials, pad], -1)
+        materials = materials.at[..., 14].set(0.5)  # default reflectance
+    a = jnp.concatenate([materials[..., 0:4], n,
+                         jnp.zeros(lead + (1,), jnp.float32)], -1)
+    b = jnp.concatenate([materials[..., 4:11],
+                         materials[..., 14:15]], -1)  # slot 7 = reflectance
+    gate = valid[..., None]
     return jnp.where(gate, a, 0.0), jnp.where(gate, b, 0.0)
 
 

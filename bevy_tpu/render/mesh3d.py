@@ -448,25 +448,42 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         if not identity:
             stats.pair_overflow = stats.pair_overflow + jnp.maximum(
                 nsel - k, 0)
+        # (k, cs, ...) cluster-major shapes all the way into
+        # pack_planes_h (batch-agnostic since r5): the flat (k*cs, ...)
+        # relayout copies this used to force were ~3.2 ms of the r4
+        # many_cubes profile (copy.1556/1610 + reshape.35/36/41).
+        # ONLY on the flat-record paths: the srec (textured/skinned)
+        # path measured WORSE clustered (many_foxes 14.1 → 16.0 — the
+        # 64-wide srec concat + gather-table layout prefers the flat
+        # build), so it keeps the old (tv, ...) shapes.
         tv = k * cs
+        clustered = flat or flat_def or depth_only
         if identity:
-            cc_v = cc.reshape(tv, 3, 4)
-            cn_v = cn.reshape(tv, 3, 3)
+            cc_v = cc_cl if clustered else cc_cl.reshape(tv, 3, 4)
+            cn_v = cn_cl if clustered else cn_cl.reshape(tv, 3, 3)
         else:
-            cc_v = cc_cl[ids].reshape(tv, 3, 4)
-            cn_v = cn_cl[ids].reshape(tv, 3, 3)
-        tri_ok_v = jnp.broadcast_to(v[:, None], (k, cs)).reshape(tv)
+            cc_v = cc_cl[ids]
+            cn_v = cn_cl[ids]
+            if not clustered:
+                cc_v = cc_v.reshape(tv, 3, 4)
+                cn_v = cn_v.reshape(tv, 3, 3)
+        tri_ok_v = jnp.broadcast_to(v[:, None], (k, cs))
+        if not clustered:
+            tri_ok_v = tri_ok_v.reshape(tv)
 
         def per_inst(src):
-            """(Ni, w) per-instance rows → (tv, w) per-triangle rows."""
+            """(Ni, w) per-instance rows → (k, cs, w) (clustered) or
+            (tv, w) per-triangle rows (a lazy broadcast — XLA
+            materializes it only inside whatever fusion consumes it)."""
             w_ = src.shape[1]
             if identity:
                 rep = jnp.broadcast_to(src[:, None, None, :],
                                        (ni, cc_num, cs, w_))
-                return rep.reshape(tv, w_)
+                return rep.reshape(k, cs, w_) if clustered \
+                    else rep.reshape(tv, w_)
             inst_v = ids // cc_num
-            return jnp.broadcast_to(src[inst_v][:, None, :],
-                                    (k, cs, w_)).reshape(tv, w_)
+            rep = jnp.broadcast_to(src[inst_v][:, None, :], (k, cs, w_))
+            return rep if clustered else rep.reshape(tv, w_)
 
         if depth_only:
             mat_tri = None
@@ -478,35 +495,39 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
             # ref: StandardMaterial::depth_bias — constant reverse-z NDC
             # offset; biasing clip z by b*w keeps it constant after the
             # divide, and the clipless setup needs no other change
-            b = per_inst(bias_i.reshape(ni, 1))[:, 0] * 1e-3
-            cc_v = cc_v.at[:, :, 2].add(b[:, None] * cc_v[:, :, 3])
+            b = per_inst(bias_i.reshape(ni, 1))[..., 0] * 1e-3
+            cc_v = cc_v.at[..., 2].add(b[..., None] * cc_v[..., 3])
         if cuv_static is not None:
             cuv_cl = cuv_static.reshape(cc_num, cs, 3, 2)
+            cuv_shape = (k, cs, 3, 2) if clustered else (tv, 3, 2)
             if identity:
                 cuv = jnp.broadcast_to(cuv_cl[None], (ni, cc_num, cs, 3, 2)
-                                       ).reshape(tv, 3, 2)
+                                       ).reshape(cuv_shape)
             else:
-                cuv = cuv_cl[ids % cc_num].reshape(tv, 3, 2)
+                cuv = cuv_cl[ids % cc_num].reshape(cuv_shape)
             rect_tri = per_inst(uvr_i)
             if uvt_i is not None:
                 # ref: StandardMaterial::uv_transform (Affine2) on mesh
                 # UVs, before the per-instance atlas-rect wrap
-                a = per_inst(uvt_i)                      # (tv, 6)
+                a = per_inst(uvt_i)                      # (k, cs, 6)
                 u, vv = cuv[..., 0], cuv[..., 1]
                 cuv = jnp.stack(
-                    [a[:, 0:1] * u + a[:, 1:2] * vv + a[:, 4:5],
-                     a[:, 2:3] * u + a[:, 3:4] * vv + a[:, 5:6]], -1)
+                    [a[..., 0:1] * u + a[..., 1:2] * vv + a[..., 4:5],
+                     a[..., 2:3] * u + a[..., 3:4] * vv + a[..., 5:6]], -1)
         else:
             cuv = rect_tri = None
         if tan_i is not None:
-            tan_tri = tan_i.reshape(n_cl, cs, 3)[ids].reshape(tv, 3) \
-                if not identity else tan_i.reshape(tv, 3)
+            tan_tri = tan_i.reshape(n_cl, cs, 3)[ids] \
+                if not identity else tan_i.reshape(n_cl, cs, 3)
+            if not clustered:
+                tan_tri = tan_tri.reshape(tv, 3)
             # no normal map: a zero rect (u1 <= u0) disables sampling at
             # resolve while the tangent still reaches the srec (needed
             # for anisotropy without textures)
             nm_tri = per_inst(nmr_i) \
                 if nmr_i is not None and cuv is not None \
-                else jnp.zeros((tv, 4), jnp.float32)
+                else jnp.zeros((k, cs, 4) if clustered else (tv, 4),
+                               jnp.float32)
         else:
             tan_tri = nm_tri = None
         lm_tri = per_inst(lmr_i) \
@@ -527,9 +548,16 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
             id_base=id_base, tangents=tan_tri, nm_rect=nm_tri,
             lm_rect=lm_tri, dm_rect=dm_tri, em_rect=em_tri,
             mr_rect=mr_tri, oc_rect=oc_tri)
-        frec = pack_flat_shade(cn_v, mat_tri, light_vec, valid) \
-            if flat else None
+        # the resolve gathers row tables by global tri id — flatten the
+        # (k, cs, w) records here (a leading-dims merge, layout-free;
+        # the PLANE math above ran unflattened)
+        if srec is not None:
+            srec = srec.reshape(tv, srec.shape[-1])
+        frec = pack_flat_shade(cn_v, mat_tri, light_vec, valid
+                               ).reshape(tv, 8) if flat else None
         fab = pack_flat_gbuf(cn_v, mat_tri, valid) if flat_def else None
+        if fab is not None:
+            fab = (fab[0].reshape(tv, 8), fab[1].reshape(tv, 8))
         import os as _os_
         fused = _os_.environ.get("BEVY_TPU_FUSED", "1") == "1"
         if fused:
@@ -540,9 +568,9 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         elif _os_.environ.get("BEVY_TPU_COMPACT", "1") == "0":
             # A/B: skip compaction (kernel then evaluates all cs tris;
             # zeroed invalid planes fail the depth test)
-            zrec_c = zrec
+            zrec_c = zrec.reshape(tv, ZREC_)
         else:
-            zrec_c, _ = compact_cluster_tris(zrec, cs)
+            zrec_c, _ = compact_cluster_tris(zrec.reshape(tv, ZREC_), cs)
         aabb_p = aabb_all if identity else aabb_all[ids]
         zmax_p = zmax_all if identity else zmax_all[ids]
         # window classes: half-height windows for small footprints.
@@ -1093,7 +1121,13 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                             -r_i * jnp.sqrt(1.0 + ta_ * ta_)
                         inside &= (-vz * tf_ - jnp.abs(vch[:, 1])) > \
                             -r_i * jnp.sqrt(1.0 + tf_ * tf_)
-                        inside &= q.mask[rows] & visrow_g[rows]
+                        # pred gathers at capacity scale run as slow
+                        # bit-packed-layout fusions (r4 profile: 1.2 ms
+                        # EACH); routed through i32 they compile to the
+                        # same overlapped async slices as the float
+                        # columns (~0.2 ms)
+                        inside &= (q.mask.astype(jnp.int32)[rows] &
+                                   visrow_g.astype(jnp.int32)[rows]) > 0
                         kb = min(cull_budget, len(rows_np))
                         nin = rows_np.shape[0]
                         posc = jnp.cumsum(inside.astype(jnp.int32)) - 1

@@ -106,9 +106,15 @@ def make_movement_system(half_w, half_h):
     return bird_movement
 
 
-def build_app(width=1280, height=720, capacity=131072, spawn_budget=256,
+def build_app(width=1280, height=720, capacity=49152, spawn_budget=256,
               max_per_tile=1024, max_visible=49152, sprite_batch=8,
               sample_dtype="bf16", mode="splat") -> App:
+    # capacity right-sized to the benchmark population (steady state
+    # ~30k live + ~6k spawned during measurement; the round-4 profile
+    # showed ~7 ms of capacity-sized mask/column copies at 131072 —
+    # the same lever as many_cubes' world right-sizing). Growth past
+    # capacity retraces (ARCHITECTURE.md), so long-running sessions
+    # still work — they just pay one recompile per doubling.
     app = App(capacity=capacity)
     app.add_plugins(TimePlugin(), TransformPlugin(),
                     RenderPlugin(width=width, height=height),
