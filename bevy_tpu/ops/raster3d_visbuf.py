@@ -750,11 +750,16 @@ def pack_flat_shade(cn, materials, light_vec, valid):
 
 
 def pack_flat_gbuf(cn, materials, valid):
-    """Flat-mesh G-buffer records as TWO 8-wide tables (8-wide row
-    gathers are the fast TPU regime; one 16-wide table is not):
-    a = [albedo rgba, normal xyz, pad], b = [emissive rgb, metallic,
-    roughness, clearcoat, clearcoat roughness, pad]. Leading dims are
-    batch dims (see pack_planes_h)."""
+    """Flat-mesh G-buffer records, ONE 16-wide table:
+    [albedo rgba, normal xyz, pad, emissive rgb, metallic, roughness,
+    clearcoat, clearcoat roughness, reflectance]. Leading dims are
+    batch dims (see pack_planes_h).
+
+    (History: this was two 8-wide tables after an r1 probe suggested
+    16-wide row gathers were pathological; an r5 TPU microbench at the
+    bench row count — 921600 rows, 12300-row table — measured 16-wide
+    at the SAME rate as 8-wide and two 8-wide gathers at 1.42x one, so
+    the resolve now does a single gather.)"""
     lead = cn.shape[:-2]
     n = cn[..., 0, :]
     n = n * jax.lax.rsqrt(jnp.maximum(jnp.sum(n * n, -1, keepdims=True),
@@ -763,29 +768,28 @@ def pack_flat_gbuf(cn, materials, valid):
         pad = jnp.zeros(lead + (15 - materials.shape[-1],), jnp.float32)
         materials = jnp.concatenate([materials, pad], -1)
         materials = materials.at[..., 14].set(0.5)  # default reflectance
-    a = jnp.concatenate([materials[..., 0:4], n,
-                         jnp.zeros(lead + (1,), jnp.float32)], -1)
-    b = jnp.concatenate([materials[..., 4:11],
-                         materials[..., 14:15]], -1)  # slot 7 = reflectance
-    gate = valid[..., None]
-    return jnp.where(gate, a, 0.0), jnp.where(gate, b, 0.0)
+    ab = jnp.concatenate([materials[..., 0:4], n,
+                          jnp.zeros(lead + (1,), jnp.float32),
+                          materials[..., 4:11],
+                          materials[..., 14:15]], -1)   # (..., 16)
+    return jnp.where(valid[..., None], ab, 0.0)
 
 
-def resolve_gbuf_flat(winner, frec_a, frec_b, gbuf):
-    """G-buffer write from flat records (two 8-wide gathers instead of
+def resolve_gbuf_flat(winner, frec, gbuf):
+    """G-buffer write from flat records (ONE 16-wide gather instead of
     the 64-wide varying-plane gather — flat meshes have constant per-tri
-    normals, so interpolation is unnecessary)."""
+    normals, so interpolation is unnecessary; see pack_flat_gbuf for the
+    8-vs-16-wide history)."""
     ok = winner >= 0
     idx = jnp.maximum(winner, 0)
-    a = frec_a[idx]                             # (H, W, 8)
-    b = frec_b[idx]
-    planes = jnp.concatenate([a[..., 0:7], b[..., 0:7]], -1)   # 14
+    ab = frec[idx]                              # (H, W, 16)
+    planes = jnp.concatenate([ab[..., 0:7], ab[..., 8:15]], -1)   # 14
     if gbuf.shape[0] > 14:      # aniso planes: flat meshes shade isotropic
         planes = jnp.concatenate(
             [planes, jnp.zeros(planes.shape[:2] + (gbuf.shape[0] - 14,),
                                planes.dtype)], -1)
-    if gbuf.shape[0] >= 19:     # reflectance rides the spare b slot
-        planes = planes.at[..., 18].set(b[..., 7])
+    if gbuf.shape[0] >= 19:     # reflectance rides slot 15
+        planes = planes.at[..., 18].set(ab[..., 15])
     return jnp.where(ok[None], jnp.moveaxis(planes, -1, 0), gbuf)
 
 

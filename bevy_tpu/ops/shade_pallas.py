@@ -86,6 +86,9 @@ def bin_lights(pos_view_z, center_px, radius_px, active, nty, ntx,
     tile_counts = jnp.minimum(ends - starts, max_per_tile)
     slot = starts[:, None] + jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
     slot = jnp.minimum(slot, pair_cap - 1)
+    # (r5 A/B: widening this 1-wide index gather to an 8-lane row table
+    # — tile + row-gather + lane slice — measured WORSE, 16.8 → 17.2 ms:
+    # the 306k x 8 tile materialization exceeds the gather saving)
     table = records[pair_light[slot]].transpose(0, 2, 1)   # (T, 8, mpt)
     stats = {"light_pair_overflow": jnp.maximum(total - pair_cap, 0),
              "light_tile_overflow": jnp.maximum(
@@ -97,7 +100,7 @@ def _shade_kernel(counts_ref, params_ref,
                   light_table_ref,
                   gbuf_ref, dep_ref, shadow_ref,
                   col_out_ref,
-                  lights_ref, sem,
+                  lights_ref, sem, acc_ref,
                   *, tile_h, tile_w, max_per_tile, spot, rect=False,
                   clearcoat=True, anisotropy=False, reflectance=False):
     i = pl.program_id(0)
@@ -256,15 +259,75 @@ def _shade_kernel(counts_ref, params_ref,
     # directional (shadowed) + ambient
     lit = shadow_ref[:]
     drr, drg, drb = shade_light(-p(16), -p(17), -p(18), p(19), p(20), p(21))
-    acc_r = ar * p(22) + drr * lit
-    acc_g = ag * p(23) + drg * lit
-    acc_b = ab * p(24) + drb * lit
+    acc_ref[0] = ar * p(22) + drr * lit
+    acc_ref[1] = ag * p(23) + drg * lit
+    acc_ref[2] = ab * p(24) + drb * lit
+
+    # ---- tile sub-frustum side planes (world space, through the camera)
+    # for a per-light sphere early skip: pairs come from conservative
+    # screen-AABB binning, so a light whose sphere misses the tile's
+    # frustum laterally (the AABB corner waste — measured 23% useful
+    # pixel area on many_lights) pays only a ~16-mult scalar test
+    # instead of the full (tile_h, tile_w) shade body. Exact-
+    # conservative: outside any side plane by more than the range means
+    # zero attenuation on every pixel of the tile.
+    def corner_dir(cx_, cy_):
+        nxc = 2.0 * cx_ / p(25) - 1.0
+        nyc = 1.0 - 2.0 * cy_ / p(26)
+        # unproject at z_ndc=1 (near, reverse-z); direction from camera
+        ux = p(0) * nxc + p(1) * nyc + p(2) + p(3)
+        uy = p(4) * nxc + p(5) * nyc + p(6) + p(7)
+        uz = p(8) * nxc + p(9) * nyc + p(10) + p(11)
+        uw = p(12) * nxc + p(13) * nyc + p(14) + p(15)
+        inv = 1.0 / jnp.where(jnp.abs(uw) > 1e-12, uw, 1e-12)
+        return (ux * inv - p(31), uy * inv - p(32), uz * inv - p(33))
+
+    tx0 = (j * tile_w).astype(jnp.float32)
+    ty0 = (i * tile_h).astype(jnp.float32) + p(34)
+    ca = corner_dir(tx0, ty0)
+    cb = corner_dir(tx0 + tile_w, ty0)
+    cc_ = corner_dir(tx0 + tile_w, ty0 + tile_h)
+    cd = corner_dir(tx0, ty0 + tile_h)
+    ce = corner_dir(tx0 + 0.5 * tile_w, ty0 + 0.5 * tile_h)  # center dir
+
+    def side_plane(a, b):
+        nx_ = a[1] * b[2] - a[2] * b[1]
+        ny_ = a[2] * b[0] - a[0] * b[2]
+        nz_ = a[0] * b[1] - a[1] * b[0]
+        inv_n = jax.lax.rsqrt(jnp.maximum(
+            nx_ * nx_ + ny_ * ny_ + nz_ * nz_, 1e-18))
+        # orient inward (tile-center dir on the positive side)
+        s = jnp.where(nx_ * ce[0] + ny_ * ce[1] + nz_ * ce[2] >= 0.0,
+                      inv_n, -inv_n)
+        return nx_ * s, ny_ * s, nz_ * s
+
+    pls = [side_plane(ca, cb), side_plane(cb, cc_),
+           side_plane(cc_, cd), side_plane(cd, ca)]
 
     dma.wait()
 
-    def body(s, acc):
-        r, g, b = acc
+    def body(s, _):
+        def d(k):
+            return lights_ref[k, s]
+        # scalar sphere-vs-tile-frustum early skip (see plane setup);
+        # rect lights influence beyond their range sphere (extents), so
+        # they always take the full body
+        if rect:
+            _shade_body(s)
+            return 0
+        lcx, lcy, lcz = d(0) - p(31), d(1) - p(32), d(2) - p(33)
+        rng = d(6)
+        inside = (pls[0][0] * lcx + pls[0][1] * lcy + pls[0][2] * lcz
+                  > -rng)
+        for (pnx, pny, pnz) in pls[1:]:
+            inside = inside & (pnx * lcx + pny * lcy + pnz * lcz > -rng)
 
+        @pl.when(inside)
+        def _shade_one():
+            _shade_body(s)
+        return 0
+
+    def _shade_body(s):
         def d(k):
             return lights_ref[k, s]
         dx = d(0) - wx
@@ -306,14 +369,21 @@ def _shade_kernel(counts_ref, params_ref,
             atten = atten * side
         pr, pg, pb = shade_light(dx * inv_d, dy * inv_d, dz * inv_d,
                                  d(3) * atten, d(4) * atten, d(5) * atten)
-        return (r + pr, g + pg, b + pb)
+        acc_ref[0] = acc_ref[0] + pr
+        acc_ref[1] = acc_ref[1] + pg
+        acc_ref[2] = acc_ref[2] + pb
 
-    acc_r, acc_g, acc_b = jax.lax.fori_loop(
-        0, cnt, body, (acc_r, acc_g, acc_b))
+    # sky-only tiles (no geometry anywhere) skip the whole light walk —
+    # their every pixel takes the clear color below regardless (the
+    # horizon band of many_lights bins hundreds of far-field lights
+    # into tiles that are pure sky)
+    @pl.when(jnp.max(depth) > 0.0)
+    def _light_walk():
+        jax.lax.fori_loop(0, cnt, body, 0)
 
-    out_r = jnp.where(geom, acc_r + er, p(27))
-    out_g = jnp.where(geom, acc_g + eg, p(28))
-    out_b = jnp.where(geom, acc_b + eb, p(29))
+    out_r = jnp.where(geom, acc_ref[0] + er, p(27))
+    out_g = jnp.where(geom, acc_ref[1] + eg, p(28))
+    out_b = jnp.where(geom, acc_ref[2] + eb, p(29))
     out_a = jnp.where(geom, aa, p(30))
     col_out_ref[0] = out_r
     col_out_ref[1] = out_g
@@ -361,6 +431,7 @@ def deferred_shade(gbuffer, depth, light_table, tile_counts, params,
         scratch_shapes=[
             pltpu.SMEM((int(light_table.shape[1]), max_per_tile), jnp.float32),
             pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((3, tile_h, tile_w), jnp.float32),
         ],
     )
     kernel = partial(_shade_kernel, tile_h=tile_h, tile_w=tile_w,

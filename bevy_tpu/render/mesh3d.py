@@ -555,9 +555,8 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
             srec = srec.reshape(tv, srec.shape[-1])
         frec = pack_flat_shade(cn_v, mat_tri, light_vec, valid
                                ).reshape(tv, 8) if flat else None
-        fab = pack_flat_gbuf(cn_v, mat_tri, valid) if flat_def else None
-        if fab is not None:
-            fab = (fab[0].reshape(tv, 8), fab[1].reshape(tv, 8))
+        fab = pack_flat_gbuf(cn_v, mat_tri, valid
+                             ).reshape(tv, 16) if flat_def else None
         import os as _os_
         fused = _os_.environ.get("BEVY_TPU_FUSED", "1") == "1"
         if fused:
@@ -714,9 +713,7 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         srec = None if srec1 is None else jnp.concatenate([srec1, srec2])
         flat_rec = None if frec1 is None else \
             jnp.concatenate([frec1, frec2])
-        fab = None if fab1 is None else (
-            jnp.concatenate([fab1[0], fab2[0]]),
-            jnp.concatenate([fab1[1], fab2[1]]))
+        fab = None if fab1 is None else jnp.concatenate([fab1, fab2])
         coarse2 = coarse_min_depth(depth)
         vis_state["mask"] = cl_valid & \
             ~occlusion_test(aabb_all, zmax_all, coarse2)
@@ -729,8 +726,7 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         return
     win_i = winner.astype(jnp.int32)
     if flat_def:
-        target.gbuffer = resolve_gbuf_flat(win_i, fab[0], fab[1],
-                                           target.gbuffer)
+        target.gbuffer = resolve_gbuf_flat(win_i, fab, target.gbuffer)
     elif deferred:
         target.gbuffer = resolve_gbuf(win_i, srec, target.gbuffer,
                                       atlas=atlas, ray=ray,

@@ -33,10 +33,16 @@ from bevy_tpu.transform import (
 
 def build_app(n_lights=100_000, n_cubes=1024, width=1280, height=720,
               capacity=None, backend="auto", max_lights_per_tile=512,
-              light_range=6.0, camera=(0.0, 50.0, 90.0)) -> App:
-    cap = capacity or 1
-    while cap < n_lights + n_cubes + 8:
-        cap *= 2
+              light_range=6.0, camera=(0.0, 50.0, 90.0),
+              pairs_per_light=3) -> App:
+    # capacity right-sized to the scene (the binning pair arrays and
+    # every pool-wide op scale with it; the r5 profile showed the
+    # 524k-pair sort/gather chain at power-of-two capacity ~5.4 ms —
+    # same lever as many_cubes/bevymark). pairs_per_light=3: the bench
+    # camera measures 192k pairs over ~43k visible lights (~4.5
+    # tiles/light among the large near-field ones); 3x capacity rows
+    # gives ~1.6x headroom, and light_pair_overflow stats guard it.
+    cap = capacity or ((n_lights + n_cubes + 1031) // 8 * 8)
     app = App(capacity=cap)
     plugin = Mesh3dPlugin(backend=backend, deferred=True)
     cube_id = plugin.add_mesh(cuboid(1.0, 1.0, 1.0))
@@ -44,6 +50,7 @@ def build_app(n_lights=100_000, n_cubes=1024, width=1280, height=720,
                     RenderPlugin(width=width, height=height), plugin,
                     DeferredLightingPlugin(
                         backend=backend,
+                        pairs_per_light=pairs_per_light,
                         max_lights_per_tile=max_lights_per_tile))
     app.insert_resource(AmbientLight(brightness=0.02))
 
