@@ -292,6 +292,20 @@ def _col_nondefault(plugin, name, default):
         return True
 
 
+def motion_delta(tp, rp, sp, tc, rc, sc):
+    """Per-instance previous→current inverse affine D = M_prev ·
+    M_cur^-1 as 12 floats [A row-major 9, b 3]: prev_world = A·world + b
+    (ref: the previous-frame MeshUniforms of bevy_pbr's motion-vector
+    prepass, bevy_pbr/src/prepass/mod.rs + mesh.rs previous_transform)."""
+    from bevy_tpu.math.quat import quat_to_mat3
+    mp = quat_to_mat3(rp)                            # (N, 3, 3)
+    mc = quat_to_mat3(rc)
+    ratio = sp / jnp.maximum(sc, 1e-12)
+    a = jnp.einsum("nij,nj,nkj->nik", mp, ratio, mc)
+    b = tp - jnp.einsum("nij,nj->ni", a, tc)
+    return jnp.concatenate([a.reshape(-1, 9), b], -1)    # (N, 12)
+
+
 def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                    target, stats, *, width, height, tile_h=16, tile_w=128,
                    pairs_per_tri=2, max_per_tile=512, interpret=False,
@@ -305,7 +319,8 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                    pds_i=None, dmr_i=None, ray=None, parallax_layers=0,
                    material_fn=None, bias_i=None, uvt_i=None,
                    emr_i=None, mrr_i=None, ocr_i=None, refl_i=None,
-                   cl_extra=None, mesh_positions=None, tri_mask=None):
+                   cl_extra=None, mesh_positions=None, tri_mask=None,
+                   motd_i=None, prev_vp=None, cur_inv_vp=None):
     """Visibility-buffer raster of one uniform batch (ref: bevy meshlet sw
     raster, bevy_pbr/src/meshlet/ — cluster cull → visbuffer → material
     resolve). clip (Ni, VC, 4) clip-space positions, nrm (Ni, VC, 3) world
@@ -557,6 +572,10 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                                ).reshape(tv, 8) if flat else None
         fab = pack_flat_gbuf(cn_v, mat_tri, valid
                              ).reshape(tv, 16) if flat_def else None
+        # per-triangle previous-frame affine deltas for motion vectors
+        # (gathered by winner id at resolve, like frec)
+        mot = per_inst(motd_i).reshape(tv, 12) if motd_i is not None \
+            else None
         import os as _os_
         fused = _os_.environ.get("BEVY_TPU_FUSED", "1") == "1"
         if fused:
@@ -690,7 +709,7 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
             tile_h=tile_h, tile_w=tile_w, cs=cs, interpret=interpret)
         stats.pair_overflow = stats.pair_overflow + st["pair_overflow"]
         stats.tile_overflow = stats.tile_overflow + st["tile_overflow"]
-        return depth, winner, srec, frec, fab
+        return depth, winner, srec, frec, fab, mot
 
     winner = jnp.full_like(target.depth, -1.0)
     depth = target.depth
@@ -704,23 +723,24 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         k1 = min(phase_budget, n_cl)
         k2 = min(phase_budget, n_cl)
         prev = vis_state["mask"]
-        depth, winner, srec1, frec1, fab1 = run_phase(
+        depth, winner, srec1, frec1, fab1, mot1 = run_phase(
             cl_valid & prev, k1, 0, depth, winner, order="near")
         coarse = coarse_min_depth(depth)
         occ = occlusion_test(aabb_all, zmax_all, coarse)
-        depth, winner, srec2, frec2, fab2 = run_phase(
+        depth, winner, srec2, frec2, fab2, mot2 = run_phase(
             cl_valid & ~prev & ~occ, k2, k1, depth, winner, order="near")
         srec = None if srec1 is None else jnp.concatenate([srec1, srec2])
         flat_rec = None if frec1 is None else \
             jnp.concatenate([frec1, frec2])
         fab = None if fab1 is None else jnp.concatenate([fab1, fab2])
+        mot_rec = None if mot1 is None else jnp.concatenate([mot1, mot2])
         coarse2 = coarse_min_depth(depth)
         vis_state["mask"] = cl_valid & \
             ~occlusion_test(aabb_all, zmax_all, coarse2)
     else:
         kvis = min(visible_budget, n_cl)
-        depth, winner, srec, flat_rec, fab = run_phase(cl_valid, kvis, 0,
-                                                       depth, winner)
+        depth, winner, srec, flat_rec, fab, mot_rec = run_phase(
+            cl_valid, kvis, 0, depth, winner)
     target.depth = depth
     if depth_only:
         return
@@ -748,6 +768,39 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
         target.color = resolve_forward(win_i, srec, light_vec, target.color,
                                        atlas=atlas, ray=ray,
                                        parallax_layers=parallax_layers)
+
+    if mot_rec is not None and prev_vp is not None and \
+            cur_inv_vp is not None:
+        # per-object motion vectors (ref: the motion-vector prepass,
+        # bevy_core_pipeline/src/prepass/mod.rs:10 + bevy_pbr's
+        # previous-frame transforms): winner id → instance affine delta
+        # D = M_prev·M_cur^-1 → previous clip position → pixel offset.
+        # Written only at pixels this batch won; TAA/motion blur fall
+        # back to camera reprojection where plane 2 (validity) is 0.
+        ok = win_i >= 0
+        dmat = mot_rec[jnp.maximum(win_i, 0)]          # (H, W, 12)
+        hh, ww = depth.shape
+        ysf = (jnp.arange(hh, dtype=jnp.float32) + 0.5)[:, None]
+        xsf = (jnp.arange(ww, dtype=jnp.float32) + 0.5)[None, :]
+        ndx = jnp.broadcast_to(2.0 * xsf / ww - 1.0, depth.shape)
+        ndy = jnp.broadcast_to(1.0 - 2.0 * ysf / hh, depth.shape)
+        ndc = jnp.stack([ndx, ndy, depth, jnp.ones_like(depth)], -1)
+        wh_ = jnp.einsum("ij,hwj->hwi", cur_inv_vp, ndc)
+        wpx = wh_[..., :3] / jnp.where(jnp.abs(wh_[..., 3:4]) > 1e-9,
+                                       wh_[..., 3:4], 1.0)
+        a_ = dmat[..., 0:9].reshape(hh, ww, 3, 3)
+        pw = jnp.einsum("hwij,hwj->hwi", a_, wpx) + dmat[..., 9:12]
+        pc = jnp.einsum("ij,hwj->hwi", prev_vp, jnp.concatenate(
+            [pw, jnp.ones((hh, ww, 1), jnp.float32)], -1))
+        pcw = jnp.where(jnp.abs(pc[..., 3]) > 1e-8, pc[..., 3], 1.0)
+        px_prev = (pc[..., 0] / pcw * 0.5 + 0.5) * ww - 0.5
+        py_prev = (0.5 - pc[..., 1] / pcw * 0.5) * hh - 0.5
+        dyx = jnp.stack([py_prev - (ysf - 0.5),
+                         px_prev - (xsf - 0.5)], 0)
+        dyx = jnp.broadcast_to(dyx, (2, hh, ww))
+        planes = jnp.concatenate(
+            [dyx, jnp.ones((1, hh, ww), jnp.float32)], 0)
+        target.motion = jnp.where(ok[None], planes, target.motion)
 
 
 def extended_material(extension_fn):
@@ -970,7 +1023,13 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                   matlas=Res("mesh_atlas"),
                   target=ResMut(RenderTarget.RESOURCE),
                   vism=ResMut("mesh_vis"),
+                  mot=ResMut("mesh_motion"),
                   stats=ResMut("render_stats")):
+        use_motion = plugin is not None and \
+            getattr(plugin, "_motion_vectors", False)
+        if use_motion:
+            # reset validity: only pixels won this frame carry motion
+            target.motion = jnp.zeros_like(target.motion)
         def render_view(ci, has_cam, view_idx):
             cam_gt = cam.global_transform
             # viewport pixel rect + aspect from this camera's rect
@@ -1299,6 +1358,9 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         bvh_ok = bvh_cull(lv_b, order_b, mvp, ncl_m)
                         cl_extra = bvh_ok if cl_extra is None \
                             else (cl_extra & bvh_ok)
+                    motd = motion_delta(
+                        mot.t[rows], mot.r[rows], mot.s[rows],
+                        gt_t, gt_r, gt_s) if use_motion else None
                     raster_batched(
                         clip, nrm, m.triangles, inst_ok,
                         q.mesh_material.base_color[rows],
@@ -1335,7 +1397,11 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         flat_ok=flat_ok, vis_state=vs,
                         phase_budget=phase_budget, tan_i=tan, nmr_i=nmr,
                         lmr_i=lmr, material_fn=material_fn,
-                        mesh_positions=m.positions)
+                        mesh_positions=m.positions,
+                        motd_i=motd,
+                        prev_vp=mot.vp if use_motion else None,
+                        cur_inv_vp=jnp.linalg.inv(vp)
+                        if use_motion else None)
                     if vs is not None:
                         setattr(vism, vkey, vs["mask"])
                 # transparent phase: weighted-blended OIT over the opaque
@@ -1492,6 +1558,23 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
             ci0, has0 = pick_camera(cam.mask)
             render_view(ci0, has0, 0)
 
+        if use_motion:
+            # retain this frame's transforms + primary-camera VP for the
+            # next frame's deltas (ref: bevy_pbr previous_transform
+            # update in PostUpdate)
+            mot.t = q.global_transform.translation
+            mot.r = q.global_transform.rotation
+            mot.s = q.global_transform.scale
+            ci0, _ = pick_camera(cam.mask)
+            cam_gt0 = cam.global_transform
+            view0 = view_matrix(cam_gt0.translation[ci0],
+                                cam_gt0.rotation[ci0],
+                                cam_gt0.scale[ci0])
+            proj0 = perspective_infinite_reverse(
+                cam.camera3d.fov[ci0], width / height,
+                cam.camera3d.near[ci0])
+            mot.vp = proj0 @ view0
+
     return mesh_pass
 
 
@@ -1506,7 +1589,7 @@ class Mesh3dPlugin(Plugin):
                  eval_tris=None, atlas=None, visible_budget=65536,
                  occlusion_cull=False, phase_budget=16384,
                  material_fn=None, cull_budget=None, shards=None,
-                 parallax_layers=8, bvh_cull=False):
+                 parallax_layers=8, bvh_cull=False, motion_vectors=False):
         self.pool = pool or MeshPool()
         self._uniform = None
         self._groups = None
@@ -1514,6 +1597,12 @@ class Mesh3dPlugin(Plugin):
         self._dags = {}            # mesh id -> {info, threshold_px} (DAG LOD)
         self._bvh = {}             # mesh id -> (levels, order) bvh cache
         self._bvh_cull = bvh_cull  # opt-in hierarchical cluster cull
+        # per-object motion vectors (ref: the motion-vector prepass,
+        # bevy_core_pipeline/src/prepass/mod.rs): retains previous-frame
+        # instance transforms + camera VP and emits target.motion
+        # (dy, dx, valid) planes at the winner resolve. Opt-in: costs
+        # one (T,12) table + one per-pixel row gather per frame.
+        self._motion_vectors = motion_vectors
         # shards: None, a device count, or a jax.sharding.Mesh — flat
         # opaque groups then raster multi-chip (parallel/raster.py)
         self._shards = shards
@@ -1583,6 +1672,23 @@ class Mesh3dPlugin(Plugin):
                     for v in range(n_views):
                         vis[f"g{gi}v{v}"] = jnp.ones(n_cl, bool)
             world.state["res"]["mesh_vis"] = vis
+            gtf = world.state["comp"]["global_transform"]["f"]
+            if plugin._motion_vectors:
+                # `+ 0` forces FRESH buffers — aliasing the live columns
+                # would donate the same buffer twice in the jitted
+                # segment (same rule as the observer tick-window init)
+                world.state["res"]["mesh_motion"] = {
+                    "t": gtf["translation"] + 0,
+                    "r": gtf["rotation"] + 0,
+                    "s": gtf["scale"] + 0,
+                    "vp": jnp.eye(4, dtype=jnp.float32)}
+                world.state["res"][RenderTarget.RESOURCE]["motion"] = \
+                    jnp.zeros((3, rp.height, rp.width), jnp.float32)
+            else:
+                world.state["res"]["mesh_motion"] = {
+                    "t": jnp.zeros((1, 3)), "r": jnp.zeros((1, 4)),
+                    "s": jnp.zeros((1, 3)),
+                    "vp": jnp.eye(4, dtype=jnp.float32)}
 
         app.add_prepare_hook(finish_pool)
         # opaque 3D draws in PASS_SET; 2D overlay composes later (set order)

@@ -8,10 +8,11 @@ All effects are (C, H, W) XLA image passes in POST_SET — screen-space
 compute is exactly the shape the VPU wants, and XLA fuses the chains.
 Depth-consuming effects reconstruct view-space position from the
 reverse-z buffer (the low mantissa bits carry visbuffer ids — noise
-< 2^-19, far below any gradient tolerance). TAA and motion blur
-reproject with the camera matrices only (the reference also has
-per-object motion vectors; dynamic objects ghost slightly — noted for
-parity reviews). Default tonemapping is None (pass-through) so images
+< 2^-19, far below any gradient tolerance). TAA and motion blur consume
+per-object motion vectors when the mesh pass provides them
+(Mesh3dPlugin(motion_vectors=True) — the motion-vector-prepass twin,
+bevy_core_pipeline/src/prepass/mod.rs), falling back to camera-matrix
+reprojection elsewhere. Default tonemapping is None (pass-through) so images
 stay bit-stable; Reinhard and the ACES fitted curve are the analytic
 modes (the reference's default TonyMcMapface needs its LUT asset —
 approximated by ACES here).
@@ -276,8 +277,9 @@ def _reproject_uv(depth, vp_prev, inv_vp, fov, near, width, height):
 
 class TaaPlugin(Plugin):
     """Temporal anti-aliasing (ref: bevy_anti_alias/src/taa — history
-    reprojection + neighborhood clamp). Camera-motion reprojection only
-    (no per-object velocity buffer yet)."""
+    reprojection + neighborhood clamp). Uses the mesh pass's per-object
+    motion vectors where present (target.motion validity plane),
+    camera-matrix reprojection elsewhere."""
 
     def __init__(self, blend=0.125, fov=0.7853982, near=0.1):
         self.blend = blend
@@ -300,6 +302,15 @@ class TaaPlugin(Plugin):
             inv_vp = jnp.linalg.inv(vp)
             py, px = _reproject_uv(target.depth, taa.prev_vp, inv_vp, fov,
                                    near, w, h)
+            motion = getattr(target, "motion", None)
+            if motion is not None:
+                # per-object vectors override camera reprojection at
+                # pixels the mesh pass covered this frame
+                yy_ = jnp.arange(h, dtype=jnp.float32)[:, None]
+                xx_ = jnp.arange(w, dtype=jnp.float32)[None, :]
+                mv = motion[2] > 0.5
+                py = jnp.where(mv, yy_ + motion[0], py)
+                px = jnp.where(mv, xx_ + motion[1], px)
             y0 = jnp.clip(jnp.round(py).astype(jnp.int32), 0, h - 1)
             x0 = jnp.clip(jnp.round(px).astype(jnp.int32), 0, w - 1)
             hist = taa.history[:, y0, x0]              # (4, H, W) gather
@@ -366,6 +377,11 @@ class MotionBlurPlugin(Plugin):
                                    near, w, h)
             yy = jnp.arange(h, dtype=jnp.float32)[:, None]
             xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+            motion = getattr(target, "motion", None)
+            if motion is not None:
+                mv = motion[2] > 0.5
+                py = jnp.where(mv, yy + motion[0], py)
+                px = jnp.where(mv, xx + motion[1], px)
             vy = (py - yy) * strength
             vx = (px - xx) * strength
             acc = c[:3]

@@ -87,6 +87,48 @@ def _point_contrib(wp, n, v, alb, met, rough, lpos, lcol, lrng):
     return (diff + spec) * lcol * (atten * nol)[..., None]
 
 
+def atrous_denoise(img, depth, normal, geom, iterations=2, sigma_z=4.0,
+                   sigma_n=32.0):
+    """Edge-aware a-trous spatial filter on the indirect term — the
+    TPU-native stand-in for the reference's DLSS-RR denoise textures
+    (ref: resolve_dlss_rr_textures.wesl; algorithmically an SVGF-lite
+    wavelet pass). Weights combine a 5-tap B3 spline kernel with depth
+    and normal similarity, so lighting blurs within surfaces but never
+    across silhouettes."""
+    kern = [1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16]
+    h, w = depth.shape
+
+    def shift(x, dy, dx):
+        # zero-padded shift (no wraparound)
+        pads = [(max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))]
+        if x.ndim == 3:
+            pads = pads + [(0, 0)]
+        xp = jnp.pad(x, pads)
+        return xp[max(-dy, 0):max(-dy, 0) + h,
+                  max(-dx, 0):max(-dx, 0) + w]
+
+    out = img
+    for it in range(iterations):
+        step = 1 << it
+        acc = jnp.zeros_like(out)
+        wacc = jnp.zeros(depth.shape, jnp.float32)
+        for iy, ky in enumerate(kern):
+            for ix, kx in enumerate(kern):
+                dy = (iy - 2) * step
+                dx = (ix - 2) * step
+                zs = shift(depth, dy, dx)
+                ns = shift(normal, dy, dx)
+                gs = shift(geom.astype(jnp.float32), dy, dx)
+                wz = jnp.exp(-jnp.abs(zs - depth) * sigma_z * 64.0)
+                ndot = jnp.clip(jnp.sum(ns * normal, -1), 0.0, 1.0)
+                wn = ndot ** sigma_n
+                wgt = ky * kx * wz * wn * gs
+                acc = acc + shift(out, dy, dx) * wgt[..., None]
+                wacc = wacc + wgt
+        out = acc / jnp.maximum(wacc, 1e-6)[..., None]
+    return out
+
+
 class SolariPlugin(Plugin):
     """Realtime ReSTIR direct illumination over the deferred G-buffer.
     Use with Mesh3dPlugin(deferred=True) INSTEAD of
@@ -97,7 +139,10 @@ class SolariPlugin(Plugin):
     def __init__(self, mesh_plugin, candidates=8, presample_k=32,
                  tile_px=16, temporal_cap=16.0, shadow_rays=False,
                  shadow_chunk=4096, backend="auto", gi=False,
-                 gi_temporal_cap=32.0):
+                 gi_temporal_cap=32.0, world_cache=True,
+                 cache_capacity=32768, cache_budget=2048,
+                 cache_base_cell=0.25, cache_lod_scale=50.0,
+                 specular_gi=True, denoise=False):
         self.mesh_plugin = mesh_plugin
         self.m = candidates
         self.k = presample_k
@@ -107,6 +152,22 @@ class SolariPlugin(Plugin):
         self.shadow_chunk = shadow_chunk
         self.gi = gi
         self.gi_cap = gi_temporal_cap
+        # hash-grid world irradiance cache (ref: world_cache_*.wesl) —
+        # GI bounce hits read cached multi-bounce energy; a per-frame
+        # budget of cells re-samples DI + one cache-hop GI
+        self.world_cache = world_cache
+        self.cache_capacity = cache_capacity
+        self.cache_budget = cache_budget
+        self.cache_base_cell = cache_base_cell
+        self.cache_lod_scale = cache_lod_scale
+        # roughness-aware GGX lobe sampling for the GI bounce (ref: the
+        # specular paths of initial_path.wesl — mirrors concentrate
+        # their bounce rays along the reflection direction)
+        self.specular_gi = specular_gi
+        # edge-aware a-trous spatial filter on the indirect term (the
+        # DLSS-RR denoise role, resolve_dlss_rr_textures.wesl — a
+        # TPU-native SVGF-lite stand-in)
+        self.denoise = denoise
 
     def build(self, app):
         rp = next((p for p in app._plugins if isinstance(p, RenderPlugin)),
@@ -129,6 +190,10 @@ class SolariPlugin(Plugin):
         app.world.structure_version += 1
 
         use_gi, gi_cap = self.gi, self.gi_cap
+        use_cache = self.world_cache and use_gi
+        cache_capacity, cache_budget = self.cache_capacity, self.cache_budget
+        cache_base, cache_lod = self.cache_base_cell, self.cache_lod_scale
+        use_spec, use_denoise = self.specular_gi, self.denoise
 
         def prep(world):
             world.state["res"]["restir"] = {
@@ -151,6 +216,9 @@ class SolariPlugin(Plugin):
                     "w": jnp.zeros((height, width), jnp.float32),
                     "z": jnp.zeros((height, width), jnp.float32),
                 }
+                from bevy_tpu.render.world_cache import make_world_cache
+                world.state["res"]["solari_cache"] = make_world_cache(
+                    cache_capacity if use_cache else 8)
             if use_shadow or use_gi:
                 from bevy_tpu.render.pathtracer import bake_triangle_soup
                 holder.update(bake_triangle_soup(world, mesh_plugin))
@@ -332,12 +400,16 @@ class SolariPlugin(Plugin):
                       cam=Query(Read(Camera3d), Read(GlobalTransform)),
                       res=ResMut("restir"),
                       gi=ResMut("restir_gi"),
+                      cache=ResMut("solari_cache"),
                       target=ResMut(RenderTarget.RESOURCE)):
             """One-bounce ReSTIR GI (ref: bevy_solari realtime GI —
-            restir_gi.wesl: cosine path sample → shade hit → per-pixel
-            reservoir with temporal reuse; the world-cache role is
-            filled by the baked soup + per-hit direct estimate).
-            Adds indirect diffuse into target.color after solari_di."""
+            restir_gi.wesl path sample → shade hit → per-pixel reservoir
+            with temporal reuse) over the hash-grid world cache
+            (world_cache_*.wesl): bounce hits read cached multi-bounce
+            irradiance, and a per-frame budget of cells re-samples
+            DI-RIS + one cache-hop GI. Roughness-aware GGX lobe
+            sampling gives mirrors their specular GI (the initial_path
+            specular role). Adds indirect light into target.color."""
             ci, has_cam = pick_camera(cam.mask)
             cam_gt = cam.global_transform
             view = view_matrix(cam_gt.translation[ci], cam_gt.rotation[ci],
@@ -360,12 +432,22 @@ class SolariPlugin(Plugin):
             geom = (z > 0.0) & has_cam
             alb = jnp.moveaxis(g[0:3], 0, -1)
             n = jnp.moveaxis(g[4:7], 0, -1)
+            met = g[10]
+            rough = jnp.clip(g[11], 0.045, 1.0)
+            cam_pos = cam_gt.translation[ci]
+            vv = cam_pos - wp
+            vv = vv * jax.lax.rsqrt(jnp.maximum(
+                jnp.sum(vv * vv, -1, keepdims=True), 1e-9))
 
             pix_id = (jnp.arange(height, dtype=jnp.uint32)[:, None] *
                       jnp.uint32(width) +
                       jnp.arange(width, dtype=jnp.uint32)[None, :])
 
-            # --- cosine-weighted bounce direction around n ---
+            # --- bounce direction: mixture of a cosine lobe and (when
+            #     specular_gi) a GGX reflect lobe weighted by metalness
+            #     + inverse roughness — mirrors send their rays along
+            #     the reflection (ref: initial_path.wesl
+            #     evaluate_and_sample_brdf) ---
             u1 = _hash01(pix_id * jnp.uint32(4) + jnp.uint32(0) +
                          frame * jnp.uint32(0x68E31DA4))
             u2 = _hash01(pix_id * jnp.uint32(4) + jnp.uint32(1) +
@@ -381,8 +463,68 @@ class SolariPlugin(Plugin):
             t2 = jnp.stack([b, s + n[..., 1] * n[..., 1] * a,
                             -n[..., 1]], -1)
             lz = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
-            bdir = (t1 * (r * jnp.cos(phi))[..., None] +
+            cdir = (t1 * (r * jnp.cos(phi))[..., None] +
                     t2 * (r * jnp.sin(phi))[..., None] + n * lz[..., None])
+
+            alpha_g = rough * rough
+            a2_g = alpha_g * alpha_g
+            f0 = 0.04 * (1.0 - met[..., None]) + alb * met[..., None]
+
+            def _dot(x, y):
+                return jnp.sum(x * y, -1)
+
+            def _ggx_d(noh):
+                den = noh * noh * (a2_g - 1.0) + 1.0
+                return a2_g / jnp.maximum(jnp.pi * den * den, 1e-9)
+
+            def brdf_at(dirn):
+                """Cook-Torrance diffuse+GGX toward `dirn` (H,W,3)."""
+                nol = jnp.maximum(_dot(n, dirn), 0.0)
+                h = dirn + vv
+                h = h * jax.lax.rsqrt(jnp.maximum(
+                    jnp.sum(h * h, -1, keepdims=True), 1e-9))
+                noh = jnp.maximum(_dot(n, h), 0.0)
+                loh = jnp.maximum(_dot(dirn, h), 0.0)
+                nov = jnp.maximum(_dot(n, vv), 1e-4)
+                dist = _ggx_d(noh)
+                vis = 0.5 / jnp.maximum(
+                    nol * (nov * (1.0 - alpha_g) + alpha_g) +
+                    nov * (nol * (1.0 - alpha_g) + alpha_g), 1e-4)
+                fres = ((1.0 - loh) ** 5)[..., None]
+                spec = (dist * vis)[..., None] * (f0 + (1.0 - f0) * fres)
+                diff = alb * (1.0 - met[..., None]) / jnp.pi
+                return (diff + spec * use_spec) * (nol > 0.0)[..., None]
+
+            if use_spec:
+                ps = jnp.clip(met + 0.5 * (1.0 - rough), 0.0, 0.9)
+                # GGX half-vector sample around n, reflect v
+                ct_h = jnp.sqrt(jnp.maximum(
+                    (1.0 - u1) / jnp.maximum(
+                        1.0 + (a2_g - 1.0) * u1, 1e-9), 0.0))
+                st_h = jnp.sqrt(jnp.maximum(1.0 - ct_h * ct_h, 0.0))
+                hvec = (t1 * (st_h * jnp.cos(phi))[..., None] +
+                        t2 * (st_h * jnp.sin(phi))[..., None] +
+                        n * ct_h[..., None])
+                sdir = 2.0 * _dot(vv, hvec)[..., None] * hvec - vv
+                u_lobe = _hash01(pix_id * jnp.uint32(4) + jnp.uint32(5) +
+                                 frame * jnp.uint32(0x27D4EB2F))
+                spec_take = u_lobe < ps
+                bdir = jnp.where(spec_take[..., None], sdir, cdir)
+
+                def pdf_mix(dirn):
+                    pdf_d = jnp.maximum(_dot(n, dirn), 0.0) / jnp.pi
+                    h = dirn + vv
+                    h = h * jax.lax.rsqrt(jnp.maximum(
+                        jnp.sum(h * h, -1, keepdims=True), 1e-9))
+                    noh = jnp.maximum(_dot(n, h), 0.0)
+                    voh = jnp.maximum(_dot(vv, h), 1e-4)
+                    pdf_s = _ggx_d(noh) * noh / (4.0 * voh)
+                    return (1.0 - ps) * pdf_d + ps * pdf_s
+            else:
+                bdir = cdir
+
+                def pdf_mix(dirn):
+                    return jnp.maximum(_dot(n, dirn), 0.0) / jnp.pi
 
             # --- trace the bounce ray (chunked; soup from prep) ---
             from bevy_tpu.render.pathtracer import intersect_chunk
@@ -409,7 +551,7 @@ class SolariPlugin(Plugin):
                 jnp.sum(sn[tri] * bdir, -1) > 0, -1.0, 1.0)[..., None]
 
             # --- outgoing radiance at the hit: emissive + one-light
-            #     Lambert direct estimate (the world-cache stand-in) ---
+            #     direct estimate + cached multi-bounce irradiance ---
             lpos = plight.global_transform.translation
             lcol = plight.point_light.color * \
                 plight.point_light.intensity[:, None]
@@ -435,25 +577,62 @@ class SolariPlugin(Plugin):
             l_f = jnp.maximum(n_alive, 1).astype(jnp.float32)
             direct_hit = (salb[tri] / jnp.pi) * lcol[li] * \
                 (atten * nol * l_f * lmask[li])[..., None]
-            lr_new = (semi[tri] + direct_hit) * hit[..., None]
 
-            # --- per-pixel reservoir. Target p-hat(s) = lum(L_s) *
-            #     cos(n, dir_s); candidate pdf q = cos/pi, so the fresh
-            #     stream weight p-hat/q = pi * lum (cos cancels) ---
+            # --- world cache (ref: world_cache_*.wesl): decay, update
+            #     a budget of live cells (DI-RIS + one cache-hop GI),
+            #     then query at this frame's bounce hits — cached E is
+            #     multi-bounce energy accumulated across frames ---
+            if use_cache:
+                from bevy_tpu.render.world_cache import (
+                    cache_decay, cache_query, cache_update)
+                cd = cache_decay({k_: getattr(cache, k_) for k_ in
+                                  ("checksum", "life", "radiance",
+                                   "samples", "lum_delta", "pos",
+                                   "normal")})
+                lights_d = {"pos": lpos, "col": lcol, "rng": lrng,
+                            "mask": lmask}
+                soup_d = {"v0": v0, "e1": e1, "e2": e2, "n": sn,
+                          "alb": salb, "emi": semi}
+                cd = cache_update(
+                    cd, frame, lights_d, soup=soup_d,
+                    budget=cache_budget, view_pos=cam_pos,
+                    base=cache_base, lod_scale=cache_lod,
+                    shadow_chunk=chunk)
+                uq = _hash01(pix_id * jnp.uint32(4) + jnp.uint32(6) +
+                             frame * jnp.uint32(0x165667B1))
+                cd, e_hit, _ = cache_query(
+                    cd, hp, hn, cam_pos, uq, base=cache_base,
+                    lod_scale=cache_lod, active=hit)
+                for k_ in cd:
+                    setattr(cache, k_, cd[k_])
+                cache_term = (salb[tri] / jnp.pi) * e_hit
+            else:
+                cache_term = 0.0
+            lr_new = (semi[tri] + direct_hit + cache_term) * \
+                hit[..., None]
+
+            # --- per-pixel reservoir. Target p-hat(s) =
+            #     lum(brdf(dir_s) * L_s) * cos_s (the full-brdf target
+            #     keeps specular-bright samples alive); candidate pdf is
+            #     the cosine/GGX mixture q(dir) ---
             def _lum(c):
                 return (0.2126 * c[..., 0] + 0.7152 * c[..., 1] +
                         0.0722 * c[..., 2])
 
-            def _cos_to(pt):
+            def _dir_to(pt):
                 dvec = pt - wp
                 dist = jnp.sqrt(jnp.maximum(jnp.sum(dvec * dvec, -1),
                                             1e-12))
-                return jnp.maximum(jnp.sum(n * dvec, -1) / dist, 0.0)
+                return dvec / dist[..., None]
 
-            w_new = jnp.pi * _lum(lr_new)
+            cos_new = jnp.maximum(jnp.sum(n * bdir, -1), 0.0)
+            ph_new = _lum(brdf_at(bdir) * lr_new) * cos_new
+            w_new = ph_new / jnp.maximum(pdf_mix(bdir), 1e-6)
             # temporal reuse keyed on depth persistence
             prev_ok = (jnp.abs(gi.z - z) < 1e-3) & (gi.m > 0) & geom
-            ph_prev = _lum(gi.lr) * _cos_to(gi.hp) * prev_ok
+            dir_prev = _dir_to(gi.hp)
+            cos_prev = jnp.maximum(jnp.sum(n * dir_prev, -1), 0.0)
+            ph_prev = _lum(brdf_at(dir_prev) * gi.lr) * cos_prev * prev_ok
             m_prev = jnp.minimum(gi.m, gi_cap) * prev_ok
             w_prev = ph_prev * gi.w * m_prev
             wsum = w_new + w_prev
@@ -463,17 +642,18 @@ class SolariPlugin(Plugin):
             hp_fin = jnp.where(take_prev[..., None], gi.hp, hp)
             lr_fin = jnp.where(take_prev[..., None], gi.lr, lr_new)
             m_fin = m_prev + 1.0
-            fcos = _cos_to(hp_fin)
-            ph_fin = _lum(lr_fin) * fcos
+            dir_fin = _dir_to(hp_fin)
+            fcos = jnp.maximum(jnp.sum(n * dir_fin, -1), 0.0)
+            f_fin = brdf_at(dir_fin)
+            ph_fin = _lum(f_fin * lr_fin) * fcos
             w_fin = jnp.where(ph_fin > 0,
                               wsum / jnp.maximum(m_fin * ph_fin, 1e-9),
                               0.0)
 
-            # estimate: f(y) * W with f = albedo/pi * L * cos
-            # (single fresh sample sanity: W = pi*lum/(lum*cos) = pi/cos
-            # -> indirect = albedo * L, the plain cosine-sampled MC term)
-            indirect = alb * lr_fin * \
-                (w_fin * fcos / jnp.pi)[..., None]
+            # estimate: f(y) * L(y) * cos(y) * W
+            indirect = f_fin * lr_fin * (w_fin * fcos)[..., None]
+            if use_denoise:
+                indirect = atrous_denoise(indirect, z, n, geom)
             rgb = jnp.moveaxis(target.color[:3], 0, -1) + \
                 jnp.where(geom[..., None], indirect, 0.0)
             target.color = jnp.concatenate(
