@@ -22,7 +22,18 @@ APP_EXAMPLES = [
 
 HOST_EXAMPLES = ["serialization", "function_reflection", "soundtrack",
                  "pitch", "custom_asset", "bounding_2d",
-                 "viewport_to_world", "reflection"]
+                 "viewport_to_world", "reflection",
+                 # round-5: app/ecs/audio/asset/movement additions
+                 "fallible_systems", "entity_disabling", "custom_loop",
+                 "return_after_run", "embedded_asset",
+                 "spatial_audio_2d", "spatial_audio_3d",
+                 "play_sound_effect", "decodable", "smooth_follow",
+                 "physics_in_fixed_timestep", "gpu_readback",
+                 "cooldown", "character_creation", "low_power",
+                 "gamepad_viewer", "animated_transform",
+                 "many_components", "transform_hierarchy",
+                 "window_settings", "alter_sprite", "alter_mesh",
+                 "debug_frustum_culling"]
 
 
 @pytest.mark.parametrize("name", APP_EXAMPLES)
