@@ -325,7 +325,7 @@ class TextSpan:
 
 class _Glyph:
     __slots__ = ("ch", "font", "k", "color", "x", "y", "adv", "level",
-                 "space")
+                 "space", "attach", "off")
 
     def __init__(self, ch, font, k, color, adv, level, space):
         self.ch, self.font, self.k = ch, font, k
@@ -333,6 +333,11 @@ class _Glyph:
         self.x = 0.0
         self.y = 0.0
         self.space = space
+        # GPOS mark attachment: when set, this glyph is a combining mark
+        # anchored to `attach` at pixel offset `off` (x right, y up) —
+        # resolved AFTER pen placement so bidi reorder cannot break it
+        self.attach = None
+        self.off = (0.0, 0.0)
 
 
 def _resolve_font(ch, chain):
@@ -340,6 +345,59 @@ def _resolve_font(ch, chain):
         if f.has(ch):
             return f
     return chain[0]
+
+
+def _apply_opentype(para):
+    """GSUB liga + GPOS mark-to-base over one logical paragraph (ref:
+    parley's shaping stage; see render/opentype.py). Ligatures collapse
+    same-style runs; marks zero their advance and anchor to their base."""
+    from bevy_tpu.render.opentype import px_per_unit, shaping_tables
+
+    out = []
+    i = 0
+    while i < len(para):
+        g = para[i]
+        tabs = shaping_tables(g.font)
+        if tabs is not None and not g.space:
+            # candidate run: same font/size/color, up to 3 more glyphs
+            run = [g.ch]
+            j = i + 1
+            while (j < len(para) and len(run) < 4 and
+                   para[j].font is g.font and para[j].k == g.k and
+                   para[j].color == g.color and not para[j].space):
+                run.append(para[j].ch)
+                j += 1
+            lig = tabs.ligate("".join(run))
+            if lig is not None:
+                ch, consumed, adv_units = lig
+                if g.font.has(ch):
+                    s_px = px_per_unit(g.font)
+                    ng = _Glyph(ch, g.font, g.k, g.color,
+                                adv_units * s_px * g.k, g.level, False)
+                    out.append(ng)
+                    i += consumed
+                    continue
+        out.append(g)
+        i += 1
+    # mark attachment (after ligation; base = previous non-mark glyph)
+    for idx in range(1, len(out)):
+        g = out[idx]
+        tabs = shaping_tables(g.font)
+        if tabs is None or not tabs.is_mark(g.ch):
+            continue
+        b = idx - 1
+        while b >= 0 and out[b].attach is not None:
+            b -= 1                       # chains anchor to the real base
+        if b < 0 or out[b].font is not g.font:
+            continue
+        off = tabs.mark_offset(out[b].ch, g.ch)
+        if off is None:
+            continue
+        s_px = px_per_unit(g.font)
+        g.attach = out[b]
+        g.off = (off[0] * s_px * g.k, off[1] * s_px * g.k)
+        g.adv = 0.0
+    return out
 
 
 def layout_rich(spans: Sequence[TextSpan], default_font,
@@ -384,6 +442,7 @@ def layout_rich(spans: Sequence[TextSpan], default_font,
             adv = font.char_w
         para.append(_Glyph(ch, font, k, color, adv * k, 0, ch == " "))
     paras.append(para)
+    paras = [_apply_opentype(p) for p in paras]
 
     lines: List[tuple] = []  # (visual glyph list, base, line_w, ascent, h)
     for para in paras:
@@ -469,6 +528,9 @@ def layout_rich(spans: Sequence[TextSpan], default_font,
             g.x = x
             g.y = y + asc
             x += g.adv
+        for g in vis:
+            if g.attach is not None:     # GPOS anchors win over the pen
+                g.x = g.attach.x + g.off[0]
         y += h * line_gap
         glyphs.extend(vis)
     return [g for g in glyphs if not g.space], box_w, y
@@ -495,6 +557,8 @@ def spawn_rich_text(world, spans, default_font, pos=(0.0, 0.0), z=10.0,
         # are measured from the top of the font's em box, which sits
         # ascent*k above the baseline (mixed sizes share the baseline)
         gy = pos[1] - g.y + g.font.ascent * g.k - by * g.k - gh / 2
+        if g.attach is not None:
+            gy += g.off[1]               # anchor dy, y-up
         rows.append(world.spawn(
             Sprite(size=(gw, gh), color=g.color, uv_min=h["uv_min"],
                    uv_max=h["uv_max"], tex=h["tex"]),

@@ -17,7 +17,7 @@ APP_EXAMPLES = [
     "keyboard_modifiers", "eased_motion", "headless", "hello_world",
     "plugin_group", "dynamic_components", "system_stepping",
     "custom_diagnostic", "parenting", "logs", "async_compute",
-    "loading_screen",
+    "loading_screen", "virtual_time",
 ]
 
 HOST_EXAMPLES = ["serialization", "function_reflection", "soundtrack",

@@ -319,6 +319,8 @@ R5_RENDER_EXAMPLES = [
     "screen_shake_2d", "top_down_camera_2d", "cubic_splines",
     "render_primitives", "random_sampling", "many_buttons", "rotation",
     "custom_skinned_mesh", "many_gizmos", "wireframe",
+    # VERDICT r4 weak #8: previously untested examples
+    "2d_gizmos", "text2d",
 ]
 
 
