@@ -264,8 +264,36 @@ def load_audio(path):
         from bevy_tpu.vorbis import decode_vorbis
         samples, sr = decode_vorbis(path)
         return AudioSource(samples, sr)
-    if s.endswith((".mp3", ".aac")):
-        raise ValueError(
-            f"{s}: mp3/aac need a system codec (none in this "
-            "environment); ship wav, flac or ogg")
+    if s.endswith((".mp3", ".aac", ".m4a")):
+        samples, sr = decode_via_sdl(path)
+        return AudioSource(samples, sr)
     raise ValueError(f"unknown audio format: {s}")
+
+
+def decode_via_sdl(path, sample_rate=44100):
+    """mp3/aac via SDL_mixer (pygame) — the system-codec backend, the
+    role symphonia's optional mp3/aac features play for bevy_audio
+    (bevy_audio Cargo features; rodio decoders are third-party there
+    too). Uses the dummy audio driver so headless images decode without
+    a sound device. Raises ValueError when SDL lacks the codec."""
+    import os
+
+    import numpy as np
+
+    os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
+    try:
+        import pygame
+        if not pygame.mixer.get_init():
+            pygame.mixer.init(frequency=sample_rate)
+        snd = pygame.mixer.Sound(str(path))
+        import pygame.sndarray
+        arr = pygame.sndarray.array(snd)
+    except Exception as e:
+        raise ValueError(
+            f"{path}: mp3/aac decode needs SDL_mixer with that codec "
+            f"({e}); ship wav, flac or ogg") from e
+    f = arr.astype(np.float32) / 32768.0
+    if f.ndim == 2:
+        f = f.mean(-1)
+    mixer_sr = pygame.mixer.get_init()[0]
+    return f, mixer_sr

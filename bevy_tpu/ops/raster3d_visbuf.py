@@ -214,12 +214,17 @@ def pack_planes_h(cc, cn, valid, width, height, viewport=None,
         em_part = em_rect if em_rect is not None else zero4
         mr_part = mr_rect if mr_rect is not None else zero4
         oc_part = oc_rect if oc_rect is not None else zero4
-        srec = jnp.concatenate([
+        parts = [
             iw_plane, combo(cn[..., 0]), combo(cn[..., 1]),
             combo(cn[..., 2]), mat9, uv_part, nm_part, lm_part,
             cc_part, aniso_part, pom_part,
             em_part, mr_part, oc_part,
-            materials[..., 14:15]], -1)   # reflectance (slot 63)
+            materials[..., 14:15]]        # reflectance (slot 63)
+        if materials.shape[-1] >= 18:
+            # specular tint (slots 64:67) — present only for worlds
+            # carrying a non-default tint (trace-time specialization)
+            parts.append(materials[..., 15:18])
+        srec = jnp.concatenate(parts, -1)
     else:
         srec = None      # flat-shading path builds 8-wide records instead
     return zrec, srec, valid
@@ -601,9 +606,12 @@ def resolve_shade(winner, srec, atlas=None, ray=None, parallax_layers=0):
     # mat columns: rgba 0:4, emissive 4:7, metallic 7, roughness 8,
     # clearcoat 9:11, raw tangent 11:14, anisotropy strength/rotation
     # 14:16, reflectance 16
-    mat = jnp.concatenate([rec[..., 12:21], rec[..., 42:44],
-                           rec[..., 31:34], rec[..., 44:46],
-                           rec[..., 63:64]], -1)
+    parts = [rec[..., 12:21], rec[..., 42:44],
+             rec[..., 31:34], rec[..., 44:46],
+             rec[..., 63:64]]
+    if srec.shape[-1] >= 67:
+        parts.append(rec[..., 64:67])    # specular tint -> mat 17:20
+    mat = jnp.concatenate(parts, -1)
     if atlas is not None:
         u = (rec[..., 21] * px + rec[..., 22] * py + rec[..., 23]) / iw
         v = (rec[..., 24] * px + rec[..., 25] * py + rec[..., 26]) / iw
@@ -768,10 +776,15 @@ def pack_flat_gbuf(cn, materials, valid):
         pad = jnp.zeros(lead + (15 - materials.shape[-1],), jnp.float32)
         materials = jnp.concatenate([materials, pad], -1)
         materials = materials.at[..., 14].set(0.5)  # default reflectance
-    ab = jnp.concatenate([materials[..., 0:4], n,
-                          jnp.zeros(lead + (1,), jnp.float32),
-                          materials[..., 4:11],
-                          materials[..., 14:15]], -1)   # (..., 16)
+    parts = [materials[..., 0:4], n,
+             jnp.zeros(lead + (1,), jnp.float32),
+             materials[..., 4:11],
+             materials[..., 14:15]]                     # (..., 16)
+    if materials.shape[-1] >= 18:
+        # specular tint 16:19 + pad to 24 (row-gather regime)
+        parts.append(materials[..., 15:18])
+        parts.append(jnp.zeros(lead + (5,), jnp.float32))
+    ab = jnp.concatenate(parts, -1)
     return jnp.where(valid[..., None], ab, 0.0)
 
 
@@ -790,6 +803,8 @@ def resolve_gbuf_flat(winner, frec, gbuf):
                                planes.dtype)], -1)
     if gbuf.shape[0] >= 19:     # reflectance rides slot 15
         planes = planes.at[..., 18].set(ab[..., 15])
+    if gbuf.shape[0] >= 22 and frec.shape[-1] >= 19:
+        planes = jnp.concatenate([planes, ab[..., 16:19]], -1)  # tint
     return jnp.where(ok[None], jnp.moveaxis(planes, -1, 0), gbuf)
 
 
@@ -860,10 +875,13 @@ def resolve_gbuf(winner, srec, gbuf, atlas=None, ray=None,
     rot = mat[..., 15:16]
     bit = jnp.cross(n, tang)
     trot = tang * jnp.cos(rot) + bit * jnp.sin(rot)
-    planes = jnp.concatenate([mat[..., 0:4], n, mat[..., 4:7],
-                              mat[..., 7:11], trot,
-                              mat[..., 14:15],
-                              mat[..., 16:17]], -1)    # (H, W, 19)
+    gparts = [mat[..., 0:4], n, mat[..., 4:7],
+              mat[..., 7:11], trot,
+              mat[..., 14:15],
+              mat[..., 16:17]]                          # (H, W, 19)
+    if mat.shape[-1] >= 20:
+        gparts.append(mat[..., 17:20])                  # tint 19:22
+    planes = jnp.concatenate(gparts, -1)
     nplanes = gbuf.shape[0]
     return jnp.where(ok[None], jnp.moveaxis(planes[..., :nplanes], -1, 0),
                      gbuf)

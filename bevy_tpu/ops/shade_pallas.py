@@ -102,7 +102,8 @@ def _shade_kernel(counts_ref, params_ref,
                   col_out_ref,
                   lights_ref, sem, acc_ref,
                   *, tile_h, tile_w, max_per_tile, spot, rect=False,
-                  clearcoat=True, anisotropy=False, reflectance=False):
+                  clearcoat=True, anisotropy=False, reflectance=False,
+                  specular_tint=False):
     i = pl.program_id(0)
     j = pl.program_id(1)
     ntx = pl.num_programs(1)
@@ -203,9 +204,16 @@ def _shade_kernel(counts_ref, params_ref,
         base_f0 = 0.16 * gbuf_ref[18] * gbuf_ref[18]
     else:
         base_f0 = 0.04
-    f0r = base_f0 * (1.0 - met) + ar * met
-    f0g = base_f0 * (1.0 - met) + ag * met
-    f0b = base_f0 * (1.0 - met) + ab * met
+    if specular_tint:
+        # ref: StandardMaterial::specular_tint — modulates the
+        # DIELECTRIC F0 color; metals keep their albedo F0
+        f0r = base_f0 * gbuf_ref[19] * (1.0 - met) + ar * met
+        f0g = base_f0 * gbuf_ref[20] * (1.0 - met) + ag * met
+        f0b = base_f0 * gbuf_ref[21] * (1.0 - met) + ab * met
+    else:
+        f0r = base_f0 * (1.0 - met) + ar * met
+        f0g = base_f0 * (1.0 - met) + ag * met
+        f0b = base_f0 * (1.0 - met) + ab * met
 
     def shade_light(lx, ly, lz, cr, cg, cb):
         """L normalized toward the light; c* = light color (incl. atten)."""
@@ -393,11 +401,13 @@ def _shade_kernel(counts_ref, params_ref,
 
 @partial(jax.jit, static_argnames=("tile_h", "tile_w", "max_per_tile",
                                    "interpret", "spot", "rect", "clearcoat",
-                                   "anisotropy", "reflectance"))
+                                   "anisotropy", "reflectance",
+                                   "specular_tint"))
 def deferred_shade(gbuffer, depth, light_table, tile_counts, params,
                    shadow=None, *, tile_h=32, tile_w=128, max_per_tile=256,
                    interpret=False, spot=True, rect=False, clearcoat=True,
-                   anisotropy=False, reflectance=False):
+                   anisotropy=False, reflectance=False,
+                   specular_tint=False):
     """gbuffer (18,H,W), depth (H,W); light_table (num_tiles, F, mpt) from
     bin_lights, where F is the record width — 16 for point/spot scenes,
     24 when rect=True (u/v axes + half extents, see LF comment); params
@@ -437,7 +447,7 @@ def deferred_shade(gbuffer, depth, light_table, tile_counts, params,
     kernel = partial(_shade_kernel, tile_h=tile_h, tile_w=tile_w,
                      max_per_tile=max_per_tile, spot=spot, rect=rect,
                      clearcoat=clearcoat, anisotropy=anisotropy,
-                     reflectance=reflectance)
+                     reflectance=reflectance, specular_tint=specular_tint)
     col = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

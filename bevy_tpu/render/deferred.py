@@ -117,6 +117,7 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
         has_cc = True
         has_aniso = False
         has_refl = False
+        has_tint = False
         if world is not None:
             from bevy_tpu.render.mesh3d import MeshMaterial as _MM
             try:
@@ -128,6 +129,12 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
                 has_refl = bool(_np.any(_np.abs(_np.asarray(
                     jax.device_get(world.column(_MM, "reflectance")))
                     - 0.5) > 1e-6))
+                _t = _np.asarray(jax.device_get(
+                    world.column(_MM, "specular_tint")))
+                # unset pool rows are zeros: tinted = set AND non-white
+                has_tint = bool(_np.any(
+                    (_np.abs(_t - 1.0).max(-1) > 1e-6) &
+                    (_np.abs(_t).sum(-1) > 1e-6)))
             except KeyError:
                 has_cc = False
         np_ = plight.mask.shape[0]
@@ -264,7 +271,8 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
                 params, shadow, tile_h=tile_h, tile_w=tile_w,
                 max_per_tile=max_lights_per_tile, interpret=interpret,
                 spot=has_spots, rect=has_rect, clearcoat=has_cc,
-                anisotropy=has_aniso, reflectance=has_refl)
+                anisotropy=has_aniso, reflectance=has_refl,
+                specular_tint=has_tint)
         else:
             target.color = deferred_shade(
                 target.gbuffer, target.depth, table, counts, params, shadow,
@@ -272,7 +280,7 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
                 max_per_tile=max_lights_per_tile,
                 interpret=interpret, spot=has_spots, rect=has_rect,
                 clearcoat=has_cc, anisotropy=has_aniso,
-                reflectance=has_refl)
+                reflectance=has_refl, specular_tint=has_tint)
         stats.pair_overflow = stats.pair_overflow + lstats["light_pair_overflow"]
         stats.tile_overflow = stats.tile_overflow + lstats["light_tile_overflow"]
 
@@ -303,9 +311,30 @@ class DeferredLightingPlugin(Plugin):
         store = app.world.state["res"][RenderTarget.RESOURCE]
         # 19 planes: albedo rgba, normal, emissive, metallic, roughness,
         # clearcoat, ccr, anisotropy tangent xyz + strength (14:18),
-        # reflectance (18)
+        # reflectance (18); +3 tint planes (19:22) only when some
+        # material tints (prepare hook below — trace-time specialized,
+        # so the default G-buffer pays nothing)
         store["gbuffer"] = jnp.zeros((19, rp.height, rp.width), jnp.float32)
         app.world.structure_version += 1
+
+        def _size_gbuffer(world):
+            import numpy as _np
+            from bevy_tpu.render.mesh3d import MeshMaterial as _MM
+            try:
+                _t = _np.asarray(jax.device_get(
+                    world.column(_MM, "specular_tint")))
+                tinted = bool(_np.any(
+                    (_np.abs(_t - 1.0).max(-1) > 1e-6) &
+                    (_np.abs(_t).sum(-1) > 1e-6)))
+            except KeyError:
+                tinted = False
+            if tinted:
+                st = world.state["res"][RenderTarget.RESOURCE]
+                st["gbuffer"] = jnp.zeros((22, rp.height, rp.width),
+                                          jnp.float32)
+                world.structure_version += 1
+
+        app.add_prepare_hook(_size_gbuffer)
         app.add_systems(Render, clear_gbuffer, in_set=CLEAR_SET)
         app.add_systems(Render,
                         make_deferred_shade(rp.width, rp.height,

@@ -111,7 +111,9 @@ class EnvironmentLightPlugin(Plugin):
                 wgt = jnp.clip(1.0 - jnp.abs(lev - li), 0.0, 1.0)
                 spec_acc = spec_acc + sample_equirect(specs[li], r3) * \
                     wgt[None]
-            f0 = 0.04 * (1.0 - metallic[..., None]) + \
+            tint = jnp.moveaxis(g[19:22], 0, -1) if g.shape[0] >= 22 \
+                else 1.0      # ref: specular_tint modulates dielectric F0
+            f0 = 0.04 * tint * (1.0 - metallic[..., None]) + \
                 albedo * metallic[..., None]
             ibl = (jnp.moveaxis(diffuse, 0, -1) * albedo *
                    (1.0 - metallic[..., None]) +

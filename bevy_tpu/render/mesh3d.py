@@ -73,9 +73,15 @@ class MeshMaterial:
     attenuation_color = field(3, default=(1.0, 1.0, 1.0))
     diffuse_transmission = field((), jnp.float32)
     # ref: pbr_material.rs reflectance — F0 = 0.16 * r^2 for the
-    # dielectric base (0.5 = the 4% default); deferred-path only, like
-    # the reference's own specular-tint deferred limitation
+    # dielectric base (0.5 = the 4% default)
     reflectance = field((), jnp.float32, default=0.5)
+    # ref: pbr_material.rs specular_tint — modulates the dielectric F0
+    # color for non-metals (specular highlights + IBL/SSR reflections).
+    # Trace-time specialized: worlds keeping the white default compile
+    # the tint-free kernels and the 19-plane G-buffer (unlike the
+    # reference, the tint DOES reach the deferred path here — the
+    # G-buffer simply grows 3 planes when any material tints)
+    specular_tint = field(3, default=(1.0, 1.0, 1.0))
     # ref: pbr_material.rs depth_bias — higher values draw in front of
     # lower ones at equal depth (applied as a clip-space z offset of
     # bias * 1e-3 * w at triangle pack time, so it survives the
@@ -320,7 +326,8 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
                    material_fn=None, bias_i=None, uvt_i=None,
                    emr_i=None, mrr_i=None, ocr_i=None, refl_i=None,
                    cl_extra=None, mesh_positions=None, tri_mask=None,
-                   motd_i=None, prev_vp=None, cur_inv_vp=None):
+                   motd_i=None, prev_vp=None, cur_inv_vp=None,
+                   tint_i=None):
     """Visibility-buffer raster of one uniform batch (ref: bevy meshlet sw
     raster, bevy_pbr/src/meshlet/ — cluster cull → visbuffer → material
     resolve). clip (Ni, VC, 4) clip-space positions, nrm (Ni, VC, 3) world
@@ -411,6 +418,10 @@ def raster_batched(clip, nrm, triangles, inst_ok, col_i, emi_i, light_vec,
              _col(cc_i, 0.0), _col(ccr_i, 0.5),
              _col(aniso_i, 0.0), _col(anrot_i, 0.0),
              _col(pds_i, 0.0), _col(refl_i, 0.5)], axis=1)
+        if tint_i is not None:
+            # specular tint columns 15:18 (trace-time specialized:
+            # absent for white-tint worlds — see MeshMaterial)
+            mat_inst = jnp.concatenate([mat_inst, tint_i], axis=1)
     if corner_uv is not None and uvr_i is not None and not depth_only:
         cuv_static = jnp.asarray(_np.concatenate(
             [_np.asarray(corner_uv, _np.float32),
@@ -1079,6 +1090,16 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                                         "parallax_depth_scale"))) > 0.0))
                 except Exception:
                     has_pom = False
+                try:
+                    # unset pool rows are ZEROS (field defaults apply at
+                    # spawn) — a row tints only when set AND non-white
+                    _t = np.asarray(jax.device_get(wref.column(
+                        MeshMaterial, "specular_tint")))
+                    has_tint = wref is not None and bool(np.any(
+                        (np.abs(_t - 1.0).max(-1) > 1e-6) &
+                        (np.abs(_t).sum(-1) > 1e-6)))
+                except Exception:
+                    has_tint = False
                 if has_pom:
                     # camera pixel-ray planes: world ray dir =
                     # ray[0] + px*ray[1] + py*ray[2] (px/py absolute
@@ -1398,6 +1419,8 @@ def make_mesh_pass(width, height, plugin=None, tile_h=32, tile_w=128,
                         phase_budget=phase_budget, tan_i=tan, nmr_i=nmr,
                         lmr_i=lmr, material_fn=material_fn,
                         mesh_positions=m.positions,
+                        tint_i=q.mesh_material.specular_tint[rows]
+                        if has_tint else None,
                         motd_i=motd,
                         prev_vp=mot.vp if use_motion else None,
                         cur_inv_vp=jnp.linalg.inv(vp)

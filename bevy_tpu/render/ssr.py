@@ -109,7 +109,9 @@ class SsrPlugin(Plugin):
             hy = hit_uvy.astype(jnp.int32)
             refl_col = jnp.stack([c[0][hy, hx], c[1][hy, hx],
                                   c[2][hy, hx]], -1)
-            f0 = 0.04 * (1.0 - metallic[..., None]) + \
+            tint = jnp.moveaxis(g[19:22], 0, -1) if g.shape[0] >= 22 \
+                else 1.0      # ref: specular_tint modulates dielectric F0
+            f0 = 0.04 * tint * (1.0 - metallic[..., None]) + \
                 albedo * metallic[..., None]
             nov = jnp.maximum(-jnp.sum(vdir * n, -1), 0.0)
             fres = f0 + (1.0 - f0) * ((1.0 - nov[..., None]) ** 5)
