@@ -44,7 +44,7 @@ def build_app(width=640, height=360, grid=10):
     return app
 
 
-if __name__ == "__main__":
+def main():
     app = build_app()
     app.update(dt=1 / 60)          # first frame compiles
     t0 = pytime.perf_counter()
@@ -52,3 +52,7 @@ if __name__ == "__main__":
         app.update(dt=1 / 60)
     print(f"many_buttons: {(pytime.perf_counter() - t0) / 10 * 1000:.1f} "
           "ms/frame (100 interactive nodes)")
+
+
+if __name__ == "__main__":
+    main()

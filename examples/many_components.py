@@ -41,7 +41,7 @@ def build_app(n_types=40, per_type=64):
     return app
 
 
-if __name__ == "__main__":
+def main():
     app = build_app()
     app.update(dt=1 / 60)
     t0 = pytime.perf_counter()
@@ -49,3 +49,7 @@ if __name__ == "__main__":
         app.update(dt=1 / 60)
     print(f"many_components: {(pytime.perf_counter() - t0) / 20 * 1000:.2f} "
           "ms/frame (40 types, 12 systems)")
+
+
+if __name__ == "__main__":
+    main()

@@ -42,7 +42,7 @@ def build_app(width=320, height=180, n_lines=1000):
     return app
 
 
-if __name__ == "__main__":
+def main():
     app = build_app()
     app.update(dt=1 / 60)
     t0 = pytime.perf_counter()
@@ -50,3 +50,7 @@ if __name__ == "__main__":
         app.update(dt=1 / 60)
     print(f"many_gizmos: {(pytime.perf_counter() - t0) / 10 * 1000:.1f} "
           "ms/frame (1000 lines)")
+
+
+if __name__ == "__main__":
+    main()

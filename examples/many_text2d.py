@@ -43,7 +43,7 @@ def build_app(width=640, height=360, n_labels=120):
     return app
 
 
-if __name__ == "__main__":
+def main():
     app = build_app()
     app.update(dt=1 / 60)
     t0 = pytime.perf_counter()
@@ -51,3 +51,7 @@ if __name__ == "__main__":
         app.update(dt=1 / 60)
     print(f"many_text2d: {(pytime.perf_counter() - t0) / 10 * 1000:.1f} "
           "ms/frame (120 labels)")
+
+
+if __name__ == "__main__":
+    main()

@@ -54,7 +54,7 @@ def build_app(depth=24, fanout=64):
     return app
 
 
-if __name__ == "__main__":
+def main():
     app = build_app()
     app.update(dt=1 / 60)
     t0 = pytime.perf_counter()
@@ -63,3 +63,7 @@ if __name__ == "__main__":
     n = app.world.entity_count(Transform)
     print(f"transform_hierarchy: {(pytime.perf_counter() - t0) / 20 * 1000:.2f} "
           f"ms/frame ({n} transforms, depth 24)")
+
+
+if __name__ == "__main__":
+    main()

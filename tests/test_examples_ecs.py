@@ -31,9 +31,7 @@ HOST_EXAMPLES = ["serialization", "function_reflection", "soundtrack",
                  "physics_in_fixed_timestep", "gpu_readback",
                  "cooldown", "character_creation", "low_power",
                  "gamepad_viewer", "animated_transform",
-                 "many_components", "transform_hierarchy",
-                 "window_settings", "alter_sprite", "alter_mesh",
-                 "debug_frustum_culling"]
+                 "many_components"]
 
 
 @pytest.mark.parametrize("name", APP_EXAMPLES)
