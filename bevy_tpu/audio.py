@@ -333,8 +333,13 @@ class AudioPlugin(Plugin):
         app.audio = AudioMixer(self.sample_rate)
         server = getattr(app, "assets", None)
         if server is not None:
-            server.register_loader(
-                ".wav", lambda p: AudioSource.from_wav(p))
+            # every decodable format (ref: the AudioLoader extension
+            # list, bevy_audio/src/audio_source.rs) — wav/flac native,
+            # ogg via the owned Vorbis decoder, mp3/aac via SDL_mixer
+            from bevy_tpu.audio_codecs import load_audio
+            for ext in (".wav", ".flac", ".ogg", ".oga", ".mp3",
+                        ".aac", ".m4a"):
+                server.register_loader(ext, load_audio)
         out = self.output
         if out is not None:
             sr = self.sample_rate

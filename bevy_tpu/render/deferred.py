@@ -200,17 +200,49 @@ def make_deferred_shade(width, height, tile_h=32, tile_w=128,
                 rng, r_rng + jnp.sqrt(hw[:, 0] ** 2 + hh[:, 0] ** 2)])
             lmask = jnp.concatenate([lmask, rlight.mask])
 
-        # --- conservative screen AABBs ---
+        # --- conservative screen AABBs via the view-space bounding
+        # box (r5 fix: the old central-projection radius blew up to a
+        # FULL-SCREEN rect for every light near the camera PLANE even
+        # when laterally far away — the bench scene's below-camera
+        # stripe was ~3k such lights x 230 tiles = ~750k junk pairs per
+        # frame that displaced real lights past the pair cap). The
+        # extremes of (vx±r)/z over z in [max(vz-r, near), vz+r] sit at
+        # box corners, so four corner projections bound the sphere
+        # exactly-conservatively; full-screen only when the camera is
+        # truly inside the sphere. ---
         ph = jnp.concatenate([pos, jnp.ones((pos.shape[0], 1))], 1)
         vz = -(view[2] @ ph.T)                                # view depth >0 ahead
-        clip = (vp @ ph.T).T
-        w = jnp.maximum(clip[:, 3], 1e-6)
-        cx = (clip[:, 0] / w * 0.5 + 0.5) * width
-        cy = (0.5 - clip[:, 1] / w * 0.5) * height
+        vx = view[0] @ ph.T
+        vy = view[1] @ ph.T
         f = 1.0 / jnp.tan(cam.camera3d.fov[ci] * 0.5)
-        r_px = rng * f * (height * 0.5) / jnp.maximum(vz - rng, near)
-        # light sphere containing / behind camera: cover whole screen
-        engulf = vz <= rng
+        aspect = width / height
+        zmin = jnp.maximum(vz - rng, near)
+        zmax = jnp.maximum(vz + rng, near)
+
+        def _px_range(vc, half_f, span):
+            # min/max pixel coordinate over the 4 (vc±r, z∈{zmin,zmax})
+            # corners; ndc = half_f * vc/z, pixel = (±ndc*0.5+0.5)*span
+            lo = jnp.minimum(jnp.minimum((vc - rng) / zmin,
+                                         (vc - rng) / zmax),
+                             jnp.minimum((vc + rng) / zmin,
+                                         (vc + rng) / zmax))
+            hi = jnp.maximum(jnp.maximum((vc - rng) / zmin,
+                                         (vc - rng) / zmax),
+                             jnp.maximum((vc + rng) / zmin,
+                                         (vc + rng) / zmax))
+            return lo * half_f, hi * half_f
+
+        xlo_n, xhi_n = _px_range(vx, f / aspect, width)
+        ylo_n, yhi_n = _px_range(vy, f, height)
+        x0b = (xlo_n * 0.5 + 0.5) * width
+        x1b = (xhi_n * 0.5 + 0.5) * width
+        y0b = (0.5 - yhi_n * 0.5) * height
+        y1b = (0.5 - ylo_n * 0.5) * height
+        cx = (x0b + x1b) * 0.5
+        cy = (y0b + y1b) * 0.5
+        r_px = jnp.maximum(x1b - x0b, y1b - y0b) * 0.5
+        # camera INSIDE the sphere: every pixel may be lit — full screen
+        engulf = (vx * vx + vy * vy + vz * vz) <= rng * rng
         big = jnp.asarray(max(width, height) * 2.0, jnp.float32)
         r_px = jnp.where(engulf, big, r_px)
         cx = jnp.where(engulf, width * 0.5, cx)

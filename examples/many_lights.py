@@ -38,10 +38,11 @@ def build_app(n_lights=100_000, n_cubes=1024, width=1280, height=720,
     # capacity right-sized to the scene (the binning pair arrays and
     # every pool-wide op scale with it; the r5 profile showed the
     # 524k-pair sort/gather chain at power-of-two capacity ~5.4 ms —
-    # same lever as many_cubes/bevymark). pairs_per_light=3: the bench
-    # camera measures 192k pairs over ~43k visible lights (~4.5
-    # tiles/light among the large near-field ones); 3x capacity rows
-    # gives ~1.6x headroom, and light_pair_overflow stats guard it.
+    # same lever as many_cubes/bevymark). pairs_per_light=3: with the
+    # r5 view-space-box light bounds the bench camera measures ~285k
+    # real pairs (pair_overflow == 0 at the 306k cap; it was ~1.05M
+    # before the fix — a below-camera stripe of lights projected
+    # full-screen rects and displaced real lights past the cap).
     cap = capacity or ((n_lights + n_cubes + 1031) // 8 * 8)
     app = App(capacity=cap)
     plugin = Mesh3dPlugin(backend=backend, deferred=True)
